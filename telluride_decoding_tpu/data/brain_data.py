@@ -1,0 +1,480 @@
+"""Dataset assembly: file discovery, temporal context, batching.
+
+Capability parity with the reference BrainData family
+(brain_data.py:83-1048), re-designed TPU-first. The reference builds a
+lazy tf.data graph (interleave -> parse -> tf.signal.frame windowing ->
+shuffle -> batch); here the canonical representation is *whole arrays*:
+each file is decoded to [N, C] numpy arrays, lag context is applied
+per-file (never crossing file boundaries, matching the reference's
+initial_batch_size ~= whole-file semantics, brain_data.py:110,724), and
+the concatenated result is a single pytree that uploads to the device in
+one transfer — solvers then run as one jitted program instead of a
+per-minibatch host loop.
+
+The minibatch iterator (``create_dataset``) exists for API compatibility
+and for SGD-trained models; shuffling uses a seeded numpy PRNG
+permutation (the reference relies on tf.data shuffle-buffer
+nondeterminism; quality metrics, not exact stream order, are the compat
+target — SURVEY.md §7 'shuffle-order dependence').
+
+Feature/field semantics preserved from the reference:
+  * dataset contract: ({'input_1': [B, w1], 'input_2': [B, w2],
+    'attended_speaker': [B, a]}, output [B, wo]) with widths including
+    lag context (brain_data.py:91-97, 384-393, 505-541);
+  * 'allbut' / 'allbut_NN' train_file_pattern handling
+    (brain_data.py:254-323);
+  * the out_field == 'ones' hack for CCA (brain_data.py:786-791);
+  * input_offset shifting (brain_data.py:459-483);
+  * mixup (null hypothesis) and match-mismatch batch transforms
+    (brain_data.py:45-77, 376-382) — with the reference's dropped
+    .map() bug (brain_data.py:371-372) fixed.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from telluride_decoding_tpu.data import records
+from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+
+
+class BrainData:
+    """Base class describing one experiment's data source.
+
+    Subclasses provide ``_get_data_file_names`` (file discovery) and
+    ``file_arrays`` (decode one file to raw arrays).
+    """
+
+    def __init__(self,
+                 in_fields: Union[str, Sequence[str]],
+                 out_field: str,
+                 frame_rate: float,
+                 pre_context: int = 0,
+                 post_context: int = 0,
+                 in2_fields: Optional[Union[str, Sequence[str]]] = None,
+                 in2_pre_context: int = 0,
+                 in2_post_context: int = 0,
+                 input_offset: int = 0,
+                 attended_field: Optional[str] = None,
+                 initial_batch_size: int = 1000000,
+                 final_batch_size: int = 1000,
+                 repeat_count: int = 1,
+                 shuffle_buffer_size: int = 1000,
+                 data_dir: Optional[str] = None,
+                 data_pattern: str = '',
+                 train_file_pattern: str = '',
+                 validate_file_pattern: str = '',
+                 test_file_pattern: str = '',
+                 shuffle_seed: int = 42):
+        if not in_fields:
+            raise ValueError('Must specify at least one input field.')
+        if not out_field:
+            raise ValueError('Must specify an output field.')
+        if frame_rate < 0:
+            raise ValueError('frame_rate must be >= 0')
+        if pre_context < 0 or post_context < 0:
+            raise ValueError('context sizes must be >= 0')
+        if isinstance(in_fields, str):
+            in_fields = [in_fields]
+        if isinstance(in2_fields, str) and in2_fields:
+            in2_fields = [in2_fields]
+        self.in1_fields = list(in_fields)
+        self.in2_fields = list(in2_fields) if in2_fields else None
+        self.out_field = out_field
+        self.frame_rate = frame_rate
+        self.in1_pre_context = pre_context
+        self.in1_post_context = post_context
+        self.in2_pre_context = in2_pre_context
+        self.in2_post_context = in2_post_context
+        self.input_offset = input_offset
+        self.attended_field = attended_field
+        self.initial_batch_size = initial_batch_size
+        self.final_batch_size = final_batch_size
+        self.repeat_count = repeat_count
+        self.shuffle_buffer_size = shuffle_buffer_size
+        self.data_dir = data_dir
+        self.data_pattern = data_pattern
+        self.train_file_pattern = train_file_pattern or ''
+        self.validate_file_pattern = validate_file_pattern or ''
+        self.test_file_pattern = test_file_pattern or ''
+        self.features: Dict[str, records.FeatureSpec] = {}
+        self._rng = np.random.RandomState(shuffle_seed)
+        self._cached_file_names: List[str] = []
+        self.all_files()
+
+    # -- file discovery ----------------------------------------------------
+
+    def _get_data_file_names(self):
+        self._cached_file_names = []
+
+    def all_files(self, max_count: int = 0) -> List[str]:
+        if not self._cached_file_names:
+            self._get_data_file_names()
+            if self._cached_file_names:
+                self._rng.shuffle(self._cached_file_names)
+        if max_count > 0 and len(self._cached_file_names) > max_count:
+            return self._cached_file_names[:max_count]
+        return self._cached_file_names
+
+    def set_file_patterns(self, train: str, validate: str, test: str):
+        self.train_file_pattern = train
+        self.validate_file_pattern = validate
+        self.test_file_pattern = test
+
+    def filter_file_names(self, mode: str) -> List[str]:
+        """Selects this mode's files; supports allbut/allbut_NN."""
+        if mode == 'program_test':
+            mode = 'test'
+        if mode not in ('test', 'validate', 'train'):
+            raise ValueError('mode must be one of test, validate or train')
+        filename_list = self.all_files()
+        if not isinstance(filename_list, list):
+            raise TypeError('Filename_list is a %s, not a list.' %
+                            type(filename_list))
+        if mode == 'train' and self.train_file_pattern.startswith('allbut'):
+            if not (self.test_file_pattern and self.validate_file_pattern):
+                raise ValueError('Both test and validate must be specified '
+                                 'if using allbut pattern')
+            test_re = re.compile(self.test_file_pattern)
+            validate_re = re.compile(self.validate_file_pattern)
+            selected = [f for f in filename_list
+                        if not (test_re.search(f) or validate_re.search(f))]
+            suffix = self.train_file_pattern[len('allbut'):]
+            if suffix.startswith('_'):
+                if not suffix[1:].isdigit():
+                    raise ValueError('allbut_ spec must be an integer, '
+                                     'not %s.' % suffix[1:])
+                count = int(suffix[1:])
+                if count < len(selected):
+                    selected = selected[:count]
+            return selected
+        pattern = {'test': self.test_file_pattern,
+                   'validate': self.validate_file_pattern,
+                   'train': self.train_file_pattern}[mode]
+        pattern_re = re.compile(pattern)
+        return [f for f in filename_list if pattern_re.search(f)]
+
+    # -- raw per-file arrays -----------------------------------------------
+
+    def file_arrays(self, filename: str) -> Tuple[np.ndarray, np.ndarray,
+                                                  np.ndarray, np.ndarray]:
+        """Decodes one file into raw (in1, in2, out, attended) arrays."""
+        raise NotImplementedError
+
+    def _select_fields(self, data: Dict[str, np.ndarray]
+                       ) -> Tuple[np.ndarray, np.ndarray,
+                                  np.ndarray, np.ndarray]:
+        """Assembles (in1, in2, out, attended) from a field dict."""
+        missing = set(self.in1_fields) - set(data.keys())
+        if missing:
+            raise ValueError('Could not find all desired features (%s) in '
+                             'data (%s)' % (self.in1_fields,
+                                            list(data.keys())))
+        in1 = np.concatenate([np.atleast_2d(data[k].astype(np.float32))
+                              for k in self.in1_fields], axis=1)
+        if self.out_field == 'ones':
+            out = np.ones((in1.shape[0], 1), np.float32)
+        else:
+            if self.out_field not in data:
+                raise ValueError('Could not find output_field **%s** in %s' %
+                                 (self.out_field, list(data.keys())))
+            out = data[self.out_field].astype(np.float32)
+        if self.in2_fields:
+            for k in self.in2_fields:
+                if k not in data:
+                    raise ValueError('Could not find %s in features %s' %
+                                     (k, list(data.keys())))
+            in2 = np.concatenate([np.atleast_2d(data[k].astype(np.float32))
+                                  for k in self.in2_fields], axis=1)
+        else:
+            in2 = in1[:, :1]  # Dummy, same as reference brain_data.py:818.
+        if self.attended_field and self.attended_field in data:
+            attended = data[self.attended_field].astype(np.float32)
+        else:
+            attended = np.zeros((in1.shape[0], 1), np.float32)
+        return in1, in2, out, attended
+
+    # -- temporal context ---------------------------------------------------
+
+    def _add_context(self, in1, in2, out, attended):
+        """Applies input_offset + per-stream lag windows to one file."""
+        offset = self.input_offset
+        if offset > 0:
+            in1 = in1[offset:]
+        elif offset < 0:
+            in2 = in2[-offset:]
+            out = out[-offset:]
+        in1 = lag_stack_np(in1, self.in1_pre_context, self.in1_post_context)
+        in2 = lag_stack_np(in2, self.in2_pre_context, self.in2_post_context)
+        # zip-truncate to the shortest stream (reference windowing zips
+        # the four streams, brain_data.py:478-483).
+        n = min(in1.shape[0], in2.shape[0], out.shape[0], attended.shape[0])
+        return in1[:n], in2[:n], out[:n], attended[:n]
+
+    def load_arrays(self, mode: str, temporal_context: bool = True
+                    ) -> Tuple[np.ndarray, np.ndarray,
+                               np.ndarray, np.ndarray]:
+        """Loads this mode's files into concatenated context-stacked arrays.
+
+        Context is applied per file so windows never span files. This is
+        the TPU-first entry point: the result feeds device solvers in one
+        transfer.
+        """
+        filename_list = self.filter_file_names(mode)
+        if not filename_list:
+            raise ValueError('No files to process in mode %s from directory '
+                             '%s: %s' % (mode, self.data_dir,
+                                         self.all_files()))
+        parts = []
+        for filename in filename_list:
+            streams = self.file_arrays(filename)
+            if temporal_context and self._needs_context():
+                streams = self._add_context(*streams)
+            parts.append(streams)
+        return tuple(np.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(4))
+
+    def _needs_context(self) -> bool:
+        return bool(self.in1_pre_context or self.in1_post_context or
+                    self.in2_pre_context or self.in2_post_context or
+                    self.input_offset)
+
+    # -- batching / dataset iterator ----------------------------------------
+
+    def create_dataset(self, mode: str = 'train',
+                       temporal_context: bool = True,
+                       mixup_batch: bool = False,
+                       mismatch_batch: bool = False
+                       ) -> 'BrainDataset':
+        """Returns an iterable of ({'input_1', 'input_2',
+        'attended_speaker'}, output) minibatches."""
+        in1, in2, out, attended = self.load_arrays(mode, temporal_context)
+        return BrainDataset(in1, in2, out, attended,
+                            batch_size=self.final_batch_size,
+                            mode=mode,
+                            repeat_count=self.repeat_count,
+                            shuffle=self.shuffle_buffer_size > 0,
+                            mixup_batch=mixup_batch,
+                            mismatch_batch=mismatch_batch,
+                            rng=self._rng)
+
+    # -- widths --------------------------------------------------------------
+
+    def input_fields_width(self, input_number: int = 1) -> int:
+        if input_number not in (1, 2):
+            raise ValueError('Only 1st or 2nd input is supported here.')
+        fields = self.in1_fields if input_number == 1 else self.in2_fields
+        if fields:
+            for k in fields:
+                if k not in self.features:
+                    raise TypeError('Can\'t find **%s** in valid features: '
+                                    '%s' % (k, list(self.features.keys())))
+            widths = [self.features[k].shape[0] for k in fields]
+        else:
+            widths = [1]
+        if input_number == 1:
+            ctx = self.in1_pre_context + 1 + self.in1_post_context
+        else:
+            ctx = self.in2_pre_context + 1 + self.in2_post_context
+        return sum(widths) * ctx
+
+    def output_field_width(self) -> int:
+        if self.out_field == 'ones':
+            return 1
+        if self.out_field not in self.features:
+            raise ValueError('Could not find output_field **%s** in %s' %
+                             (self.out_field, list(self.features.keys())))
+        return self.features[self.out_field].shape[0]
+
+
+class BrainDataset:
+    """An iterable of minibatches over preassembled arrays.
+
+    Replaces the reference's tf.data.Dataset return type: iterating
+    yields ({'input_1', 'input_2', 'attended_speaker'}, output) numpy
+    minibatches with drop_remainder semantics. The full arrays remain
+    accessible (``all_arrays``) for one-shot device programs.
+    """
+
+    def __init__(self, in1, in2, out, attended, *, batch_size: int,
+                 mode: str, repeat_count: int = 1, shuffle: bool = True,
+                 mixup_batch: bool = False, mismatch_batch: bool = False,
+                 rng: Optional[np.random.RandomState] = None):
+        self._in1 = in1
+        self._in2 = in2
+        self._out = out
+        self._attended = attended
+        self._batch_size = batch_size
+        self._mode = mode
+        self._repeat_count = repeat_count if mode == 'train' else 1
+        self._shuffle = shuffle and mode != 'program_test'
+        self._mixup = mixup_batch
+        self._mismatch = mismatch_batch
+        self._rng = rng if rng is not None else np.random.RandomState(42)
+
+    @property
+    def num_frames(self) -> int:
+        return self._in1.shape[0]
+
+    def all_arrays(self):
+        return self._in1, self._in2, self._out, self._attended
+
+    @property
+    def element_spec(self):
+        return ({'input_1': self._in1.shape[1:],
+                 'input_2': self._in2.shape[1:],
+                 'attended_speaker': self._attended.shape[1:]},
+                self._out.shape[1:])
+
+    def __iter__(self) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray]]:
+        n = self.num_frames
+        b = self._batch_size
+        for _ in range(self._repeat_count):
+            order = (self._rng.permutation(n) if self._shuffle
+                     else np.arange(n))
+            for start in range(0, n - b + 1, b):
+                idx = order[start:start + b]
+                x = self._in1[idx]
+                x2 = self._in2[idx]
+                y = self._out[idx]
+                a = self._attended[idx]
+                if self._mismatch:
+                    x, x2, y, a = self._mismatch_transform(x, x2, y, a)
+                if self._mixup:
+                    x2 = x2[self._rng.permutation(b)]
+                    y = y[self._rng.permutation(b)]
+                yield ({'input_1': x, 'input_2': x2,
+                        'attended_speaker': a}, y)
+
+    def _mismatch_transform(self, x, x2, y, a):
+        """Match-mismatch batch transform (brain_data.py:45-77): even
+        rows keep their pairing (label 0), odd rows get shuffled input_2
+        (label 1); the two halves are concatenated."""
+        even_x2 = x2[0::2]
+        odd_x2 = x2[1::2][self._rng.permutation(x2[1::2].shape[0])]
+        new_x2 = np.concatenate([even_x2, odd_x2], axis=0)
+        new_y = np.concatenate([np.zeros((even_x2.shape[0], 1), np.float32),
+                                np.ones((odd_x2.shape[0], 1), np.float32)],
+                               axis=0)
+        new_x = np.concatenate([x[0::2], x[1::2]], axis=0)
+        new_a = np.concatenate([a[0::2], a[1::2]], axis=0)
+        return new_x, new_x2, new_y, new_a
+
+
+class TestBrainData(BrainData):
+    """In-memory dataset fixture (reference TestBrainData,
+    brain_data.py:550-642)."""
+
+    def preserve_test_data(self, input_data, output_data,
+                           input2_data=None, attention_data=None):
+        input_data = np.asarray(input_data, np.float32)
+        output_data = np.asarray(output_data, np.float32)
+        if input_data.shape[0] != output_data.shape[0]:
+            raise ValueError('input shape (%s) and output shape (%s) are '
+                             'not equal.' % (input_data.shape,
+                                             output_data.shape))
+        if input2_data is None:
+            input2_data = np.zeros((input_data.shape[0], 1), np.float32)
+        input2_data = np.asarray(input2_data, np.float32)
+        if input_data.shape[0] != input2_data.shape[0]:
+            raise ValueError('input shape (%s) and input2 shape (%s) are '
+                             'not equal.' % (input_data.shape,
+                                             input2_data.shape))
+        if attention_data is None:
+            attention_data = np.zeros((input_data.shape[0], 1), np.float32)
+        attention_data = np.asarray(attention_data, np.float32)
+        if input_data.shape[0] != attention_data.shape[0]:
+            raise ValueError('input shape (%s) and attention shape (%s) are '
+                             'not equal.' % (input_data.shape,
+                                             attention_data.shape))
+        self.saved_input_data = input_data
+        self.saved_input2_data = input2_data
+        self.saved_output_data = output_data
+        self.saved_attention_data = attention_data
+        self.features = {
+            'input_1': records.FeatureSpec(input_data.shape[1], np.float32),
+            'input_2': records.FeatureSpec(input2_data.shape[1], np.float32),
+            'output': records.FeatureSpec(output_data.shape[1], np.float32),
+            'attention': records.FeatureSpec(attention_data.shape[1],
+                                             np.float32),
+        }
+
+    def load_arrays(self, mode: str, temporal_context: bool = True):
+        if not hasattr(self, 'saved_input_data'):
+            raise ValueError('Must call preserve_test_data before '
+                             'create_dataset.')
+        streams = (self.saved_input_data, self.saved_input2_data,
+                   self.saved_output_data, self.saved_attention_data)
+        if temporal_context and self._needs_context():
+            streams = self._add_context(*streams)
+        return streams
+
+    def create_dataset(self, mode: str = 'train',
+                       temporal_context: bool = True,
+                       mixup_batch: bool = False,
+                       mismatch_batch: bool = False) -> BrainDataset:
+        in1, in2, out, attended = self.load_arrays(mode, temporal_context)
+        return BrainDataset(in1, in2, out, attended,
+                            batch_size=self.final_batch_size,
+                            mode=mode,
+                            repeat_count=self.repeat_count,
+                            shuffle=self.shuffle_buffer_size > 0,
+                            mixup_batch=mixup_batch,
+                            mismatch_batch=mismatch_batch,
+                            rng=self._rng)
+
+
+class TFExampleData(BrainData):
+    """TFRecord-file dataset (reference TFExampleData,
+    brain_data.py:645-927), decoded with the TF-free records module."""
+
+    _file_cache: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def _get_data_file_names(self):
+        if not self.data_dir:
+            raise ValueError('Missing data_dir in TFExampleData '
+                             'initialization. Must specify the source of '
+                             'the data (FLAGS.tfrecords).')
+        if not isinstance(self.data_dir, str):
+            raise TypeError('data_dir must be a string, not a %s (**%s**)' %
+                            (type(self.data_dir), self.data_dir))
+        names = []
+        for path, _, files in os.walk(self.data_dir):
+            names += [os.path.join(path, f) for f in files
+                      if (f.endswith('.tfrecords') and '-bad-' not in f and
+                          self.data_pattern in f)]
+        self._cached_file_names = sorted(names)
+        if not self._cached_file_names:
+            raise ValueError('Should not have an empty list of data files '
+                             'from %s.' % self.data_dir)
+        self.features = records.discover_feature_shapes(
+            self._cached_file_names[0])
+
+    def file_arrays(self, filename: str):
+        cached = TFExampleData._file_cache.get(filename)
+        if cached is None:
+            cached = records.read_tfrecords(filename)
+            if len(TFExampleData._file_cache) < 64:
+                TFExampleData._file_cache[filename] = cached
+        return self._select_fields(cached)
+
+
+def create_brain_dataset(data_type: str, in_fields, out_field: str,
+                         frame_rate: float, **kwargs) -> BrainData:
+    """Factory matching reference create_brain_dataset
+    (brain_data.py:959-1048)."""
+    if not isinstance(data_type, str):
+        raise TypeError('create_brain_dataset type must be a string.')
+    if frame_rate <= 0:
+        raise ValueError('frame_rate must be greater than 0.')
+    kwargs = {k: v for k, v in kwargs.items() if v is not None}
+    if data_type in ('tfrecord', 'tfrecords', 'tfexample'):
+        return TFExampleData(in_fields, out_field, frame_rate, **kwargs)
+    if data_type == 'test':
+        kwargs.pop('attended_field', None)
+        return TestBrainData(in_fields, out_field, frame_rate, **kwargs)
+    raise TypeError('create_brain_dataset unknown data type %s' % data_type)

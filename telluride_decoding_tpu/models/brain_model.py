@@ -1,0 +1,542 @@
+"""Brain models: linear regression, DNN, classifier — pure-pytree JAX.
+
+Capability parity with the reference model layer (brain_model.py:129-620)
+re-designed TPU-first:
+
+  * A model is a pytree of parameters plus a jitted ``apply`` function —
+    no Keras graph. ``fit``/``evaluate`` consume whole device arrays,
+    not per-minibatch host loops.
+  * Deterministic models (linear regression) fit with one streamed
+    covariance pass on the MXU + an on-device solve
+    (reference brain_model.py:361-377 runs the same math through numpy
+    one minibatch at a time).
+  * SGD models (DNN, classifier) train with optax; the whole epoch is a
+    ``lax.scan`` over PRNG-permuted minibatches, so training runs as one
+    XLA program per epoch.
+  * ``save``/``load`` write a directory with ``model.json`` (config +
+    telluride metadata) and ``weights.npz`` — replacing the reference's
+    SavedModel while keeping the embedded-metadata capability
+    (brain_model.py:255-280: telluride_metadata/_inputs/_output).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from telluride_decoding_tpu.data.brain_data import BrainDataset
+from telluride_decoding_tpu.ops import pearson
+from telluride_decoding_tpu.solvers import ridge
+
+
+def _dataset_arrays(dataset) -> Tuple[np.ndarray, np.ndarray,
+                                      np.ndarray, np.ndarray]:
+    """Extracts (in1, in2, out, attended) full arrays from a dataset.
+
+    Accepts a BrainDataset (fast path: preassembled arrays) or any
+    iterable of (input_dict, output) minibatches.
+    """
+    if isinstance(dataset, BrainDataset):
+        return dataset.all_arrays()
+    xs, x2s, ys, ats = [], [], [], []
+    for inputs, y in dataset:
+        xs.append(np.asarray(inputs['input_1']))
+        x2s.append(np.asarray(inputs['input_2']))
+        ats.append(np.asarray(inputs.get('attended_speaker',
+                                         np.zeros((len(y), 1)))))
+        ys.append(np.asarray(y))
+    if not xs:
+        raise ValueError('Dataset produced no batches.')
+    return (np.concatenate(xs), np.concatenate(x2s),
+            np.concatenate(ys), np.concatenate(ats))
+
+
+# Registry for load_model dispatch.
+_MODEL_REGISTRY: Dict[str, type] = {}
+
+
+def register_model(cls):
+    _MODEL_REGISTRY[cls.__name__] = cls
+    return cls
+
+
+class BrainModel:
+    """Base model: params pytree + apply fn + fit/evaluate/save.
+
+    API parity with the reference BrainModel Keras shim
+    (brain_model.py:129-301): dict-returning evaluate, metadata
+    embedding, tensorboard scalar hooks (via utils.summaries).
+    """
+
+    loss_name = 'mse'
+    metric_names: Sequence[str] = ('pearson_correlation_first',)
+
+    def __init__(self, tensorboard_dir: Optional[str] = None):
+        if tensorboard_dir:
+            self._tensorboard_dir = os.path.join(
+                tensorboard_dir,
+                datetime.datetime.now().strftime('%Y%m%d-%H%M%S'))
+        else:
+            self._tensorboard_dir = None
+        self.params: Any = None
+        self.telluride_metadata: Optional[str] = None
+        self.telluride_inputs: Optional[str] = None
+        self.telluride_output: Optional[str] = None
+        self._compiled = {}
+
+    # -- to be provided by subclasses ---------------------------------------
+
+    def apply(self, params, input_dict: Dict[str, jax.Array]) -> jax.Array:
+        raise NotImplementedError
+
+    def fit(self, dataset, epochs: int = 1, **kwargs) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def config(self) -> Dict[str, Any]:
+        """JSON-serializable constructor config for save/load."""
+        raise NotImplementedError
+
+    # -- common API ----------------------------------------------------------
+
+    @property
+    def tensorboard_dir(self):
+        return self._tensorboard_dir
+
+    def compile(self, learning_rate: float = 1e-3, **kwargs):
+        """Records training hyperparameters (kept for API parity)."""
+        self._compiled = dict(learning_rate=learning_rate, **kwargs)
+
+    def __call__(self, input_dict: Dict[str, Any]) -> np.ndarray:
+        if self.params is None:
+            raise ValueError('Model must be fit or loaded before calling.')
+        inputs = {k: jnp.asarray(v) for k, v in input_dict.items()
+                  if k in ('input_1', 'input_2')}
+        return np.asarray(self._jitted_apply()(self.params, inputs))
+
+    def _jitted_apply(self):
+        if not hasattr(self, '_apply_jit'):
+            self._apply_jit = jax.jit(self.apply)
+        return self._apply_jit
+
+    def predict(self, dataset) -> np.ndarray:
+        in1, in2, _, _ = _dataset_arrays(dataset)
+        return np.asarray(self._jitted_apply()(
+            self.params, {'input_1': jnp.asarray(in1),
+                          'input_2': jnp.asarray(in2)}))
+
+    # -- metrics -------------------------------------------------------------
+
+    def _metric(self, name: str, y_true: jax.Array,
+                y_pred: jax.Array) -> jax.Array:
+        if name == 'mse' or name == 'loss_mse':
+            return jnp.mean(jnp.square(y_true - y_pred))
+        if name == 'pearson_correlation_first':
+            return pearson.pearson_correlation_first(y_true, y_pred)
+        if name == 'pearson_correlation_second':
+            return pearson.pearson_correlation_second(y_true, y_pred)
+        if name == 'pearson_correlation':
+            return jnp.mean(pearson.pearson_correlation(y_true, y_pred))
+        if name == 'cca_pearson_correlation_first':
+            half = y_pred.shape[-1] // 2
+            return pearson.pearson_correlation_first(
+                y_pred[:, :half], y_pred[:, half:])
+        if name == 'cca_pearson_correlation_second':
+            half = y_pred.shape[-1] // 2
+            return pearson.pearson_correlation_second(
+                y_pred[:, :half], y_pred[:, half:])
+        if name == 'accuracy':
+            return jnp.mean((y_pred > 0.5).astype(jnp.float32) == y_true)
+        if name == 'binary_crossentropy':
+            eps = 1e-7
+            p = jnp.clip(y_pred, eps, 1 - eps)
+            return -jnp.mean(y_true * jnp.log(p) +
+                             (1 - y_true) * jnp.log(1 - p))
+        raise ValueError('Unknown metric %s' % name)
+
+    def evaluate(self, dataset, epoch_count: int = 1,
+                 **kwargs) -> Dict[str, float]:
+        """Evaluates loss + metrics over the whole dataset in one program.
+
+        Returns a dict (the reference reformats Keras' list the same way,
+        brain_model.py:206-253).
+        """
+        in1, in2, out, _ = _dataset_arrays(dataset)
+        inputs = {'input_1': jnp.asarray(in1), 'input_2': jnp.asarray(in2)}
+        y_true = jnp.asarray(out)
+
+        def program(params, inputs, y_true):
+            y_pred = self.apply(params, inputs)
+            results = {'loss': self._metric(self.loss_name, y_true, y_pred)}
+            for name in self.metric_names:
+                results[name] = self._metric(name, y_true, y_pred)
+            return results
+
+        results = jax.jit(program)(self.params, inputs, y_true)
+        metrics = {k: float(v) for k, v in results.items()}
+        if self._tensorboard_dir:
+            from telluride_decoding_tpu.utils import summaries
+            writer = summaries.SummaryWriter(
+                os.path.join(self._tensorboard_dir, 'results'))
+            for name, val in metrics.items():
+                writer.scalar(name, val, step=epoch_count)
+        return metrics
+
+    # -- metadata ------------------------------------------------------------
+
+    def add_metadata(self, flags, dataset=None):
+        """Stores experiment flags + I/O shapes with the model
+        (reference brain_model.py:255-280)."""
+        self.telluride_metadata = json.dumps(flags)
+        if dataset is None:
+            return
+        if isinstance(dataset, BrainDataset):
+            spec_in, spec_out = dataset.element_spec
+            inputs = {'input_1': [None, spec_in['input_1'][0]],
+                      'input_2': [None, spec_in['input_2'][0]],
+                      'attended_speaker':
+                          [None, spec_in['attended_speaker'][0]]}
+            output = [None, spec_out[0]]
+        else:
+            for input_dict, y in dataset:
+                inputs = {k: [None, int(np.asarray(v).shape[-1])]
+                          for k, v in input_dict.items()}
+                output = [None, int(np.asarray(y).shape[-1])]
+                break
+        self.telluride_inputs = json.dumps(inputs)
+        self.telluride_output = json.dumps(output)
+
+    def add_tensorboard_summary(self, name, data, subdir='train', step=0):
+        if not isinstance(name, str):
+            raise TypeError('Tensorboard name must be a string, not a %s.' %
+                            type(name))
+        if not isinstance(subdir, str):
+            raise TypeError('Tensorboard subdir must be a string, not a %s.'
+                            % type(subdir))
+        if self._tensorboard_dir:
+            from telluride_decoding_tpu.utils import summaries
+            writer = summaries.SummaryWriter(
+                os.path.join(self._tensorboard_dir, subdir))
+            writer.text(name, str(data), step=step)
+
+    def summary(self):
+        lines = ['Model: %s' % type(self).__name__]
+        total = 0
+        if self.params is not None:
+            for path, leaf in jax.tree_util.tree_leaves_with_path(
+                    self.params):
+                name = '/'.join(str(p) for p in path)
+                lines.append('  %s: %s' % (name, tuple(leaf.shape)))
+                total += int(np.prod(leaf.shape))
+        lines.append('Total params: %d' % total)
+        text = '\n'.join(lines)
+        print(text)
+        return text
+
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, model_dir: str):
+        """Saves config + metadata (model.json) and weights (weights.npz)."""
+        os.makedirs(model_dir, exist_ok=True)
+        flat = {}
+        if self.params is not None:
+            leaves = jax.tree_util.tree_leaves_with_path(self.params)
+            for path, leaf in leaves:
+                key = '/'.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
+                               for p in path)
+                flat[key] = np.asarray(leaf)
+        np.savez(os.path.join(model_dir, 'weights.npz'), **flat)
+        meta = {
+            'model_class': type(self).__name__,
+            'config': self.config(),
+            'telluride_metadata': self.telluride_metadata,
+            'telluride_inputs': self.telluride_inputs,
+            'telluride_output': self.telluride_output,
+        }
+        with open(os.path.join(model_dir, 'model.json'), 'w') as f:
+            json.dump(meta, f, indent=2)
+
+    def _restore_params(self, flat: Dict[str, np.ndarray]):
+        """Rebuilds the params pytree from the flattened npz dict."""
+        if not flat:
+            self.params = None
+            return
+        template = self._params_template()
+        leaves_with_path = jax.tree_util.tree_leaves_with_path(template)
+        treedef = jax.tree_util.tree_structure(template)
+        new_leaves = []
+        for path, _ in leaves_with_path:
+            key = '/'.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
+                           for p in path)
+            new_leaves.append(jnp.asarray(flat[key]))
+        self.params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    def _params_template(self):
+        raise NotImplementedError
+
+
+def load_model(model_dir: str) -> BrainModel:
+    """Loads any saved BrainModel subclass from a directory."""
+    with open(os.path.join(model_dir, 'model.json')) as f:
+        meta = json.load(f)
+    cls = _MODEL_REGISTRY[meta['model_class']]
+    model = cls._from_config(meta['config'])
+    model.telluride_metadata = meta.get('telluride_metadata')
+    model.telluride_inputs = meta.get('telluride_inputs')
+    model.telluride_output = meta.get('telluride_output')
+    with np.load(os.path.join(model_dir, 'weights.npz')) as npz:
+        flat = {k: npz[k] for k in npz.files}
+    model._restore_params(flat)
+    return model
+
+
+@register_model
+class BrainModelLinearRegression(BrainModel):
+    """Linear (ridge/shrinkage) regression with a deterministic fit.
+
+    Parity with reference BrainModelLinearRegression
+    (brain_model.py:306-381). ``fit`` streams moments on the MXU and
+    solves on device; no SGD.
+    """
+
+    loss_name = 'mse'
+    metric_names = ('pearson_correlation_first',)
+
+    def __init__(self, input_dataset=None, regularization_lambda: float = 0.0,
+                 tensorboard_dir: Optional[str] = None,
+                 input_width: Optional[int] = None,
+                 output_width: Optional[int] = None):
+        super().__init__(tensorboard_dir)
+        if input_dataset is not None:
+            spec_in, spec_out = input_dataset.element_spec
+            input_width = spec_in['input_1'][-1]
+            output_width = spec_out[-1]
+        self._input_width = input_width
+        self._output_width = output_width
+        self._regularization_lambda = regularization_lambda
+
+    def config(self):
+        return {'regularization_lambda': self._regularization_lambda,
+                'input_width': self._input_width,
+                'output_width': self._output_width}
+
+    @classmethod
+    def _from_config(cls, config):
+        return cls(**config)
+
+    def _params_template(self):
+        return {'w': jnp.zeros((self._input_width, self._output_width)),
+                'b': jnp.zeros((self._output_width,))}
+
+    def apply(self, params, input_dict):
+        return (jnp.dot(input_dict['input_1'], params['w'],
+                        preferred_element_type=jnp.float32) + params['b'])
+
+    def fit(self, dataset, epochs: int = 1, **kwargs) -> Dict[str, Any]:
+        del epochs  # Deterministic: one pass.
+        in1, _, out, _ = _dataset_arrays(dataset)
+        solution = ridge.calculate_linear_regressor_parameters(
+            in1, out, lamb=self._regularization_lambda)
+        self.params = {'w': solution.w, 'b': solution.b}
+        self.w_estimate = np.asarray(solution.w)
+        self.b_estimate = np.asarray(solution.b)
+        return {}
+
+    @property
+    def weight_matrices(self) -> List[np.ndarray]:
+        return [np.asarray(self.params['w']), np.asarray(self.params['b'])]
+
+
+def _init_mlp(key, widths: Sequence[int]) -> List[Dict[str, jax.Array]]:
+    """He-initialized dense stack parameters."""
+    layers = []
+    for i in range(len(widths) - 1):
+        key, sub = jax.random.split(key)
+        fan_in = widths[i]
+        w = jax.random.normal(sub, (widths[i], widths[i + 1]),
+                              jnp.float32) * jnp.sqrt(2.0 / fan_in)
+        layers.append({'w': w, 'b': jnp.zeros((widths[i + 1],))})
+    return layers
+
+
+def _apply_mlp(layers, x, final_activation=None):
+    for i, layer in enumerate(layers):
+        x = jnp.dot(x, layer['w'], preferred_element_type=jnp.float32)
+        x = x + layer['b']
+        if i < len(layers) - 1:
+            x = jax.nn.relu(x)
+        elif final_activation is not None:
+            x = final_activation(x)
+    return x
+
+
+class _SgdModel(BrainModel):
+    """Shared optax training loop: one lax.scan per epoch over shuffled
+    minibatches (the whole epoch compiles to a single XLA program)."""
+
+    def _loss_fn(self, params, inputs, y_true):
+        raise NotImplementedError
+
+    def fit(self, dataset, epochs: int = 1, batch_size: int = 512,
+            seed: int = 0, **kwargs) -> Dict[str, Any]:
+        in1, in2, out, _ = _dataset_arrays(dataset)
+        n = in1.shape[0]
+        batch_size = min(batch_size, n)
+        num_batches = max(n // batch_size, 1)
+        lr = self._compiled.get('learning_rate', 1e-3)
+        opt = optax.adam(lr)
+        if self.params is None:
+            self.params = self._init_params(jax.random.PRNGKey(seed))
+        opt_state = opt.init(self.params)
+        x1 = jnp.asarray(in1)
+        x2 = jnp.asarray(in2)
+        y = jnp.asarray(out)
+
+        def epoch_step(carry, key):
+            params, opt_state = carry
+            perm = jax.random.permutation(key, n)[:num_batches * batch_size]
+            perm = perm.reshape(num_batches, batch_size)
+
+            def batch_step(carry, idx):
+                params, opt_state = carry
+                bi = {'input_1': x1[idx], 'input_2': x2[idx]}
+                loss, grads = jax.value_and_grad(self._loss_fn)(
+                    params, bi, y[idx])
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                batch_step, (params, opt_state), perm)
+            return (params, opt_state), jnp.mean(losses)
+
+        keys = jax.random.split(jax.random.PRNGKey(seed + 1), epochs)
+        (self.params, _), losses = jax.jit(
+            lambda c, k: jax.lax.scan(epoch_step, c, k))(
+                (self.params, opt_state), keys)
+        history = {'loss': [float(l) for l in np.asarray(losses)]}
+        return history
+
+
+@register_model
+class BrainModelDNN(_SgdModel):
+    """MLP regressor (reference BrainModelDNN, brain_model.py:486-549)."""
+
+    loss_name = 'mse'
+    metric_names = ('pearson_correlation_first', 'mse')
+
+    def __init__(self, input_dataset=None, num_hidden_list=None,
+                 tensorboard_dir=None, input_width=None, output_width=None):
+        super().__init__(tensorboard_dir)
+        if num_hidden_list is None:
+            num_hidden_list = []
+        if not isinstance(num_hidden_list, list):
+            raise TypeError('Num_hidden_list must be an list, not a %s.' %
+                            type(num_hidden_list))
+        if input_dataset is not None:
+            spec_in, spec_out = input_dataset.element_spec
+            input_width = spec_in['input_1'][-1]
+            output_width = spec_out[-1]
+        self._input_width = input_width
+        self._output_width = output_width
+        self.num_hidden_list = num_hidden_list
+
+    def config(self):
+        return {'num_hidden_list': self.num_hidden_list,
+                'input_width': self._input_width,
+                'output_width': self._output_width}
+
+    @classmethod
+    def _from_config(cls, config):
+        return cls(**config)
+
+    def _widths(self):
+        return ([self._input_width] + list(self.num_hidden_list) +
+                [self._output_width])
+
+    def _init_params(self, key):
+        return _init_mlp(key, self._widths())
+
+    def _params_template(self):
+        widths = self._widths()
+        return [{'w': jnp.zeros((widths[i], widths[i + 1])),
+                 'b': jnp.zeros((widths[i + 1],))}
+                for i in range(len(widths) - 1)]
+
+    def apply(self, params, input_dict):
+        return _apply_mlp(params, input_dict['input_1'])
+
+    def _loss_fn(self, params, inputs, y_true):
+        if self._compiled.get('loss') == 'pearson':
+            y_pred = self.apply(params, inputs)
+            return jnp.sum(pearson.pearson_loss(y_true, y_pred))
+        return jnp.mean(jnp.square(self.apply(params, inputs) - y_true))
+
+
+@register_model
+class BrainModelClassifier(_SgdModel):
+    """Match-mismatch classifier on concat(input_1, input_2)
+    (reference BrainModelClassifier, brain_model.py:554-620)."""
+
+    loss_name = 'binary_crossentropy'
+    metric_names = ('accuracy',)
+
+    def __init__(self, input_dataset=None, num_hidden_list=None,
+                 tensorboard_dir=None, input_width=None, input2_width=None,
+                 output_width=None):
+        super().__init__(tensorboard_dir)
+        if num_hidden_list is None:
+            num_hidden_list = []
+        if isinstance(num_hidden_list, str):
+            num_hidden_list = ([int(x) for x in num_hidden_list.split('-')]
+                               if num_hidden_list else [])
+        if input_dataset is not None:
+            spec_in, spec_out = input_dataset.element_spec
+            input_width = spec_in['input_1'][-1]
+            input2_width = spec_in['input_2'][-1]
+            output_width = spec_out[-1]
+        self._input_width = input_width
+        self._input2_width = input2_width
+        self._output_width = output_width
+        self.num_hidden_list = num_hidden_list
+
+    def config(self):
+        return {'num_hidden_list': self.num_hidden_list,
+                'input_width': self._input_width,
+                'input2_width': self._input2_width,
+                'output_width': self._output_width}
+
+    @classmethod
+    def _from_config(cls, config):
+        return cls(**config)
+
+    def _widths(self):
+        return ([self._input_width + self._input2_width] +
+                list(self.num_hidden_list) + [self._output_width])
+
+    def _init_params(self, key):
+        return _init_mlp(key, self._widths())
+
+    def _params_template(self):
+        widths = self._widths()
+        return [{'w': jnp.zeros((widths[i], widths[i + 1])),
+                 'b': jnp.zeros((widths[i + 1],))}
+                for i in range(len(widths) - 1)]
+
+    def apply(self, params, input_dict):
+        x = jnp.concatenate([input_dict['input_1'], input_dict['input_2']],
+                            axis=1)
+        return _apply_mlp(x=x, layers=params,
+                          final_activation=jax.nn.sigmoid)
+
+    def _loss_fn(self, params, inputs, y_true):
+        y_pred = self.apply(params, inputs)
+        eps = 1e-7
+        p = jnp.clip(y_pred, eps, 1 - eps)
+        return -jnp.mean(y_true * jnp.log(p) + (1 - y_true) * jnp.log(1 - p))

@@ -1,0 +1,87 @@
+"""Pearson correlation primitives as fused XLA reductions.
+
+Capability parity with the reference metrics
+(telluride_decoding/brain_model.py:34-126 and utils.py:27-59), re-designed
+as pure jax functions: one fused pass over the data, no python control
+flow, safe for jit/vmap/grad.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 0.0  # The reference zeroes the result if total power is <= 0.
+
+
+def pearson_correlation(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Column-wise Pearson correlation between two [N, D] arrays.
+
+    Returns a length-D vector of per-column correlations. If either
+    side has zero total power (in the product over columns, matching the
+    reference's guard in brain_model.py:75-79) the result is all zeros.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if x.ndim == 1:
+        x = x[:, None]
+    if y.ndim == 1:
+        y = y[:, None]
+    x_m = x - jnp.mean(x, axis=0)
+    y_m = y - jnp.mean(y, axis=0)
+    x_p = jnp.sum(jnp.square(x_m), axis=0)
+    y_p = jnp.sum(jnp.square(y_m), axis=0)
+    denom = jnp.sqrt(x_p) * jnp.sqrt(y_p)
+    corr = jnp.sum(x_m * y_m, axis=0) / jnp.where(denom <= _EPS, 1.0, denom)
+    zero_cond = jnp.logical_or(jnp.prod(x_p) <= 0, jnp.prod(y_p) <= 0)
+    return jnp.where(zero_cond, jnp.zeros_like(corr), corr)
+
+
+def pearson_correlation_first(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Correlation of the first output dimension (reference metric)."""
+    return pearson_correlation(x, y)[0]
+
+
+def pearson_correlation_second(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Correlation of the second output dimension (reference metric)."""
+    return pearson_correlation(x, y)[1]
+
+
+def pearson_loss(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Per-frame negative-correlation contributions (a trainable loss).
+
+    Mirrors the reference PearsonCorrelationLoss (brain_model.py:94-126):
+    returns a vector of per-frame *negative* correlation contributions;
+    summing it over the batch gives minus the total batch correlation.
+    Differentiable; usable directly with optax.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    x_m = x - jnp.mean(x, axis=0)
+    y_m = y - jnp.mean(y, axis=0)
+    x_p = jnp.sum(jnp.square(x_m), axis=0)
+    y_p = jnp.sum(jnp.square(y_m), axis=0)
+    power = jnp.sqrt(x_p * y_p)
+    return -jnp.sum((x_m * y_m) / power, axis=-1)
+
+
+def correlation_matrix(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Full cross-correlation matrix of the columns of [x | y].
+
+    Equivalent of the reference pearson_correlation_graph (utils.py:27-59):
+    concatenates x and y column-wise and returns the (Dx+Dy)^2 correlation
+    matrix, computed as one MXU matmul of the standardized data.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    if y.ndim == 1:
+        y = y[:, None]
+    xy = jnp.concatenate([x, y], axis=1)
+    n = xy.shape[0]
+    xy_m = xy - jnp.mean(xy, axis=0, keepdims=True)
+    cov = jnp.dot(xy_m.T, xy_m / (n - 1.0),
+                  preferred_element_type=jnp.float32)
+    inv_std = jax.lax.rsqrt(jnp.diagonal(cov))
+    return cov * inv_std[:, None] * inv_std[None, :]

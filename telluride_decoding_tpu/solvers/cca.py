@@ -1,0 +1,135 @@
+"""Canonical correlation analysis on device.
+
+Capability parity with the reference CCA solver
+calculate_cca_parameters_from_dataset (cca.py:272-369) and the
+differentiable deep-CCA objective cca_loss (cca.py:372-443), re-designed
+for TPUs:
+
+  * covariances come from one streamed MXU pass (ops.covariance);
+  * whitening uses jnp.linalg.eigh on the symmetrized SPD covariances
+    (the reference uses unsymmetric np.linalg.eig, which can return
+    complex vectors; eigh is the numerically correct choice for SPD
+    matrices and keeps everything real on device);
+  * small-eigenvalue dimensions are suppressed by zeroing 1/sqrt(e)
+    instead of dynamically dropping columns, which is algebraically
+    identical in the whitening product and keeps shapes static for jit;
+  * cca_loss is a pure differentiable jax function, usable as an optax
+    loss for DCCA towers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from telluride_decoding_tpu.ops.covariance import (
+    MomentStats,
+    blocked_moments,
+    moments_from_arrays,
+)
+
+
+class CcaSolution(NamedTuple):
+    rot_x: jax.Array   # [Dx, dim]
+    rot_y: jax.Array   # [Dy, dim]
+    mean_x: jax.Array  # [1, Dx]
+    mean_y: jax.Array  # [1, Dy]
+    eigenvalues: jax.Array  # [dim] canonical correlations
+
+
+def _inv_sqrt_psd(cov: jax.Array, eps_eig: float) -> jax.Array:
+    """Returns cov^{-1/2} for an SPD matrix, zeroing tiny eigen-dims."""
+    cov = 0.5 * (cov + cov.T)
+    vals, vecs = jnp.linalg.eigh(cov)
+    inv_sqrt = jnp.where(vals > eps_eig, jax.lax.rsqrt(jnp.maximum(vals,
+                                                                   eps_eig)),
+                         0.0)
+    return (vecs * inv_sqrt[None, :]) @ vecs.T
+
+
+def solve_cca_from_moments(stats: MomentStats, dim: int,
+                           regularization: float = 0.1,
+                           eps_eig: float = 1e-12) -> CcaSolution:
+    """CCA rotations from sufficient statistics (jit/vmap friendly).
+
+    Normalization follows the reference (cca.py:337-343): covariances are
+    divided by (N - 1) after removing the means, then regularized by
+    ``regularization * I``.
+    """
+    n = stats.count
+    mean_x = stats.sum_x / n
+    mean_y = stats.sum_y / n
+    denom = n - 1.0
+    cov_xx = stats.sxx / denom - jnp.outer(mean_x, mean_x)
+    cov_yy = stats.syy / denom - jnp.outer(mean_y, mean_y)
+    cov_xy = stats.sxy / denom - jnp.outer(mean_x, mean_y)
+    cov_xx = cov_xx + regularization * jnp.eye(cov_xx.shape[0],
+                                               dtype=cov_xx.dtype)
+    cov_yy = cov_yy + regularization * jnp.eye(cov_yy.shape[0],
+                                               dtype=cov_yy.dtype)
+
+    k11 = _inv_sqrt_psd(cov_xx, eps_eig)
+    k22 = _inv_sqrt_psd(cov_yy, eps_eig)
+    t = k11 @ cov_xy @ k22
+    u, e, vt = jnp.linalg.svd(t, full_matrices=False)
+    v = vt.T
+    rot_x = k11 @ u[:, :dim]
+    rot_y = k22 @ v[:, :dim]
+    return CcaSolution(rot_x=rot_x, rot_y=rot_y,
+                       mean_x=mean_x[None, :], mean_y=mean_y[None, :],
+                       eigenvalues=e[:dim])
+
+
+def calculate_cca_parameters(x, y, dim: int, regularization: float = 0.1,
+                             eps_eig: float = 1e-12,
+                             block: int = 8192) -> CcaSolution:
+    """End-to-end CCA fit for in-memory [N, Dx] / [N, Dy] arrays.
+
+    Note the mean normalization quirk of the reference (cca.py:337-339):
+    means are sums over *all* frames divided by total_frames, while
+    covariance sums are divided by N-1; both reproduced here.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    if x.shape[0] > block:
+        stats = blocked_moments(x, y, block=block, want_syy=True)
+    else:
+        stats = moments_from_arrays(x, y, want_syy=True)
+    return solve_cca_from_moments(stats, dim, regularization, eps_eig)
+
+
+def apply_cca(solution: CcaSolution, x: jax.Array,
+              y: jax.Array) -> jax.Array:
+    """Rotates two inputs and concatenates, like BrainCcaLayer.call
+    (cca.py:150-161)."""
+    rx = (x - solution.mean_x) @ solution.rot_x
+    ry = (y - solution.mean_y) @ solution.rot_y
+    return jnp.concatenate([rx, ry], axis=1)
+
+
+def cca_loss(x: jax.Array, y: jax.Array, dim: int,
+             rcov1: float, rcov2: float,
+             eps_eig: float = 1e-12) -> jax.Array:
+    """Differentiable estimate of the number of shared CCA dimensions.
+
+    Port of the Deep-CCA objective (reference cca.py:372-443, after
+    Andrew et al. 2013): returns the sum of the top-``dim`` canonical
+    correlations of the batch; negate it for a minimizable loss.
+    """
+    x = x - jnp.mean(x, axis=0, keepdims=True)
+    y = y - jnp.mean(y, axis=0, keepdims=True)
+    batch_norm = x.shape[0] - 1.0
+    cov_xx = (x.T @ x) / batch_norm + rcov1 * jnp.eye(x.shape[1],
+                                                      dtype=x.dtype)
+    cov_yy = (y.T @ y) / batch_norm + rcov2 * jnp.eye(y.shape[1],
+                                                      dtype=y.dtype)
+    cov_xy = (x.T @ y) / batch_norm
+    k11 = _inv_sqrt_psd(cov_xx, eps_eig)
+    k22 = _inv_sqrt_psd(cov_yy, eps_eig)
+    t = k11 @ cov_xy @ k22
+    # Eigenvalues of T T^T are the squared canonical correlations; eigh
+    # returns ascending order, so the last `dim` are the top ones.
+    vals = jnp.linalg.eigh(t @ t.T)[0]
+    return jnp.sum(jnp.sqrt(jnp.maximum(0.0, vals[-dim:])))
