@@ -187,6 +187,14 @@ class ScaledLinearDiscriminantAnalysis(LinearDiscriminantAnalysis):
         self._intercept = 0.0
 
     @property
+    def slope(self) -> float:
+        return self._slope
+
+    @property
+    def intercept(self) -> float:
+        return self._intercept
+
+    @property
     def model_parameters(self) -> LdaParams:
         base = super().model_parameters
         return base._replace(slope=self._slope, intercept=self._intercept)

@@ -1,0 +1,209 @@
+"""End-to-end decoding-experiment tests with a TRF simulator.
+
+Mirrors the reference's simulation-based integration suite
+(test/decoding_test.py:62-242): synthetic EEG = speech convolved with
+random per-channel impulse responses shaped by 30t*exp(-30t) plus a
+weak unattended speaker and noise; a linear decoder trained on the
+experiment driver must recover correlation > 0.97, and the full
+run_decoding_experiment flow must produce results.txt, a saved model,
+and a decoder_model.json.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from telluride_decoding_tpu.cli import decoding
+from telluride_decoding_tpu.data import records
+
+
+FRAME_RATE = 100.0
+NUM_CHANNELS = 8
+IR_FRAMES = 25  # 0.25 s impulse responses.
+
+
+def _impulse_responses(seed=0):
+    """One fixed TRF set shared by all trials (a subject's responses)."""
+    t = np.arange(IR_FRAMES) / FRAME_RATE
+    envelope_shape = 30 * t * np.exp(-30 * t)
+    return (np.random.RandomState(seed).randn(NUM_CHANNELS, IR_FRAMES) *
+            envelope_shape[None, :]).astype(np.float32)
+
+
+def simulate_trf(rng, num_frames=6000, noise=0.0, unattended_gain=0.1):
+    """Synthetic EEG from two speech envelopes through the subject TRFs."""
+    irs = _impulse_responses()
+
+    def speech(n):
+        # Resampled noise: a smooth positive "intensity" signal.
+        raw = np.abs(rng.randn(n // 10 + 2))
+        idx = np.linspace(0, raw.shape[0] - 1.001, n)
+        low = idx.astype(int)
+        frac = idx - low
+        return ((1 - frac) * raw[low] + frac * raw[low + 1]).astype(
+            np.float32)
+
+    attended = speech(num_frames)
+    unattended = speech(num_frames)
+    eeg = np.stack(
+        [np.convolve(attended, irs[c], mode='full')[:num_frames] +
+         unattended_gain *
+         np.convolve(unattended, irs[NUM_CHANNELS - 1 - c],
+                     mode='full')[:num_frames]
+         for c in range(NUM_CHANNELS)], axis=1).astype(np.float32)
+    if noise:
+        eeg += noise * rng.randn(*eeg.shape).astype(np.float32)
+    return eeg, attended[:, None], unattended[:, None]
+
+
+@pytest.fixture
+def trf_records_dir(tmp_path, rng):
+    """Writes the simulation as train/test TFRecord files."""
+    d = tmp_path / 'records'
+    d.mkdir()
+    for name in ['trial01', 'trial02', 'trial03']:
+        eeg, attended, unattended = simulate_trf(rng, num_frames=3000)
+        records.convert_data_to_tfrecords(
+            {'eeg': eeg, 'intensity': attended,
+             'unattended': unattended,
+             'attend': np.ones((eeg.shape[0], 1), np.float32)},
+            str(d / ('%s.tfrecords' % name)))
+    return str(d)
+
+
+def _base_flags(tmp_path, data_dir):
+    return decoding.DecodingOptions().set_from_dict(dict(
+        data='tfrecords',
+        tfexample_dir=data_dir,
+        input_field='eeg',
+        output_field='intensity',
+        attended_field='',
+        frame_rate=FRAME_RATE,
+        pre_context=0,
+        post_context=IR_FRAMES - 1,
+        train_file_pattern='allbut',
+        validate_file_pattern='trial02',
+        test_file_pattern='trial02',
+        batch_size=256,
+        shuffle_buffer_size=1000,
+        summary_dir=str(tmp_path / 'summary'),
+        saved_model_dir=str(tmp_path / 'model'),
+        tensorboard_dir=None,
+        correlation_frames=100,
+        correlation_reducer='lda',
+    ))
+
+
+class TestLinearExperiment:
+
+    def test_trf_recovery_above_gate(self, tmp_path, trf_records_dir):
+        my_flags = _base_flags(tmp_path, trf_records_dir)
+        my_flags.dnn_regressor = 'linear'
+        my_flags.regularization_lambda = 1e-3
+        train_results, test_results, dprime = (
+            decoding.run_decoding_experiment(my_flags))
+        # The reference gate: pearson > 0.97 on simulated TRF data
+        # (test/decoding_test.py:242).
+        assert test_results['pearson_correlation_first'] > 0.97
+        assert dprime > 1.0
+
+    def test_artifacts_written(self, tmp_path, trf_records_dir):
+        my_flags = _base_flags(tmp_path, trf_records_dir)
+        my_flags.dnn_regressor = 'linear'
+        decoding.run_decoding_experiment(my_flags)
+        results_file = os.path.join(str(tmp_path / 'summary'),
+                                    'results.txt')
+        assert os.path.exists(results_file)
+        content = open(results_file).read()
+        assert content.startswith('Parameters: ')
+        assert 'Final_Testing/pearson_correlation_first:' in content
+        assert 'Final_Testing/dprime:' in content
+        model_dir = str(tmp_path / 'model')
+        assert os.path.exists(os.path.join(model_dir, 'model.json'))
+        assert os.path.exists(os.path.join(model_dir, 'weights.npz'))
+        assert os.path.exists(os.path.join(model_dir,
+                                           'decoder_model.json'))
+
+    def test_params_token_substitution(self, tmp_path, trf_records_dir):
+        my_flags = _base_flags(tmp_path, trf_records_dir)
+        my_flags.dnn_regressor = 'linear'
+        my_flags.summary_dir = str(tmp_path / 'sweep' / 'PARAMS')
+        my_flags.saved_model_dir = None
+        decoding.run_decoding_experiment(my_flags)
+        found = []
+        for path, _, files in os.walk(str(tmp_path / 'sweep')):
+            if 'results.txt' in files:
+                found.append(path)
+        assert len(found) == 1
+        assert 'dnn_regressor=linear' in found[0]
+
+
+class TestCcaExperiment:
+
+    def test_cca_on_trf_data(self, tmp_path, trf_records_dir):
+        my_flags = _base_flags(tmp_path, trf_records_dir)
+        my_flags.dnn_regressor = 'cca'
+        my_flags.input2_field = 'intensity'
+        my_flags.output_field = 'ones'
+        my_flags.input2_pre_context = 0
+        my_flags.input2_post_context = 5
+        my_flags.cca_dimensions = 4
+        my_flags.regularization_lambda = 1e-3
+        my_flags.test_metric = 'cca_pearson_correlation_first'
+        _, test_results, dprime = decoding.run_decoding_experiment(my_flags)
+        assert test_results['cca_pearson_correlation_first'] > 0.8
+        assert dprime > 1.0
+
+
+class TestDnnExperiment:
+
+    def test_dnn_learns(self, tmp_path, trf_records_dir):
+        my_flags = _base_flags(tmp_path, trf_records_dir)
+        my_flags.dnn_regressor = 'fullyconnected'
+        my_flags.hidden_units = '16'
+        my_flags.learning_rate = 1e-3
+        my_flags.epoch_count = 20
+        my_flags.saved_model_dir = None
+        _, test_results, _ = decoding.run_decoding_experiment(my_flags)
+        assert test_results['pearson_correlation_first'] > 0.7
+
+
+class TestCheckFiles:
+
+    def test_check_files_mode(self, tmp_path, trf_records_dir, capsys):
+        my_flags = _base_flags(tmp_path, trf_records_dir)
+        my_flags.check_file_pattern = '.tfrecords'
+        train, test, dprime = decoding.run_decoding_experiment(my_flags)
+        assert (train, test, dprime) == ({}, {}, 0.0)
+        assert 'Found 3 files' in capsys.readouterr().out
+
+
+class TestMegFixtures:
+
+    def test_linear_on_reference_meg(self, tmp_path, reference_test_data):
+        meg_dir = os.path.join(reference_test_data, 'meg')
+        if not os.path.isdir(meg_dir):
+            pytest.skip('meg fixtures missing')
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            data='tfrecords',
+            tfexample_dir=meg_dir,
+            input_field='meg',
+            output_field='envelope',
+            attended_field='',
+            frame_rate=100.0,
+            pre_context=2, post_context=2,
+            train_file_pattern='subj01',
+            validate_file_pattern='subj02',
+            test_file_pattern='subj02',
+            dnn_regressor='linear',
+            regularization_lambda=1.0,
+            batch_size=128,
+            summary_dir=str(tmp_path / 'summary'),
+            saved_model_dir=None,
+        ))
+        _, test_results, dprime = decoding.run_decoding_experiment(my_flags)
+        # Real (tiny) MEG fixture: just assert the pipeline runs and
+        # produces finite metrics.
+        assert np.isfinite(test_results['pearson_correlation_first'])
+        assert np.isfinite(dprime)
