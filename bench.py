@@ -1,0 +1,137 @@
+"""Benchmark: decode windows/sec/chip on the flagship CCA pipeline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The workload is the codelab-scale decode path (inputs 2553 + 31, 10
+CCA dims): per window of 100 frames, rotate both inputs, compute the
+normalized correlation, reduce through LDA, and emit one attention
+score — the serving inner loop of the framework.
+
+Baseline: the reference evaluates this model through Keras at ~5 ms
+per 1000-frame batch on a workstation (doc/DecodingCodelab.md:654),
+i.e. ~2,000 windows/s of 100 frames. vs_baseline is measured
+throughput / 2000.
+
+All data is generated on-device (no host transfer in the timed
+region). Extra diagnostics (solver latencies, streaming p50) go to
+stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IN1, IN2, DIMS = 2553, 31, 10
+WINDOW = 100
+BASELINE_WINDOWS_PER_SEC = 2000.0
+
+
+def _params(rng):
+    return {
+        'mean1': jnp.asarray(rng.randn(1, IN1), jnp.float32),
+        'mean2': jnp.asarray(rng.randn(1, IN2), jnp.float32),
+        'rot1': jnp.asarray(rng.randn(IN1, DIMS) * 0.02, jnp.float32),
+        'rot2': jnp.asarray(rng.randn(IN2, DIMS) * 0.2, jnp.float32),
+        'corr_mean_x': jnp.zeros((DIMS,), jnp.float32),
+        'corr_mean_y': jnp.zeros((DIMS,), jnp.float32),
+        'corr_power': jnp.ones((DIMS,), jnp.float32),
+        'lda_w': jnp.asarray(rng.randn(DIMS, 2), jnp.float32),
+        'lda_slope': jnp.float32(1.0),
+        'lda_intercept': jnp.float32(0.0),
+    }
+
+
+def _decode_windows(params, x1, x2):
+    """[W, WINDOW, IN*] batch of windows -> [W] attention scores."""
+    r1 = jnp.einsum('wtf,fd->wtd', x1 - params['mean1'], params['rot1'])
+    r2 = jnp.einsum('wtf,fd->wtd', x2 - params['mean2'], params['rot2'])
+    corr = ((r1 - params['corr_mean_x']) * (r2 - params['corr_mean_y']) /
+            params['corr_power'])
+    projected = jnp.einsum('wtd,dk->wtk', corr, params['lda_w'])
+    scores = params['lda_slope'] * projected[..., 0] + \
+        params['lda_intercept']
+    return jnp.mean(scores, axis=1)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    params = _params(rng)
+    num_windows = 512
+
+    @jax.jit
+    def make_data(key):
+        k1, k2 = jax.random.split(key)
+        x1 = jax.random.normal(k1, (num_windows, WINDOW, IN1), jnp.float32)
+        x2 = jax.random.normal(k2, (num_windows, WINDOW, IN2), jnp.float32)
+        return x1, x2
+
+    decode = jax.jit(_decode_windows)
+    x1, x2 = make_data(jax.random.PRNGKey(0))
+
+    def sync(value):
+        # device_get of a scalar forces completion of all queued work;
+        # on the tunneled (axon) backend block_until_ready returns
+        # before remote execution finishes, so a readback is the only
+        # honest barrier.
+        return float(jax.device_get(jnp.sum(value)))
+
+    # Warm-up compile (decode + the sum used as the barrier).
+    sync(decode(params, x1, x2))
+
+    reps = 10
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(reps):
+        acc = decode(params, x1, x2)
+    sync(acc)
+    elapsed = time.perf_counter() - t0
+    windows_per_sec = num_windows * reps / elapsed
+
+    # Diagnostics (stderr): solver latency + streaming p50.
+    try:
+        from telluride_decoding_tpu.ops.covariance import moments_from_arrays
+        from telluride_decoding_tpu.solvers.ridge import (
+            solve_ridge_from_moments)
+
+        @jax.jit
+        def ridge_program(key):
+            x = jax.random.normal(key, (20000, 256), jnp.float32)
+            y = jax.random.normal(key, (20000, 4), jnp.float32)
+            stats = moments_from_arrays(x, y)
+            return solve_ridge_from_moments(stats, 0.1).w
+
+        sync(ridge_program(jax.random.PRNGKey(1)))
+        t0 = time.perf_counter()
+        sync(ridge_program(jax.random.PRNGKey(2)))
+        ridge_ms = (time.perf_counter() - t0) * 1000
+
+        one = jax.jit(lambda p, a, b: _decode_windows(p, a, b))
+        xa, xb = x1[:1], x2[:1]
+        sync(one(params, xa, xb))
+        lat = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            sync(one(params, xa, xb))
+            lat.append((time.perf_counter() - t0) * 1000)
+        p50 = float(np.percentile(lat, 50))
+        print('diag: ridge_solve_ms=%.2f streaming_p50_ms=%.2f '
+              '(includes dispatch RTT)' % (ridge_ms, p50),
+              file=sys.stderr)
+    except Exception as e:  # Diagnostics must never break the bench.
+        print('diag failed: %s' % e, file=sys.stderr)
+
+    print(json.dumps({
+        'metric': 'decode_windows_per_sec_per_chip',
+        'value': round(windows_per_sec, 1),
+        'unit': 'windows/s (100-frame windows, codelab CCA decode)',
+        'vs_baseline': round(windows_per_sec / BASELINE_WINDOWS_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()
