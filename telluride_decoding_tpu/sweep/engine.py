@@ -1,0 +1,197 @@
+"""Mesh-parallel parameter sweeps: jackknife x regularization grids.
+
+The reference scales parameter searches by launching one OS process per
+(lambda, held-out-file) configuration and re-reading the entire dataset
+in each (regression.py:381-409; doc/DecodingCodelab.md:353-389 runs 360
+jobs that way). This engine is the TPU-native replacement:
+
+  * ONE pass over the data computes per-file sufficient statistics
+    (MomentStats) on the MXU.
+  * Leave-one-out training statistics are algebraic: total - file
+    (O(files) instead of O(files^2) data passes).
+  * The whole (lambda x held-out-file) grid solves and evaluates as a
+    single jitted program — lambdas via vmap, files via vmap, sharded
+    over the device mesh ('file' axis) with jax.sharding.
+  * Evaluation uses masked Pearson correlation so files of different
+    lengths batch with static shapes.
+
+This is the flagship new capability: the codelab's 360-job shell sweep
+becomes one program launch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from telluride_decoding_tpu.ops.covariance import (MomentStats,
+                                                   moments_from_arrays)
+from telluride_decoding_tpu.solvers.cca import solve_cca_from_moments
+from telluride_decoding_tpu.solvers.ridge import solve_ridge_from_moments
+
+
+class SweepResult(NamedTuple):
+    correlations: np.ndarray   # [num_lambdas, num_files]
+    lambdas: np.ndarray        # [num_lambdas]
+    test_files: List[str]      # file per column
+
+
+def _masked_pearson_first(x: jax.Array, y: jax.Array,
+                          mask: jax.Array) -> jax.Array:
+    """Pearson r of column 0 over rows where mask == 1."""
+    n = jnp.maximum(jnp.sum(mask), 1.0)
+    m = mask[:, None]
+    mean_x = jnp.sum(x * m, axis=0) / n
+    mean_y = jnp.sum(y * m, axis=0) / n
+    xc = (x - mean_x) * m
+    yc = (y - mean_y) * m
+    cov = jnp.sum(xc * yc, axis=0)
+    power = jnp.sqrt(jnp.sum(xc ** 2, axis=0) * jnp.sum(yc ** 2, axis=0))
+    r = cov / jnp.where(power <= 0, 1.0, power)
+    return r[0]
+
+
+def pad_and_stack(arrays: Sequence[np.ndarray]
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stacks variable-length [N_i, D] arrays into [F, N_max, D] + mask."""
+    max_n = max(a.shape[0] for a in arrays)
+    width = arrays[0].shape[1]
+    stacked = np.zeros((len(arrays), max_n, width), np.float32)
+    mask = np.zeros((len(arrays), max_n), np.float32)
+    for i, a in enumerate(arrays):
+        stacked[i, :a.shape[0]] = a
+        mask[i, :a.shape[0]] = 1.0
+    return jnp.asarray(stacked), jnp.asarray(mask)
+
+
+def _stack_stats(stats_list: Sequence[MomentStats]) -> MomentStats:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *stats_list)
+
+
+def _total_minus(stacked: MomentStats, total: MomentStats,
+                 index: jax.Array) -> MomentStats:
+    return jax.tree.map(lambda tot, per: tot - per[index], total, stacked)
+
+
+@functools.partial(jax.jit, static_argnames=('use_ridge',))
+def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
+                         xs: jax.Array, ys: jax.Array, masks: jax.Array,
+                         lambdas: jax.Array, use_ridge: bool = True):
+    """[L, F] held-out correlations from per-file stats + padded data."""
+    num_files = xs.shape[0]
+
+    def eval_one(file_idx, lamb):
+        train_stats = _total_minus(stacked_stats, total, file_idx)
+        solution = solve_ridge_from_moments(train_stats, lamb,
+                                            use_ridge=use_ridge)
+        pred = xs[file_idx] @ solution.w + solution.b
+        return _masked_pearson_first(ys[file_idx], pred, masks[file_idx])
+
+    per_lambda = jax.vmap(
+        lambda lamb: jax.vmap(lambda f: eval_one(f, lamb))(
+            jnp.arange(num_files)))
+    return per_lambda(lambdas)
+
+
+@functools.partial(jax.jit, static_argnames=('dims',))
+def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
+                       xs: jax.Array, ys: jax.Array, masks: jax.Array,
+                       lambdas: jax.Array, dims: int):
+    num_files = xs.shape[0]
+
+    def eval_one(file_idx, lamb):
+        train_stats = _total_minus(stacked_stats, total, file_idx)
+        sol = solve_cca_from_moments(train_stats, dims, regularization=lamb)
+        r1 = (xs[file_idx] - sol.mean_x) @ sol.rot_x
+        r2 = (ys[file_idx] - sol.mean_y) @ sol.rot_y
+        return _masked_pearson_first(r1, r2, masks[file_idx])
+
+    per_lambda = jax.vmap(
+        lambda lamb: jax.vmap(lambda f: eval_one(f, lamb))(
+            jnp.arange(num_files)))
+    return per_lambda(lambdas)
+
+
+def _shard_over_mesh(arrays, mesh: Optional['jax.sharding.Mesh']):
+    """Shards padded per-file arrays over the mesh's first axis."""
+    if mesh is None:
+        return arrays
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = mesh.axis_names[0]
+    out = []
+    for a in arrays:
+        if a.shape[0] % mesh.devices.shape[0] == 0:
+            spec = P(axis) if a.ndim == 1 else P(axis, *([None] *
+                                                         (a.ndim - 1)))
+            out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+        else:
+            out.append(a)
+    return out
+
+
+def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
+                          per_file_y: Sequence[np.ndarray],
+                          lambdas: Sequence[float],
+                          file_names: Optional[List[str]] = None,
+                          mesh: Optional['jax.sharding.Mesh'] = None,
+                          use_ridge: bool = True) -> SweepResult:
+    """Leave-one-file-out ridge sweep over a lambda grid, one program.
+
+    per_file_x[i]: lag-stacked input of file i ([N_i, Dx]);
+    per_file_y[i]: target. Returns correlations[num_lambdas, num_files]
+    where entry (l, f) is the test correlation of a model trained on
+    all files but f with regularization lambdas[l].
+    """
+    stats_list = [moments_from_arrays(jnp.asarray(x, jnp.float32),
+                                      jnp.asarray(y, jnp.float32))
+                  for x, y in zip(per_file_x, per_file_y)]
+    stacked = _stack_stats(stats_list)
+    total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
+    xs, masks = pad_and_stack(per_file_x)
+    ys, _ = pad_and_stack(per_file_y)
+    lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
+    xs, ys, masks = _shard_over_mesh([xs, ys, masks], mesh)
+    corr = _ridge_sweep_program(stacked, total, xs, ys, masks, lambdas_arr,
+                                use_ridge=use_ridge)
+    return SweepResult(np.asarray(corr), np.asarray(lambdas),
+                       file_names or ['file%d' % i
+                                      for i in range(len(per_file_x))])
+
+
+def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
+                        per_file_y: Sequence[np.ndarray],
+                        lambdas: Sequence[float],
+                        dims: int = 5,
+                        file_names: Optional[List[str]] = None,
+                        mesh: Optional['jax.sharding.Mesh'] = None
+                        ) -> SweepResult:
+    """Leave-one-file-out CCA sweep (correlation of first canonical
+    pair on the held-out file) over a regularization grid."""
+    stats_list = [moments_from_arrays(jnp.asarray(x, jnp.float32),
+                                      jnp.asarray(y, jnp.float32),
+                                      want_syy=True)
+                  for x, y in zip(per_file_x, per_file_y)]
+    stacked = _stack_stats(stats_list)
+    total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
+    xs, masks = pad_and_stack(per_file_x)
+    ys, _ = pad_and_stack(per_file_y)
+    lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
+    xs, ys, masks = _shard_over_mesh([xs, ys, masks], mesh)
+    corr = _cca_sweep_program(stacked, total, xs, ys, masks, lambdas_arr,
+                              dims=dims)
+    return SweepResult(np.asarray(corr), np.asarray(lambdas),
+                       file_names or ['file%d' % i
+                                      for i in range(len(per_file_x))])
+
+
+def default_mesh(axis_name: str = 'file') -> Optional['jax.sharding.Mesh']:
+    """A 1-D mesh over all local devices (None if single-device)."""
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    from jax.sharding import Mesh
+    return Mesh(np.array(devices), (axis_name,))

@@ -1,0 +1,140 @@
+"""Sweep-engine tests: algebraic jackknife equals explicit retraining,
+and the sharded multi-device path equals single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from telluride_decoding_tpu.ops.covariance import moments_from_arrays
+from telluride_decoding_tpu.ops.pearson import pearson_correlation_first
+from telluride_decoding_tpu.solvers.ridge import solve_ridge_from_moments
+from telluride_decoding_tpu.sweep import (cca_jackknife_sweep,
+                                          default_mesh,
+                                          ridge_jackknife_sweep)
+
+
+def _files(rng, num_files=4, n=500, dx=6, noise=0.3):
+    w = rng.randn(dx, 1).astype(np.float32)
+    xs, ys = [], []
+    for i in range(num_files):
+        x = rng.randn(n + i * 7, dx).astype(np.float32)  # Varying lengths.
+        y = x @ w + noise * rng.randn(x.shape[0], 1).astype(np.float32)
+        xs.append(x)
+        ys.append(y)
+    return xs, ys
+
+
+class TestRidgeSweep:
+
+    def test_matches_explicit_leave_one_out(self, rng):
+        xs, ys = _files(rng)
+        lambdas = [1e-3, 1e-1, 10.0]
+        result = ridge_jackknife_sweep(xs, ys, lambdas)
+        assert result.correlations.shape == (3, 4)
+        # Explicit check: retrain without file f, evaluate on f.
+        for li, lamb in enumerate(lambdas):
+            for f in range(4):
+                train_x = np.concatenate([x for i, x in enumerate(xs)
+                                          if i != f])
+                train_y = np.concatenate([y for i, y in enumerate(ys)
+                                          if i != f])
+                stats = moments_from_arrays(jnp.asarray(train_x),
+                                            jnp.asarray(train_y))
+                sol = solve_ridge_from_moments(stats, lamb)
+                pred = xs[f] @ np.asarray(sol.w) + np.asarray(sol.b)
+                want = float(pearson_correlation_first(ys[f], pred))
+                assert result.correlations[li, f] == pytest.approx(
+                    want, abs=2e-3)
+
+    def test_correlations_high_for_planted_model(self, rng):
+        xs, ys = _files(rng, noise=0.05)
+        result = ridge_jackknife_sweep(xs, ys, [1e-4])
+        assert np.all(result.correlations > 0.97)
+
+    def test_sharded_matches_single_device(self, rng):
+        xs, ys = _files(rng, num_files=8, n=200)
+        lambdas = [1e-3, 1.0]
+        single = ridge_jackknife_sweep(xs, ys, lambdas, mesh=None)
+        mesh = default_mesh()
+        assert mesh is not None, 'conftest provides 8 virtual devices'
+        sharded = ridge_jackknife_sweep(xs, ys, lambdas, mesh=mesh)
+        np.testing.assert_allclose(sharded.correlations,
+                                   single.correlations, atol=1e-4)
+
+
+class TestCcaSweep:
+
+    def test_finds_shared_structure(self, rng):
+        latent_w = rng.randn(2, 2).astype(np.float32)
+        xs, ys = [], []
+        for i in range(3):
+            n = 600 + 11 * i
+            latent = rng.randn(n, 2).astype(np.float32)
+            x = np.concatenate([latent + 0.2 * rng.randn(n, 2),
+                                rng.randn(n, 3)], axis=1).astype(np.float32)
+            y = np.concatenate([latent @ latent_w +
+                                0.2 * rng.randn(n, 2),
+                                rng.randn(n, 1)], axis=1).astype(np.float32)
+            xs.append(x)
+            ys.append(y)
+        result = cca_jackknife_sweep(xs, ys, [1e-2, 1.0], dims=2)
+        assert result.correlations.shape == (2, 3)
+        assert np.all(result.correlations[0] > 0.8)
+
+    def test_lambda_grid_shape_and_names(self, rng):
+        xs, ys = _files(rng, num_files=2, dx=4)
+        ys2 = [np.concatenate([y, rng.randn(y.shape[0], 2).astype(
+            np.float32)], axis=1) for y in ys]
+        result = cca_jackknife_sweep(xs, ys2, [0.1], dims=2,
+                                     file_names=['a', 'b'])
+        assert result.test_files == ['a', 'b']
+        assert result.correlations.shape == (1, 2)
+
+
+class TestRegressionCli:
+
+    def test_jackknife_over_regularizations_linear(self, rng, tmp_path):
+        # End-to-end through the CLI layer on synthetic TFRecords.
+        from telluride_decoding_tpu.cli import decoding as dec
+        from telluride_decoding_tpu.cli import regression as reg
+        from telluride_decoding_tpu.data import records
+        d = tmp_path / 'records'
+        d.mkdir()
+        w = rng.randn(3 * 11, 1).astype(np.float32)  # 3ch x 11 lags
+        from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+        for name in ['t01', 't02', 't03']:
+            eeg = rng.randn(400, 3).astype(np.float32)
+            stacked = lag_stack_np(eeg, 0, 10)
+            intensity = (stacked @ w +
+                         0.1 * rng.randn(400, 1).astype(np.float32))
+            records.convert_data_to_tfrecords(
+                {'eeg': eeg, 'intensity': intensity}, str(d / (name +
+                                                               '.tfrecords')))
+        my_flags = dec.DecodingOptions().set_from_dict(dict(
+            tfexample_dir=str(d), post_context=10,
+            dnn_regressor='linear', input_field='eeg',
+            output_field='intensity',
+            test_metric='pearson_correlation_first'))
+        obj = reg.RegressionLinear(my_flags)
+        obj.my_flags.post_context = 10
+        results = obj.jackknife_over_regularizations(
+            my_flags, [1e-4, 1e-1], summary_base_dir=str(tmp_path / 's'))
+        assert len(results) == 2
+        mean_low, _ = results[1e-4]
+        assert mean_low > 0.9
+        # Summary files written per config.
+        import os
+        assert any('reglambda' in p
+                   for p in os.listdir(str(tmp_path / 's')))
+
+    def test_parse_regularization_values(self):
+        from telluride_decoding_tpu.cli import regression as reg
+        normal = reg.parse_regularization_values('normal')
+        assert len(normal) == 7
+        assert normal[0] == pytest.approx(1e-6)
+        custom = reg.parse_regularization_values('0.1,1,10')
+        np.testing.assert_allclose(custom, [0.1, 1, 10])
+        assert reg.parse_regularization_values(0.5) == [0.5]
+        with pytest.raises(ValueError):
+            reg.parse_regularization_values('abc,def')
