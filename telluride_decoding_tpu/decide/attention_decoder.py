@@ -314,6 +314,60 @@ class StateSpaceAttentionDecoder(AttentionDecoder):
                 1.0 / (1 + np.exp(-(z + half_width))))
 
 
+def plot_aad_results(decision: np.ndarray,
+                     attention_flag=None, decision_upper=None,
+                     decision_lower=None, t=None,
+                     xlabel: str = 'Time (frames)',
+                     ylabel: str = 'Prob of Speaker 1',
+                     title: str = 'AAD Decoding Result',
+                     linecolor: str = 'blue'):
+    """Plots a decision trace with confidence band + attention shading
+    (reference attention_decoder.py:27-113). Does not clear the figure,
+    so multiple traces overlay."""
+    import itertools
+    import matplotlib.pyplot as plt
+    from matplotlib import patches
+
+    if not isinstance(decision, np.ndarray):
+        raise TypeError('Argument decision must be an np array, not %s' %
+                        type(decision))
+    for name, arr in [('attention_flag', attention_flag),
+                      ('decision_upper', decision_upper),
+                      ('decision_lower', decision_lower), ('t', t)]:
+        if arr is not None:
+            if not isinstance(arr, np.ndarray):
+                raise TypeError('Argument %s must be an np array, not %s' %
+                                (name, type(arr)))
+            if len(decision) != len(arr):
+                raise TypeError('Input %s must match length of decision, '
+                                'not %d and %d' % (name, len(decision),
+                                                   len(arr)))
+    if t is None:
+        t = np.arange(len(decision))
+    plt.plot(t, decision, linecolor)
+    plt.xlabel(xlabel)
+    plt.ylabel(ylabel)
+    plt.title(title)
+    if decision_upper is not None and decision_lower is not None:
+        plt.fill_between(t, decision_upper, decision_lower,
+                         color='light' + linecolor)
+    if attention_flag is not None and (np.sum(attention_flag == 0) and
+                                       np.sum(attention_flag != 0)):
+        axis_limits = plt.axis()
+        start_index = 0
+        for attention_value, values in itertools.groupby(
+                list(attention_flag)):
+            duration = len(list(values))
+            if attention_value:
+                rect = patches.Rectangle(
+                    (t[start_index], axis_limits[2]),
+                    t[start_index + duration - 1] - t[start_index],
+                    axis_limits[3] - axis_limits[2],
+                    facecolor='lightgray', alpha=0.5)
+                plt.gca().add_patch(rect)
+            start_index += duration
+
+
 def create_attention_decoder(type_name: str, window_step: int = 100,
                              frame_rate: float = 100.0,
                              ssd_offset: float = 0.0) -> AttentionDecoder:
