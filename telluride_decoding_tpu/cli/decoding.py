@@ -351,37 +351,44 @@ def run_decoding_experiment(my_flags: DecodingOptions
         check_files(my_flags.tfexample_dir, my_flags.tfexample_pattern)
         return {}, {}, 0.0
 
-    test_brain_data = brain_data.create_brain_dataset(
-        my_flags.data, my_flags.input_field, my_flags.output_field,
-        attended_field=my_flags.attended_field or None,
-        frame_rate=my_flags.frame_rate,
-        pre_context=my_flags.pre_context,
-        post_context=my_flags.post_context,
-        in2_fields=my_flags.input2_field or None,
-        in2_pre_context=my_flags.input2_pre_context,
-        in2_post_context=my_flags.input2_post_context,
-        input_offset=my_flags.input_offset,
-        final_batch_size=my_flags.batch_size,
-        shuffle_buffer_size=my_flags.shuffle_buffer_size,
-        data_dir=my_flags.tfexample_dir,
-        data_pattern=my_flags.tfexample_pattern,
-        train_file_pattern=my_flags.train_file_pattern,
-        validate_file_pattern=my_flags.validate_file_pattern,
-        test_file_pattern=my_flags.test_file_pattern)
+    from telluride_decoding_tpu.utils.profiling import StageTimer
+    timer = StageTimer('run_decoding_experiment')
 
-    some_dataset = test_brain_data.create_dataset('train')
+    with timer.stage('data_discovery'):
+        test_brain_data = brain_data.create_brain_dataset(
+            my_flags.data, my_flags.input_field, my_flags.output_field,
+            attended_field=my_flags.attended_field or None,
+            frame_rate=my_flags.frame_rate,
+            pre_context=my_flags.pre_context,
+            post_context=my_flags.post_context,
+            in2_fields=my_flags.input2_field or None,
+            in2_pre_context=my_flags.input2_pre_context,
+            in2_post_context=my_flags.input2_post_context,
+            input_offset=my_flags.input_offset,
+            final_batch_size=my_flags.batch_size,
+            shuffle_buffer_size=my_flags.shuffle_buffer_size,
+            data_dir=my_flags.tfexample_dir,
+            data_pattern=my_flags.tfexample_pattern,
+            train_file_pattern=my_flags.train_file_pattern,
+            validate_file_pattern=my_flags.validate_file_pattern,
+            test_file_pattern=my_flags.test_file_pattern)
+        some_dataset = test_brain_data.create_dataset('train')
+
     test_model = create_brain_model(my_flags, some_dataset)
     test_model.add_tensorboard_summary(
         'Parameters', my_flags.experiment_parameters(' '))
 
-    train_results, test_results = train_and_test(
-        my_flags, test_brain_data, test_model, epochs=my_flags.epoch_count)
+    with timer.stage('train_and_test'):
+        train_results, test_results = train_and_test(
+            my_flags, test_brain_data, test_model,
+            epochs=my_flags.epoch_count)
     test_model.summary()
     test_model.add_metadata(dataclasses.asdict(my_flags),
                             dataset=some_dataset)
 
-    dprime, final_decoder = train_lda_model(test_brain_data, test_model,
-                                            my_flags)
+    with timer.stage('train_lda'):
+        dprime, final_decoder = train_lda_model(test_brain_data,
+                                                test_model, my_flags)
 
     print('train_and_test got these results: %s and test %s' %
           (train_results, test_results))
@@ -399,10 +406,13 @@ def run_decoding_experiment(my_flags: DecodingOptions
         writer.scalar('dprime', dprime, step=my_flags.epoch_count)
 
     if my_flags.saved_model_dir:
-        test_model.save(my_flags.saved_model_dir)
-        final_decoder.save_parameters(
-            os.path.join(my_flags.saved_model_dir, 'decoder_model.json'))
+        with timer.stage('save_artifacts'):
+            test_model.save(my_flags.saved_model_dir)
+            final_decoder.save_parameters(
+                os.path.join(my_flags.saved_model_dir,
+                             'decoder_model.json'))
         print('Wrote saved model to %s.' % my_flags.saved_model_dir)
+    print(timer.report())
     return train_results, test_results, dprime
 
 
