@@ -7,6 +7,10 @@ from telluride_decoding_tpu.ops.pearson import (
     pearson_loss,
     correlation_matrix,
 )
+from telluride_decoding_tpu.ops.fused_frontend import (
+    fused_envelope_lagstack,
+    fused_envelope_lagstack_reference,
+)
 from telluride_decoding_tpu.ops.covariance import (
     MomentStats,
     moments_from_arrays,

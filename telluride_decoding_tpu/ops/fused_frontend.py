@@ -1,0 +1,180 @@
+"""Fused audio-envelope + lag-stack frontend as one Pallas TPU kernel.
+
+The reference computes audio intensity with a per-output-frame Python
+loop (preprocess.py:676-682, its ingest hot loop) and then materializes
+lag context in a separate tf.data stage (brain_data.py:425-457). This
+kernel fuses the whole frontend — square, overlapping-window moving
+average (the resample), square root, perceptual power compression, and
+temporal lag stacking — into a single pass that never leaves VMEM:
+
+  audio [N] at fs_in
+    -> envelope e[m] = (mean_{t1(m) <= j < t2(m)} x[j]^2)^(1/2) ^ exponent
+       at fs_out (window centers per AudioFeatures.audio_resample)
+    -> rows [e[m-pre], ..., e[m], ..., e[m+post]]  (zero-padded edges)
+
+The windowed mean runs on the MXU as a banded selection matmul:
+S[j, r] = 1 if t1(r) <= j < t2(r), built branch-free from broadcasted
+iota comparisons, so one [1, in_tile] x [in_tile, out_tile'] product
+yields a whole tile of envelope sums. Each grid step also computes
+pre/post halo envelope values, making the lag stack local to the tile
+(no inter-tile communication).
+
+A pure-XLA implementation (fused_envelope_lagstack_reference) defines
+the exact semantics; the kernel matches it to float tolerance
+(tests/test_fused_frontend.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def fused_envelope_lagstack_reference(audio, fs_in: float, fs_out: float,
+                                      window: float = 2.0,
+                                      exponent: float = 1.0,
+                                      pre: int = 0, post: int = 0):
+    """Pure-XLA semantics: [N] audio -> [M, pre+1+post] features."""
+    audio = jnp.asarray(audio, jnp.float32).reshape(-1)
+    num_in = audio.shape[0]
+    num_out = int(round(num_in / fs_in * fs_out))
+    half = 0.5 * window / fs_out
+    m = jnp.arange(num_out, dtype=jnp.float64 if False else jnp.float32)
+    t1 = jnp.maximum(0.0, jnp.round(fs_in * (m / fs_out - half)))
+    t2 = jnp.minimum(float(num_in), jnp.round(fs_in * (m / fs_out + half)))
+    csum = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(audio ** 2)])
+    t1i = t1.astype(jnp.int32)
+    t2i = t2.astype(jnp.int32)
+    counts = jnp.maximum(t2i - t1i, 1).astype(jnp.float32)
+    env = ((csum[t2i] - csum[t1i]) / counts) ** 0.5
+    env = env ** exponent
+    padded = jnp.concatenate([jnp.zeros((pre,)), env, jnp.zeros((post,))])
+    cols = [jax.lax.dynamic_slice_in_dim(padded, k, num_out, axis=0)
+            for k in range(pre + 1 + post)]
+    return jnp.stack(cols, axis=1)
+
+
+_SLAB = 2048  # Input samples per in-kernel accumulation step.
+
+
+def _in_stride(fs_in: float, fs_out: float, out_tile: int) -> int:
+    """Input samples consumed per output tile (decimation stride)."""
+    return int(round(out_tile * fs_in / fs_out))
+
+
+def _kernel(audio_ref, out_ref, *, fs_in, fs_out, window, exponent,
+            pre, post, out_tile, in_tile, stride, front, num_in,
+            num_out, halo):
+    """One tile: envelope for out_tile + 2*halo frames, then lag stack.
+
+    audio_ref holds padded-audio samples [tile_start, tile_start +
+    in_tile) where tile_start = i * stride and padded index = original
+    index + front.
+    """
+    i = pl.program_id(0)
+    base_out = i * out_tile
+    tile_start = i * stride
+
+    total_out = out_tile + 2 * halo
+    m = (jax.lax.broadcasted_iota(jnp.int32, (total_out, 1), 0)[:, 0]
+         .astype(jnp.float32) + (base_out - halo))
+    half = 0.5 * window / fs_out
+    # Original-coordinate bounds, clamped to the recording.
+    t1 = jnp.maximum(0.0, jnp.round(fs_in * (m / fs_out - half)))
+    t2 = jnp.minimum(float(num_in), jnp.round(fs_in * (m / fs_out + half)))
+    # Padded coordinates relative to this tile's first loaded sample.
+    t1r = jnp.clip(t1 + front - tile_start, 0.0, float(in_tile))
+    t2r = jnp.clip(t2 + front - tile_start, 0.0, float(in_tile))
+
+    # Banded selection matmul on the MXU, accumulated over fixed-size
+    # input slabs so the [slab, total_out] selection matrix stays well
+    # inside VMEM for any decimation ratio. in_tile is padded to a slab
+    # multiple by the caller; t1r/t2r clipping keeps pad rows inert.
+    slab = _SLAB
+    num_slabs = in_tile // slab
+    j_local = jax.lax.broadcasted_iota(jnp.int32, (slab, total_out),
+                                       0).astype(jnp.float32)
+
+    def slab_step(s, acc):
+        j = j_local + (s * slab).astype(jnp.float32)
+        sel = jnp.logical_and(j >= t1r[None, :], j < t2r[None, :])
+        x_slab = audio_ref[0, 0, pl.ds(s * slab, slab)]
+        x2_slab = x_slab * x_slab
+        return acc + jax.lax.dot_general(
+            x2_slab[None, :], sel.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[0]
+
+    sums = jax.lax.fori_loop(0, num_slabs, slab_step,
+                             jnp.zeros((total_out,), jnp.float32))
+    counts = jnp.maximum(t2r - t1r, 1.0)
+    env = (sums / counts) ** 0.5
+    env = env ** exponent
+    valid = jnp.logical_and(m >= 0, m < float(num_out))
+    env = jnp.where(valid, env, 0.0)
+
+    for k in range(pre + 1 + post):
+        off = halo + k - pre                          # Static offset.
+        out_ref[:, k] = jax.lax.slice_in_dim(env, off, off + out_tile)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('fs_in', 'fs_out', 'window', 'exponent',
+                                    'pre', 'post', 'out_tile', 'interpret'))
+def fused_envelope_lagstack(audio, fs_in: float, fs_out: float,
+                            window: float = 2.0, exponent: float = 1.0,
+                            pre: int = 0, post: int = 0,
+                            out_tile: int = 256,
+                            interpret: bool = False):
+    """Pallas-fused frontend (semantics of the _reference function).
+
+    interpret=True runs in interpreter mode for CPU tests.
+    """
+    audio = jnp.asarray(audio, jnp.float32).reshape(-1)
+    num_in = audio.shape[0]
+    num_out = int(round(num_in / fs_in * fs_out))
+    halo = max(pre, post)
+    stride = _in_stride(fs_in, fs_out, out_tile)
+    # Margin: the widest reach beyond a tile's nominal input span, from
+    # halo frames plus half the averaging window plus rounding slack.
+    margin = int(math.ceil(fs_in * (halo + 1) / fs_out +
+                           0.5 * window * fs_in / fs_out)) + 2
+    in_tile = stride + 2 * margin
+    in_tile += (-in_tile) % _SLAB  # Slab-align for the in-kernel loop.
+    num_tiles = max(1, (num_out + out_tile - 1) // out_tile)
+    front = margin
+    back = max(0, (num_tiles - 1) * stride + in_tile - (num_in + front))
+    padded = jnp.pad(audio, (front, back))
+
+    # Overlapping input tiles (stride < in_tile) as [num_tiles, 1,
+    # in_tile]; BlockSpec indexes whole blocks, so the overlap is
+    # materialized by this gather (fused by XLA into the operand
+    # stream).
+    starts = jnp.arange(num_tiles) * stride
+    idx = starts[:, None] + jnp.arange(in_tile)[None, :]
+    tiles = jnp.take(padded, idx, axis=0).reshape(num_tiles, 1, in_tile)
+
+    total = pre + 1 + post
+    kernel = functools.partial(
+        _kernel, fs_in=float(fs_in), fs_out=float(fs_out),
+        window=float(window), exponent=float(exponent), pre=pre,
+        post=post, out_tile=out_tile, in_tile=in_tile, stride=stride,
+        front=front, num_in=num_in, num_out=num_out, halo=halo)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * out_tile, total),
+                                       jnp.float32),
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec((1, 1, in_tile), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((out_tile, total), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tiles)
+    return out[:num_out]
