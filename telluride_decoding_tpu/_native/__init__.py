@@ -1,0 +1,69 @@
+"""Native (C++) accelerators, loaded via ctypes with graceful fallback.
+
+``lib()`` returns the loaded shared library or None. The library is
+compiled from tdt_records.cc on first use (g++ -O3, cached next to the
+source); any build/load failure silently degrades to the pure-Python
+implementations in data.records.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), 'tdt_records.cc')
+_SO = os.path.join(os.path.dirname(__file__), 'libtdt_records.so')
+
+
+def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
+    i64 = ctypes.c_int64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.tdt_crc32c.restype = ctypes.c_uint32
+    lib.tdt_crc32c.argtypes = [u8p, i64]
+    lib.tdt_masked_crc32c.restype = ctypes.c_uint32
+    lib.tdt_masked_crc32c.argtypes = [u8p, i64]
+    lib.tdt_scan_records.restype = i64
+    lib.tdt_scan_records.argtypes = [u8p, i64, ctypes.c_int, i64p, i64p,
+                                     i64]
+    lib.tdt_read_feature.restype = i64
+    lib.tdt_read_feature.argtypes = [u8p, i64p, i64p, i64,
+                                     ctypes.c_char_p, f32p, i64]
+    lib.tdt_encoded_size.restype = i64
+    lib.tdt_encoded_size.argtypes = [i64p, i64p, i64, i64]
+    lib.tdt_encode_file.restype = i64
+    lib.tdt_encode_file.argtypes = [ctypes.c_char_p, i64p, i64p,
+                                    ctypes.POINTER(f32p), i64, i64, u8p,
+                                    i64]
+    return lib
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """The native library, building it on first call; None on failure."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        try:
+            if not os.path.exists(_SO) or (
+                    os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+                     _SRC, '-o', _SO + '.tmp'],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(_SO + '.tmp', _SO)
+            _LIB = _configure(ctypes.CDLL(_SO))
+        except Exception:
+            _LIB = None
+        _TRIED = True
+        return _LIB

@@ -329,9 +329,42 @@ def write_tfrecords(path: str, payloads: Iterator[bytes]):
             f.write(struct.pack('<I', masked_crc32c(payload)))
 
 
+def _native_scan(data: bytes, validate: bool = True):
+    """Record (offsets, lengths) via the C++ scanner, or None."""
+    from telluride_decoding_tpu import _native
+    lib = _native.lib()
+    if lib is None:
+        return None
+    import ctypes
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    # First pass with zero capacity gets the count.
+    count = lib.tdt_scan_records(buf, len(data), int(validate),
+                                 None, None, 0)
+    if count < 0:
+        return 'corrupt', None, None
+    offsets = np.zeros(count, np.int64)
+    lengths = np.zeros(count, np.int64)
+    lib.tdt_scan_records(
+        buf, len(data), 0,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), count)
+    return 'ok', offsets, lengths
+
+
 def count_tfrecords(path: str) -> Tuple[int, bool]:
     """Counts records and reports corruption (reference
     brain_data.py:930-956 semantics: returns (count, error_found))."""
+    try:
+        with open(path, 'rb') as f:
+            data = f.read()
+    except OSError:
+        return 0, True
+    native = _native_scan(data, validate=True)
+    if native is not None:
+        status, offsets, _ = native
+        if status == 'ok':
+            return len(offsets), False
+        # Fall through to the python path to report the partial count.
     count = 0
     try:
         for payload in iter_tfrecords(path, validate=True):
@@ -368,8 +401,46 @@ def read_tfrecords(path: str,
     The whole-file array form is the TPU-native dataset representation:
     it uploads to device in one transfer and feeds the lag-stacking
     kernel directly. Equivalent of reference ingest.read_tfrecords
-    (ingest.py:1245-1289).
+    (ingest.py:1245-1289). Float features decode through the C++
+    batch parser when available.
     """
+    with open(path, 'rb') as f:
+        data = f.read()
+    native = _native_scan(data, validate=False)
+    if native is not None and native[0] == 'ok':
+        _, offsets, lengths = native
+        if len(offsets):
+            specs = {}
+            first = parse_example(
+                memoryview(data)[offsets[0]:offsets[0] + lengths[0]])
+            all_float = all(v.dtype == np.float32 for v in first.values())
+            for name, value in first.items():
+                specs[name] = value.shape[0]
+            if all_float:
+                from telluride_decoding_tpu import _native
+                import ctypes
+                lib = _native.lib()
+                buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+                n = len(offsets)
+                result = {}
+                for name, width in specs.items():
+                    if fields is not None and name not in fields:
+                        continue
+                    out = np.zeros((n, width), np.float32)
+                    got = lib.tdt_read_feature(
+                        buf,
+                        offsets.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int64)),
+                        lengths.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int64)),
+                        n, name.encode(),
+                        out.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_float)), width)
+                    if got != n:
+                        break  # Malformed: fall back below.
+                    result[name] = out
+                else:
+                    return result
     rows: Dict[str, List[np.ndarray]] = {}
     for payload in iter_tfrecords(path):
         example = parse_example(payload)
@@ -400,6 +471,40 @@ def convert_data_to_tfrecords(data_dict: Dict[str, np.ndarray],
                 'All fields must have the same number of frames: '
                 '%s has %d, expected %d.' % (name, data.shape[0], num_frames))
         arrays[name] = data
+
+    # Native batch encoder when every feature is float.
+    if all(v.dtype.kind == 'f' for v in arrays.values()):
+        from telluride_decoding_tpu import _native
+        lib = _native.lib()
+        if lib is not None and num_frames:
+            import ctypes
+            names = list(arrays.keys())
+            name_bytes = ''.join(names).encode()
+            name_lens = np.array([len(n.encode()) for n in names],
+                                 np.int64)
+            widths = np.array([arrays[n].shape[1] for n in names],
+                              np.int64)
+            f32 = [np.ascontiguousarray(arrays[n], np.float32)
+                   for n in names]
+            ptrs = (ctypes.POINTER(ctypes.c_float) * len(names))(
+                *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                  for a in f32])
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            size = lib.tdt_encoded_size(
+                name_lens.ctypes.data_as(i64p),
+                widths.ctypes.data_as(i64p), len(names), num_frames)
+            out = np.zeros(size, np.uint8)
+            written = lib.tdt_encode_file(
+                name_bytes, name_lens.ctypes.data_as(i64p),
+                widths.ctypes.data_as(i64p), ptrs, len(names),
+                num_frames,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), size)
+            if written == size:
+                os.makedirs(os.path.dirname(os.path.abspath(path)),
+                            exist_ok=True)
+                with open(path, 'wb') as f:
+                    f.write(out.tobytes())
+                return
 
     def gen():
         for i in range(num_frames or 0):
