@@ -67,27 +67,26 @@ def lag_stack_reference(x: jax.Array, pre: int, post: int) -> jax.Array:
     return jnp.concatenate(cols, axis=1)
 
 
-def _lag_stack_kernel(prev_ref, cur_ref, next_ref, out_ref, *,
-                      pre: int, post: int, block: int, n: int):
+def _lag_stack_kernel(cur_ref, next_ref, out_ref, *,
+                      pre: int, post: int, block: int):
     """Writes one [block, (pre+1+post)*C] tile of the stacked output.
 
-    prev/cur/next are three consecutive aligned [block, C] tiles of the
-    input; output row r's lag-k block reads input row r + k - pre, which
-    for pre, post <= block always falls inside their concatenation.
-    Edge behavior (zero context outside [0, n)) is a branch-free mask.
+    The input was zero-padded with ``pre`` front rows (so padded row
+    p = original row p - pre) and enough back rows; output row r's
+    lag-k value is padded row r + k, always inside cur|next for
+    pre + post < block. Branch-free: no masks, just static slices —
+    this keeps the Mosaic lowering trivial and fast to compile.
     """
-    i = pl.program_id(0)
-    c = cur_ref.shape[1]
     total = pre + 1 + post
-    base = i * block  # first output row of this tile
-    row = jax.lax.broadcasted_iota(jnp.int32, (block, c), 0) + base
-    full = jnp.concatenate([prev_ref[:], cur_ref[:], next_ref[:]], axis=0)
-    for k in range(total):
-        off = block + k - pre  # static offset into `full`
-        src = jax.lax.slice_in_dim(full, off, off + block, axis=0)
-        in_row = row + (k - pre)
-        valid = jnp.logical_and(in_row >= 0, in_row < n)
-        out_ref[:, k * c:(k + 1) * c] = jnp.where(valid, src, 0.0)
+    full = jnp.concatenate([cur_ref[:], next_ref[:]], axis=0)
+    # pltpu.roll keeps each shifted copy sublane-aligned, so the lane
+    # concatenation lowers cleanly (plain row slices at odd offsets
+    # don't: "offset mismatch on non-concat dimension").
+    rows = full.shape[0]
+    cols = [jax.lax.slice_in_dim(
+        pltpu.roll(full, (rows - k) % rows, 0), 0, block, axis=0)
+        for k in range(total)]
+    out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("pre", "post", "block"))
@@ -98,37 +97,29 @@ def lag_stack_pallas(x: jax.Array, pre: int, post: int,
     if pre == 0 and post == 0:
         return x
     n, c = x.shape
-    if pre > block or post > block:
-        block = max(pre, post)
     total = pre + 1 + post
-    pad_n = (-n) % block
-    xp = jnp.pad(x, ((0, pad_n), (0, 0)))
-    num_blocks = xp.shape[0] // block
-    grid = (num_blocks,)
-
-    def prev_map(i):
-        return (jnp.maximum(i - 1, 0), 0)
-
-    def cur_map(i):
-        return (i, 0)
-
-    def next_map(i):
-        return (jnp.minimum(i + 1, num_blocks - 1), 0)
-
-    tile = pl.BlockSpec((block, c), cur_map, memory_space=pltpu.VMEM)
+    if total >= block:
+        block = total + 1
+    num_blocks = (n + block - 1) // block
+    # Front pad: pre zero-context rows. Back pad: post zeros + slack so
+    # the last tile's `next` block exists.
+    back = (num_blocks + 1) * block - (pre + n)
+    xp = jnp.pad(x, ((pre, back), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_lag_stack_kernel, pre=pre, post=post,
-                          block=block, n=n),
-        out_shape=jax.ShapeDtypeStruct((xp.shape[0], total * c), jnp.float32),
-        grid=grid,
+                          block=block),
+        out_shape=jax.ShapeDtypeStruct((num_blocks * block, total * c),
+                                       jnp.float32),
+        grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((block, c), prev_map, memory_space=pltpu.VMEM),
-            tile,
-            pl.BlockSpec((block, c), next_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, c), lambda i: (i + 1, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block, total * c), cur_map,
+        out_specs=pl.BlockSpec((block, total * c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-    )(xp, xp, xp)
+    )(xp, xp)
     return out[:n]
 
 
