@@ -6,6 +6,7 @@ from telluride_decoding_tpu.io.ingest import (
     BrainSignal,
     BrainTrial,
     EdfBrainDataFile,
+    LocalCopy,
     MemoryBrainDataFile,
     convert_data_to_tfrecords,
     count_tfrecords,

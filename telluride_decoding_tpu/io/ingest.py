@@ -360,6 +360,29 @@ class BrainDataFile:
         pass
 
 
+class LocalCopy:
+    """Context manager yielding a local temp copy of a file.
+
+    The reference needs this because EDF/Matlab readers can't open
+    remote (gfile) paths (ingest.py:723-743). With plain-filesystem
+    I/O a copy is still useful for read-only mounts and keeps the API.
+    """
+
+    def __init__(self, remote_filename: str):
+        self._remote_filename = remote_filename
+
+    def __enter__(self) -> str:
+        import shutil
+        import tempfile
+        _, suffix = os.path.splitext(self._remote_filename)
+        self._fp = tempfile.NamedTemporaryFile(suffix=suffix)
+        shutil.copyfile(self._remote_filename, self._fp.name)
+        return self._fp.name
+
+    def __exit__(self, exception_type, exception_value, traceback):
+        self._fp.close()
+
+
 class MemoryBrainDataFile(BrainDataFile):
     """In-memory {channel: array} data file, for tests and one-offs."""
 
