@@ -66,6 +66,7 @@ class DecodingOptions:
     post_context: int = 0
     pre_context: int = 0
     random_mixup_batch: bool = False
+    mismatch_batch: bool = False
     regularization_lambda: float = 0.1
     saved_model_dir: Optional[str] = None
     shuffle_buffer_size: int = 100000
@@ -167,6 +168,13 @@ def define_flags():
                        'Regularization for linear regression/CCA.')
     flags.DEFINE_bool('random_mixup_batch', defaults.random_mixup_batch,
                       'Mixup the data so labels are random, for testing.')
+    flags.DEFINE_bool('mismatch_batch', defaults.mismatch_batch,
+                      'Train in the match-mismatch paradigm: half of each '
+                      'batch gets shuffled input_2 and the label becomes '
+                      'the match/mismatch bit (use with '
+                      '--dnn_regressor classifier). The reference defines '
+                      'this transform but never wires it up '
+                      '(brain_data.py:45-77).')
     flags.DEFINE_string('saved_model_dir', defaults.saved_model_dir,
                         'Directory in which to save the model.')
     flags.DEFINE_integer('shuffle_buffer_size',
@@ -248,9 +256,12 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
     if not isinstance(my_flags, DecodingOptions):
         raise TypeError('Train_and_test needs a DecodingOptions object, '
                         'not %s.' % type(my_flags))
-    train_dataset = test_brain_data.create_dataset('train')
+    mismatch = getattr(my_flags, 'mismatch_batch', False)
+    train_dataset = test_brain_data.create_dataset(
+        'train', mismatch_batch=mismatch)
     train_results = test_brain_model.fit(train_dataset, epochs=epochs)
-    test_dataset = test_brain_data.create_dataset('test')
+    test_dataset = test_brain_data.create_dataset(
+        'test', mismatch_batch=mismatch)
     test_results = test_brain_model.evaluate(test_dataset)
     return train_results, test_results
 
@@ -386,9 +397,16 @@ def run_decoding_experiment(my_flags: DecodingOptions
     test_model.add_metadata(dataclasses.asdict(my_flags),
                             dataset=some_dataset)
 
-    with timer.stage('train_lda'):
-        dprime, final_decoder = train_lda_model(test_brain_data,
-                                                test_model, my_flags)
+    if my_flags.dnn_regressor == 'classifier':
+        # A match-mismatch classifier already outputs a decision
+        # probability; the correlation->LDA stage does not apply. (The
+        # reference crashes here instead: its create_decoder has no
+        # classifier case, infer_decoder.py:635-666.)
+        dprime, final_decoder = 0.0, None
+    else:
+        with timer.stage('train_lda'):
+            dprime, final_decoder = train_lda_model(test_brain_data,
+                                                    test_model, my_flags)
 
     print('train_and_test got these results: %s and test %s' %
           (train_results, test_results))
@@ -408,9 +426,10 @@ def run_decoding_experiment(my_flags: DecodingOptions
     if my_flags.saved_model_dir:
         with timer.stage('save_artifacts'):
             test_model.save(my_flags.saved_model_dir)
-            final_decoder.save_parameters(
-                os.path.join(my_flags.saved_model_dir,
-                             'decoder_model.json'))
+            if final_decoder is not None:
+                final_decoder.save_parameters(
+                    os.path.join(my_flags.saved_model_dir,
+                                 'decoder_model.json'))
         print('Wrote saved model to %s.' % my_flags.saved_model_dir)
     print(timer.report())
     return train_results, test_results, dprime

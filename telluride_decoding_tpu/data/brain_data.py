@@ -320,6 +320,12 @@ class BrainDataset:
     def num_frames(self) -> int:
         return self._in1.shape[0]
 
+    @property
+    def has_batch_transforms(self) -> bool:
+        """True when iteration applies mixup/mismatch transforms, so
+        the raw arrays differ from the iterated stream."""
+        return self._mixup or self._mismatch
+
     def all_arrays(self):
         return self._in1, self._in2, self._out, self._attended
 

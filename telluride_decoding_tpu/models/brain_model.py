@@ -43,7 +43,8 @@ def _dataset_arrays(dataset) -> Tuple[np.ndarray, np.ndarray,
     Accepts a BrainDataset (fast path: preassembled arrays) or any
     iterable of (input_dict, output) minibatches.
     """
-    if isinstance(dataset, BrainDataset):
+    if isinstance(dataset, BrainDataset) and \
+            not dataset.has_batch_transforms:
         return dataset.all_arrays()
     xs, x2s, ys, ats = [], [], [], []
     for inputs, y in dataset:

@@ -82,10 +82,17 @@ class BrainModelCCA(BrainModel):
                 'rot2': jnp.zeros((self._input2_width, dims))}
 
     def apply(self, params, input_dict):
-        r1 = jnp.dot(input_dict['input_1'] - params['mean1'], params['rot1'],
-                     preferred_element_type=jnp.float32)
-        r2 = jnp.dot(input_dict['input_2'] - params['mean2'], params['rot2'],
-                     preferred_element_type=jnp.float32)
+        # Bias-folded rotations: (x - m) @ R = x @ R - m @ R keeps the
+        # (large) input streaming through the MXU in its storage dtype
+        # instead of materializing a centered copy.
+        x1 = input_dict['input_1']
+        x2 = input_dict['input_2']
+        r1 = jnp.dot(x1, params['rot1'].astype(x1.dtype),
+                     preferred_element_type=jnp.float32) - \
+            jnp.dot(params['mean1'], params['rot1'])
+        r2 = jnp.dot(x2, params['rot2'].astype(x2.dtype),
+                     preferred_element_type=jnp.float32) - \
+            jnp.dot(params['mean2'], params['rot2'])
         return jnp.concatenate([r1, r2], axis=1)
 
     def fit(self, dataset, epochs: int = 1, **kwargs):

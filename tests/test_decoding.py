@@ -169,6 +169,51 @@ class TestDnnExperiment:
         assert test_results['pearson_correlation_first'] > 0.7
 
 
+class TestMismatchClassifier:
+
+    def test_classifier_with_mismatch_batches(self, tmp_path,
+                                              trf_records_dir):
+        # New capability: the match-mismatch paradigm end to end (the
+        # reference defines the transform but never wires it,
+        # brain_data.py:45).
+        my_flags = _base_flags(tmp_path, trf_records_dir)
+        my_flags.dnn_regressor = 'classifier'
+        my_flags.mismatch_batch = True
+        my_flags.input2_field = 'intensity'
+        my_flags.output_field = 'intensity'   # Overwritten by labels.
+        my_flags.pre_context = 0
+        my_flags.post_context = 10
+        my_flags.input2_post_context = 10
+        my_flags.hidden_units = '16'
+        my_flags.learning_rate = 1e-3
+        my_flags.epoch_count = 20
+        my_flags.batch_size = 512
+        my_flags.saved_model_dir = None
+        my_flags.summary_dir = str(tmp_path / 's')
+
+        test_brain_data = decoding.brain_data.create_brain_dataset(
+            my_flags.data, my_flags.input_field, my_flags.output_field,
+            frame_rate=my_flags.frame_rate,
+            pre_context=my_flags.pre_context,
+            post_context=my_flags.post_context,
+            in2_fields=my_flags.input2_field,
+            in2_post_context=my_flags.input2_post_context,
+            final_batch_size=my_flags.batch_size,
+            shuffle_buffer_size=1000,
+            data_dir=my_flags.tfexample_dir,
+            train_file_pattern='allbut',
+            validate_file_pattern='trial02',
+            test_file_pattern='trial02')
+        model = decoding.create_brain_model(
+            my_flags, test_brain_data.create_dataset('train'))
+        _, results = decoding.train_and_test(
+            my_flags, test_brain_data, model,
+            epochs=my_flags.epoch_count)
+        # EEG carries the intensity through the TRF, so the classifier
+        # beats chance at spotting mismatched (eeg, intensity) pairs.
+        assert results['accuracy'] > 0.65
+
+
 class TestCheckFiles:
 
     def test_check_files_mode(self, tmp_path, trf_records_dir, capsys):
