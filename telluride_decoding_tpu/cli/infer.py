@@ -142,14 +142,15 @@ def get_data_for_model(tf_dir: str, train_files, test_files,
 def regress_and_correlate(model_object: infer_decoder.Decoder, test_data,
                           window_size: int
                           ) -> Tuple[List[float], List[float]]:
-    """Mean decoder score and mean label per analysis window."""
-    full_results = []
-    labels = []
-    for results, label in model_object.test_by_window(test_data,
-                                                      window_size):
-        full_results.append(float(np.mean(results)))
-        labels.append(float(np.mean(label)))
-    return full_results, labels
+    """Mean decoder score and mean label per analysis window.
+
+    Runs the batched window evaluation (one device program for the
+    whole dataset) — equivalent to iterating test_by_window and
+    averaging each window, without the per-window host loop.
+    """
+    scores, labels = model_object.test_by_window_means(test_data,
+                                                       window_size)
+    return [float(s) for s in scores], [float(l) for l in labels]
 
 
 def load_model(model_dir: str, reducer: str) -> infer_decoder.Decoder:
