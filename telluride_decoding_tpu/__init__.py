@@ -23,3 +23,19 @@ utils    : results/CSV/plot helpers
 """
 
 __version__ = "0.1.0"
+
+_SUBPACKAGES = ('ops', 'solvers', 'models', 'data', 'decode', 'decide',
+                'signal', 'io', 'sweep', 'parallel', 'cli', 'utils')
+
+
+def __getattr__(name):
+    """Lazy subpackage imports: `tdt.models` works without paying for
+    every subpackage (and its jax imports) at package-import time."""
+    if name in _SUBPACKAGES:
+        import importlib
+        module = importlib.import_module(
+            'telluride_decoding_tpu.' + name)
+        globals()[name] = module
+        return module
+    raise AttributeError('module %r has no attribute %r' %
+                         (__name__, name))

@@ -276,6 +276,18 @@ class BrainTrial:
             self._brain_data[channel_name].sr)
         return times, trigger_signal, fixed
 
+    def find_cognionix_trigger_time(self, channel_name: str = 'EXP32',
+                                    level: float = 8000):
+        """First time the Cognionix trigger channel exceeds level."""
+        if channel_name not in self._brain_data:
+            raise ValueError('channel name %s not in brain data %s.' %
+                             (channel_name, self._brain_data))
+        signal = self._brain_data[channel_name]
+        times = np.nonzero(signal.signal > level)[0]
+        if times.size:
+            return float(times[0]) / float(signal.sr)
+        return None
+
     def fix_eeg_offset(self, offset_seconds: float):
         for signal_name in self._brain_data:
             self._brain_data[signal_name].fix_offset(offset_seconds)
