@@ -155,16 +155,16 @@ def main():
             lat.append((time.perf_counter() - t0) * 1000)
         p50 = float(np.percentile(lat, 50))
 
-        # North-star sweep: a full jackknife x lambda grid at
-        # telluride4 scale (32 trials, 9 lambdas) in one program.
+        # North-star sweep: the full codelab-scale jackknife x lambda
+        # grid — 40 trials x 9 lambdas = 360 model fits at the jens
+        # codelab width (2553 lag-stacked channels) in one program.
+        # (The reference documents ~1 hour per fit on a workstation.)
         from telluride_decoding_tpu.sweep.engine import (
             _ridge_sweep_program, _stack_stats, pad_and_stack)
         from telluride_decoding_tpu.ops.covariance import (
             moments_from_arrays)
-        num_files, frames, width = 32, 2000, 352  # 16ch x 22 lags
-        key = jax.random.PRNGKey(3)
-        xs_list, ys_list, stats_list = [], [], []
-        datakeys = jax.random.split(key, num_files)
+        num_files, frames, width = 40, 3300, 2553
+        datakeys = jax.random.split(jax.random.PRNGKey(3), num_files)
 
         @jax.jit
         def make_file(k):
@@ -173,10 +173,12 @@ def main():
                  0.1 * jax.random.normal(k, (frames, 1), jnp.float32))
             return x, y
 
+        xs_list, ys_list = [], []
         for k in datakeys:
             x, y = make_file(k)
             xs_list.append(x)
             ys_list.append(y)
+        jax.block_until_ready(xs_list[-1])
         lambdas9 = jnp.asarray(np.logspace(-6, 2, 9), jnp.float32)
 
         def full_sweep():
@@ -184,8 +186,8 @@ def main():
                      for x, y in zip(xs_list, ys_list)]
             stacked = _stack_stats(stats)
             total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
-            xs, masks = pad_and_stack([np.asarray(v) for v in xs_list])
-            ys, _ = pad_and_stack([np.asarray(v) for v in ys_list])
+            xs, masks = pad_and_stack(xs_list)
+            ys, _ = pad_and_stack(ys_list)
             return _ridge_sweep_program(stacked, total, xs, ys, masks,
                                         lambdas9)
 
@@ -194,9 +196,11 @@ def main():
         sync(full_sweep())
         sweep_s = time.perf_counter() - t0
         print('diag: ridge_solve_ms=%.2f streaming_p50_ms=%.2f '
-              '(includes dispatch RTT) telluride4_sweep_s=%.2f '
-              '(32 files x 9 lambdas, target <60s)' %
-              (ridge_ms, p50, sweep_s), file=sys.stderr)
+              '(includes dispatch RTT) codelab_sweep_s=%.2f '
+              '(40 files x 9 lambdas, width 2553: 360 fits, '
+              'target <60s)' % (ridge_ms, p50, sweep_s),
+              file=sys.stderr)
+        del xs_list, ys_list
     except Exception as e:  # Diagnostics must never break the bench.
         print('diag failed: %s' % e, file=sys.stderr)
 

@@ -57,14 +57,26 @@ def _masked_pearson_first(x: jax.Array, y: jax.Array,
 
 def pad_and_stack(arrays: Sequence[np.ndarray]
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Stacks variable-length [N_i, D] arrays into [F, N_max, D] + mask."""
+    """Stacks variable-length [N_i, D] arrays into [F, N_max, D] + mask.
+
+    Device arrays stay on device (padded with jnp.pad); host arrays
+    build the batch host-side in one buffer. Mixing is fine.
+    """
     max_n = max(a.shape[0] for a in arrays)
-    width = arrays[0].shape[1]
-    stacked = np.zeros((len(arrays), max_n, width), np.float32)
+    all_on_device = all(isinstance(a, jax.Array) for a in arrays)
     mask = np.zeros((len(arrays), max_n), np.float32)
     for i, a in enumerate(arrays):
-        stacked[i, :a.shape[0]] = a
         mask[i, :a.shape[0]] = 1.0
+    if all_on_device:
+        stacked = jnp.stack(
+            [jnp.pad(a.astype(jnp.float32),
+                     ((0, max_n - a.shape[0]), (0, 0)))
+             for a in arrays])
+        return stacked, jnp.asarray(mask)
+    width = arrays[0].shape[1]
+    stacked = np.zeros((len(arrays), max_n, width), np.float32)
+    for i, a in enumerate(arrays):
+        stacked[i, :a.shape[0]] = np.asarray(a)
     return jnp.asarray(stacked), jnp.asarray(mask)
 
 
@@ -81,7 +93,13 @@ def _total_minus(stacked: MomentStats, total: MomentStats,
 def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
                          xs: jax.Array, ys: jax.Array, masks: jax.Array,
                          lambdas: jax.Array, use_ridge: bool = True):
-    """[L, F] held-out correlations from per-file stats + padded data."""
+    """[L, F] held-out correlations from per-file stats + padded data.
+
+    Files evaluate in one vmap (they share nothing); the lambda axis
+    runs sequentially via lax.map so peak memory stays at one
+    [F, D, D] covariance batch instead of [L, F, D, D] — at codelab
+    width (D=2554) the fully-vmapped grid would need ~35 GB of HBM.
+    """
     num_files = xs.shape[0]
 
     def eval_one(file_idx, lamb):
@@ -91,10 +109,9 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
         pred = xs[file_idx] @ solution.w + solution.b
         return _masked_pearson_first(ys[file_idx], pred, masks[file_idx])
 
-    per_lambda = jax.vmap(
+    return jax.lax.map(
         lambda lamb: jax.vmap(lambda f: eval_one(f, lamb))(
-            jnp.arange(num_files)))
-    return per_lambda(lambdas)
+            jnp.arange(num_files)), lambdas)
 
 
 @functools.partial(jax.jit, static_argnames=('dims',))
@@ -110,10 +127,10 @@ def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
         r2 = (ys[file_idx] - sol.mean_y) @ sol.rot_y
         return _masked_pearson_first(r1, r2, masks[file_idx])
 
-    per_lambda = jax.vmap(
+    # Sequential over lambdas, vmapped over files (see ridge note).
+    return jax.lax.map(
         lambda lamb: jax.vmap(lambda f: eval_one(f, lamb))(
-            jnp.arange(num_files)))
-    return per_lambda(lambdas)
+            jnp.arange(num_files)), lambdas)
 
 
 def _shard_over_mesh(arrays, mesh: Optional['jax.sharding.Mesh']):
