@@ -118,16 +118,47 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
 def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
                        xs: jax.Array, ys: jax.Array, masks: jax.Array,
                        lambdas: jax.Array, dims: int):
+    """CCA grid with eigendecomposition reuse across the lambda axis.
+
+    (cov + lamb*I) shares eigenvectors with cov — only the eigenvalues
+    shift — so each held-out file's covariances are diagonalized ONCE
+    (the expensive O(D^3) step) and every lambda reuses the basis with
+    1/sqrt(e + lamb) whitening. The per-(lambda, file) work left is a
+    thin [Dx, Dy] SVD plus evaluation matmuls. Turns O(L*F) eighs into
+    O(F).
+    """
     num_files = xs.shape[0]
 
+    def file_eig(file_idx):
+        stats = _total_minus(stacked_stats, total, file_idx)
+        n = stats.count
+        mean_x = stats.sum_x / n
+        mean_y = stats.sum_y / n
+        denom = n - 1.0
+        cov_xx = stats.sxx / denom - jnp.outer(mean_x, mean_x)
+        cov_yy = stats.syy / denom - jnp.outer(mean_y, mean_y)
+        cov_xy = stats.sxy / denom - jnp.outer(mean_x, mean_y)
+        ex, vx = jnp.linalg.eigh(0.5 * (cov_xx + cov_xx.T))
+        ey, vy = jnp.linalg.eigh(0.5 * (cov_yy + cov_yy.T))
+        return ex, vx, ey, vy, cov_xy, mean_x, mean_y
+
+    eigs = jax.vmap(file_eig)(jnp.arange(num_files))
+
     def eval_one(file_idx, lamb):
-        train_stats = _total_minus(stacked_stats, total, file_idx)
-        sol = solve_cca_from_moments(train_stats, dims, regularization=lamb)
-        r1 = (xs[file_idx] - sol.mean_x) @ sol.rot_x
-        r2 = (ys[file_idx] - sol.mean_y) @ sol.rot_y
+        ex, vx, ey, vy, cov_xy, mean_x, mean_y = [
+            e[file_idx] for e in eigs]
+        inv_x = jax.lax.rsqrt(jnp.maximum(ex + lamb, 1e-12))
+        inv_y = jax.lax.rsqrt(jnp.maximum(ey + lamb, 1e-12))
+        k11 = (vx * inv_x[None, :]) @ vx.T
+        k22 = (vy * inv_y[None, :]) @ vy.T
+        t = k11 @ cov_xy @ k22
+        u, _, vt = jnp.linalg.svd(t, full_matrices=False)
+        rot_x = k11 @ u[:, :dims]
+        rot_y = k22 @ vt.T[:, :dims]
+        r1 = (xs[file_idx] - mean_x[None, :]) @ rot_x
+        r2 = (ys[file_idx] - mean_y[None, :]) @ rot_y
         return _masked_pearson_first(r1, r2, masks[file_idx])
 
-    # Sequential over lambdas, vmapped over files (see ridge note).
     return jax.lax.map(
         lambda lamb: jax.vmap(lambda f: eval_one(f, lamb))(
             jnp.arange(num_files)), lambdas)
