@@ -1,0 +1,239 @@
+"""TF-free reader for TensorFlow checkpoints (TensorBundle format).
+
+The reference persists models as Keras SavedModels; their weights live
+in a TensorBundle: ``variables.index`` (a LevelDB-style SSTable mapping
+variable names to BundleEntry protos) plus ``variables.data-*`` shards
+of raw tensor bytes. This module reads that format with no TensorFlow —
+snappy block decompression, SSTable prefix-compressed blocks, and the
+BundleEntry wire format are implemented directly — enabling one-time
+migration of existing reference models into this framework
+(models.load_reference_saved_model).
+
+Format references: leveldb table_format.md and
+tensorflow/core/util/tensor_bundle.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from telluride_decoding_tpu.data.records import _read_varint
+
+_TABLE_MAGIC = 0xDB4775248B80FB57
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Raw snappy decompression (format_description.txt)."""
+    buf = memoryview(data)
+    total, pos = _read_varint(buf, 0)
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = buf[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:                                # Literal.
+            length = (tag >> 2) + 1
+            if length > 60:
+                extra = length - 60
+                length = int.from_bytes(buf[pos:pos + extra],
+                                        'little') + 1
+                pos += extra
+            out.extend(buf[pos:pos + length])
+            pos += length
+            continue
+        if kind == 1:                                # Copy, 1-byte offset.
+            length = 4 + ((tag >> 2) & 7)
+            offset = ((tag >> 5) << 8) | buf[pos]
+            pos += 1
+        elif kind == 2:                              # Copy, 2-byte offset.
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(buf[pos:pos + 2], 'little')
+            pos += 2
+        else:                                        # Copy, 4-byte offset.
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(buf[pos:pos + 4], 'little')
+            pos += 4
+        if offset == 0:
+            raise ValueError('snappy: zero copy offset')
+        start = len(out) - offset
+        for i in range(length):                      # May self-overlap.
+            out.append(out[start + i])
+    if len(out) != total:
+        raise ValueError('snappy: size mismatch (%d != %d)' %
+                         (len(out), total))
+    return bytes(out)
+
+
+def _read_block(data: bytes, offset: int, size: int) -> bytes:
+    """One SSTable block: payload + 1-byte type + 4-byte crc."""
+    block = data[offset:offset + size]
+    block_type = data[offset + size]
+    if block_type == 1:
+        return snappy_decompress(block)
+    if block_type != 0:
+        raise ValueError('Unsupported block compression %d' % block_type)
+    return block
+
+
+def _parse_block_entries(block: bytes) -> List[Tuple[bytes, bytes]]:
+    """Prefix-compressed (key, value) entries of one block."""
+    if len(block) < 4:
+        return []
+    num_restarts = struct.unpack_from('<I', block, len(block) - 4)[0]
+    data_end = len(block) - 4 - 4 * num_restarts
+    buf = memoryview(block)
+    entries = []
+    pos = 0
+    key = b''
+    while pos < data_end:
+        shared, pos = _read_varint(buf, pos)
+        non_shared, pos = _read_varint(buf, pos)
+        value_len, pos = _read_varint(buf, pos)
+        key = key[:shared] + bytes(buf[pos:pos + non_shared])
+        pos += non_shared
+        value = bytes(buf[pos:pos + value_len])
+        pos += value_len
+        entries.append((key, value))
+    return entries
+
+
+def _read_sstable(path: str) -> Dict[bytes, bytes]:
+    """All (key, value) pairs of an SSTable file."""
+    with open(path, 'rb') as f:
+        data = f.read()
+    footer = data[-48:]
+    magic = struct.unpack_from('<Q', footer, 40)[0]
+    if magic != _TABLE_MAGIC:
+        raise ValueError('%s: not an SSTable (bad magic).' % path)
+    buf = memoryview(footer)
+    meta_off, pos = _read_varint(buf, 0)
+    meta_size, pos = _read_varint(buf, pos)
+    index_off, pos = _read_varint(buf, pos)
+    index_size, pos = _read_varint(buf, pos)
+    index_block = _read_block(data, index_off, index_size)
+    result: Dict[bytes, bytes] = {}
+    for _, handle in _parse_block_entries(index_block):
+        hbuf = memoryview(handle)
+        off, hpos = _read_varint(hbuf, 0)
+        size, _ = _read_varint(hbuf, hpos)
+        for key, value in _parse_block_entries(_read_block(data, off,
+                                                           size)):
+            result[key] = value
+    return result
+
+
+# TF DataType enum values we care about.
+_DTYPES = {1: np.dtype('<f4'), 2: np.dtype('<f8'), 3: np.dtype('<i4'),
+           7: np.dtype(object),  # DT_STRING
+           9: np.dtype('<i8'), 10: np.dtype(bool)}
+
+
+def _parse_bundle_entry(value: bytes) -> Dict:
+    """BundleEntryProto: dtype(1) shape(2) shard(3) offset(4) size(5)."""
+    buf = memoryview(value)
+    entry = {'dtype': 1, 'shape': [], 'shard_id': 0, 'offset': 0,
+             'size': 0}
+    pos, end = 0, len(buf)
+    while pos < end:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+            if field == 1:
+                entry['dtype'] = v
+            elif field == 3:
+                entry['shard_id'] = v
+            elif field == 4:
+                entry['offset'] = v
+            elif field == 5:
+                entry['size'] = v
+        elif wire == 2:
+            length, pos = _read_varint(buf, pos)
+            payload = buf[pos:pos + length]
+            pos += length
+            if field == 2:  # TensorShapeProto: repeated Dim{size=1}.
+                spos, send = 0, len(payload)
+                dims = []
+                while spos < send:
+                    stag, spos = _read_varint(payload, spos)
+                    if stag >> 3 == 2 and stag & 7 == 2:   # dim
+                        dlen, spos = _read_varint(payload, spos)
+                        dbuf = payload[spos:spos + dlen]
+                        spos += dlen
+                        dpos = 0
+                        while dpos < dlen:
+                            dtag, dpos = _read_varint(dbuf, dpos)
+                            if dtag >> 3 == 1 and dtag & 7 == 0:
+                                dval, dpos = _read_varint(dbuf, dpos)
+                                dims.append(dval)
+                            else:
+                                break
+                    else:
+                        slen, spos = _read_varint(payload, spos)
+                        spos += slen
+                entry['shape'] = dims
+        elif wire == 5:
+            pos += 4   # fixed32 (crc32c, field 6).
+        elif wire == 1:
+            pos += 8   # fixed64.
+        else:
+            raise ValueError('BundleEntry: unexpected wire type %d' % wire)
+    return entry
+
+
+def read_tensor_bundle(prefix: str) -> Dict[str, np.ndarray]:
+    """Reads all tensors of a bundle, e.g. prefix='.../variables'.
+
+    Returns {variable name: array}; DT_STRING tensors come back as
+    object arrays of bytes. The internal _CHECKPOINTABLE_OBJECT_GRAPH
+    entry is skipped.
+    """
+    table = _read_sstable(prefix + '.index')
+    shards: Dict[int, bytes] = {}
+    num_shards = 1
+    tensors: Dict[str, np.ndarray] = {}
+    for key, value in table.items():
+        name = key.decode('utf-8', errors='replace')
+        if not name or name.startswith('_CHECKPOINTABLE'):
+            continue
+        entry = _parse_bundle_entry(value)
+        shard = entry['shard_id']
+        if shard not in shards:
+            path = '%s.data-%05d-of-%05d' % (prefix, shard, num_shards)
+            if not os.path.exists(path):
+                import glob
+                matches = glob.glob('%s.data-%05d-of-*' % (prefix, shard))
+                if not matches:
+                    raise FileNotFoundError(path)
+                path = matches[0]
+            with open(path, 'rb') as f:
+                shards[shard] = f.read()
+        raw = shards[shard][entry['offset']:entry['offset'] +
+                            entry['size']]
+        dtype = _DTYPES.get(entry['dtype'])
+        if dtype is None:
+            continue  # Unsupported type: skip rather than fail.
+        if entry['dtype'] == 7:  # DT_STRING: varint offsets then bytes.
+            buf = memoryview(raw)
+            count = int(np.prod(entry['shape'])) if entry['shape'] else 1
+            lengths = []
+            pos = 0
+            for _ in range(count):
+                v, pos = _read_varint(buf, pos)
+                lengths.append(v)
+            pos += 4  # crc32c of the length table (fixed32).
+            values = []
+            for length in lengths:
+                values.append(bytes(buf[pos:pos + length]))
+                pos += length
+            arr = np.array(values, dtype=object).reshape(
+                entry['shape'] or ())
+        else:
+            arr = np.frombuffer(raw, dtype=dtype).reshape(entry['shape'])
+        tensors[name] = arr
+    return tensors

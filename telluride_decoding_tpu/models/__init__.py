@@ -12,3 +12,6 @@ from telluride_decoding_tpu.models.cca import (
     BrainModelCCA,
     BrainModelDCCA,
 )
+from telluride_decoding_tpu.models.migrate import (
+    load_reference_saved_model,
+)
