@@ -194,16 +194,31 @@ class Decoder:
 
     def load_decoding_model(self, saved_model_dir: str,
                             object_dict: Optional[Dict] = None):
-        """Loads a model saved by models.BrainModel.save, pulling the
-        embedded telluride metadata (reference infer_decoder.py:250-286).
-        object_dict is accepted for API parity and ignored (custom
-        functions are registered via the model registry)."""
+        """Loads a saved model, pulling the embedded telluride metadata
+        (reference infer_decoder.py:250-286).
+
+        Accepts either this framework's native format (model.json +
+        weights.npz) or a reference TF SavedModel directory, which is
+        migrated on the fly (models.migrate) — existing reference
+        artifacts serve without conversion. object_dict is accepted for
+        API parity and ignored (custom functions come from the model
+        registry)."""
         del object_dict
         if not saved_model_dir or not isinstance(saved_model_dir, str):
             raise TypeError('Must provide a file name (string) to '
                             'load-model, not a %s.' % type(saved_model_dir))
-        from telluride_decoding_tpu.models import load_model
-        self._decoding_model = load_model(saved_model_dir)
+        if os.path.exists(os.path.join(saved_model_dir, 'model.json')):
+            from telluride_decoding_tpu.models import load_model
+            self._decoding_model = load_model(saved_model_dir)
+        elif os.path.exists(os.path.join(saved_model_dir,
+                                         'saved_model.pb')):
+            from telluride_decoding_tpu.models.migrate import (
+                load_reference_saved_model)
+            self._decoding_model = load_reference_saved_model(
+                saved_model_dir)
+        else:
+            from telluride_decoding_tpu.models import load_model
+            self._decoding_model = load_model(saved_model_dir)
         if self._decoding_model.telluride_metadata:
             self._decoding_model_params = json.loads(
                 self._decoding_model.telluride_metadata)
@@ -520,6 +535,19 @@ def create_decoder(model_tag: str, reduction: str = 'lda',
             return CCADecoder(model, reduction=reduction)
         if model_class:
             return LinearRegressionDecoder(model, reduction=reduction)
+    if os.path.isfile(os.path.join(model_tag, 'saved_model.pb')):
+        # Reference SavedModel: sniff the checkpoint variable names.
+        try:
+            from telluride_decoding_tpu.io.tf_checkpoint import (
+                read_tensor_bundle)
+            tensors = read_tensor_bundle(
+                os.path.join(model_tag, 'variables', 'variables'))
+            if any('rot1' in k for k in tensors):
+                return CCADecoder(model, reduction=reduction)
+            if any('kernel' in k for k in tensors):
+                return LinearRegressionDecoder(model, reduction=reduction)
+        except Exception:
+            pass
     tag = model_tag.lower()
     if 'linear' in tag or 'fullyconnected' in tag:
         return LinearRegressionDecoder(model, reduction=reduction)
