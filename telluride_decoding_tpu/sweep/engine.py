@@ -109,6 +109,37 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
         pred = xs[file_idx] @ solution.w + solution.b
         return _masked_pearson_first(ys[file_idx], pred, masks[file_idx])
 
+    if lambdas.shape[0] >= 6 and use_ridge:
+        # Large grids amortize one eigendecomposition per file:
+        # (cov + lamb I)^-1 b = V diag(1/(e + lamb)) V^T b, so every
+        # additional lambda costs two thin matmuls instead of an
+        # O(D^3) solve. (Augmented covariance is symmetric PSD.)
+        def file_eig(file_idx):
+            stats = _total_minus(stacked_stats, total, file_idx)
+            n = stats.count
+            from telluride_decoding_tpu.solvers.ridge import (
+                _augmented_moments)
+            szz, szy = _augmented_moments(stats)
+            cov_x = szz / n
+            cov_xy = szy / n
+            e, v = jnp.linalg.eigh(0.5 * (cov_x + cov_x.T))
+            return e, v, v.T @ cov_xy
+
+        eigs = jax.vmap(file_eig)(jnp.arange(num_files))
+
+        def eval_eig(file_idx, lamb):
+            e, v, vt_cov_xy = [a[file_idx] for a in eigs]
+            solution = v @ (vt_cov_xy / (e + lamb)[:, None])
+            w = solution[:-1, :]
+            b = solution[-1, :]
+            pred = xs[file_idx] @ w + b
+            return _masked_pearson_first(ys[file_idx], pred,
+                                         masks[file_idx])
+
+        return jax.lax.map(
+            lambda lamb: jax.vmap(lambda f: eval_eig(f, lamb))(
+                jnp.arange(num_files)), lambdas)
+
     return jax.lax.map(
         lambda lamb: jax.vmap(lambda f: eval_one(f, lamb))(
             jnp.arange(num_files)), lambdas)
