@@ -102,6 +102,11 @@ class BrainData:
         self.validate_file_pattern = validate_file_pattern or ''
         self.test_file_pattern = test_file_pattern or ''
         self.features: Dict[str, records.FeatureSpec] = {}
+        # File-list shuffling is SEEDED by default (reproducible
+        # experiments, unlike the reference's per-instance
+        # random.shuffle, brain_data.py:203-207); pass
+        # shuffle_seed=None for the reference's fresh-randomness
+        # behavior (e.g. random allbut_NN subsets per run).
         self._rng = np.random.RandomState(shuffle_seed)
         self._cached_file_names: List[str] = []
         self.all_files()
