@@ -443,7 +443,8 @@ class TFExampleData(BrainData):
     """TFRecord-file dataset (reference TFExampleData,
     brain_data.py:645-927), decoded with the TF-free records module."""
 
-    _file_cache: Dict[str, Dict[str, np.ndarray]] = {}
+    # {filename: (mtime, arrays)} — invalidated when the file changes.
+    _file_cache: Dict[str, tuple] = {}
 
     def _get_data_file_names(self):
         if not self.data_dir:
@@ -466,12 +467,14 @@ class TFExampleData(BrainData):
             self._cached_file_names[0])
 
     def file_arrays(self, filename: str):
+        mtime = os.path.getmtime(filename)
         cached = TFExampleData._file_cache.get(filename)
-        if cached is None:
-            cached = records.read_tfrecords(filename)
+        if cached is None or cached[0] != mtime:
+            arrays = records.read_tfrecords(filename)
             if len(TFExampleData._file_cache) < 64:
-                TFExampleData._file_cache[filename] = cached
-        return self._select_fields(cached)
+                TFExampleData._file_cache[filename] = (mtime, arrays)
+            cached = (mtime, arrays)
+        return self._select_fields(cached[1])
 
 
 def create_brain_dataset(data_type: str, in_fields, out_field: str,

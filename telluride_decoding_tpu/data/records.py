@@ -329,6 +329,13 @@ def write_tfrecords(path: str, payloads: Iterator[bytes]):
             f.write(struct.pack('<I', masked_crc32c(payload)))
 
 
+def _data_ptr(data: bytes):
+    """Zero-copy uint8 pointer into a bytes object for ctypes calls."""
+    import ctypes
+    view = np.frombuffer(data, np.uint8)
+    return view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
 def _native_scan(data: bytes, validate: bool = True):
     """Record (offsets, lengths) via the C++ scanner, or None."""
     from telluride_decoding_tpu import _native
@@ -336,7 +343,7 @@ def _native_scan(data: bytes, validate: bool = True):
     if lib is None:
         return None
     import ctypes
-    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    buf = _data_ptr(data)
     # First pass with zero capacity gets the count.
     count = lib.tdt_scan_records(buf, len(data), int(validate),
                                  None, None, 0)
@@ -420,7 +427,7 @@ def read_tfrecords(path: str,
                 from telluride_decoding_tpu import _native
                 import ctypes
                 lib = _native.lib()
-                buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+                buf = _data_ptr(data)
                 n = len(offsets)
                 result = {}
                 for name, width in specs.items():
