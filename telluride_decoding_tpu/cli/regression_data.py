@@ -364,8 +364,20 @@ class RegressionDataJensImpaired(RegressionData):
                         'derivatives/stimuli/sub{:03d}/masker/m{:03d}.mat'
                         .format(sid + 1, trial_idx)))['dat']['feat']
                     diff = int(masker_start[0] - start)
-                    masker = np.concatenate((np.zeros(diff),
-                                             masker[:-diff]))
+                    if diff < 0:
+                        raise ValueError(
+                            'Subject %s trial %d: masker starts %d '
+                            'samples BEFORE the target; data looks '
+                            'corrupt.' % (subject_dir, trial_idx, -diff))
+                    if diff > 0:
+                        masker = np.concatenate((np.zeros(diff),
+                                                 masker[:-diff]))
+                    if len(masker) != len(target):
+                        raise ValueError(
+                            'Subject %s trial %d: masker/target length '
+                            'mismatch (%d vs %d).' %
+                            (subject_dir, trial_idx, len(masker),
+                             len(target)))
                     trial_key = 'trial_{:02d}_dual_speaker'.format(
                         trial_idx)
                 else:

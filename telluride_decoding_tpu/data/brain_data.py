@@ -471,7 +471,8 @@ class TFExampleData(BrainData):
         cached = TFExampleData._file_cache.get(filename)
         if cached is None or cached[0] != mtime:
             arrays = records.read_tfrecords(filename)
-            if len(TFExampleData._file_cache) < 64:
+            if (filename in TFExampleData._file_cache or
+                    len(TFExampleData._file_cache) < 64):
                 TFExampleData._file_cache[filename] = (mtime, arrays)
             cached = (mtime, arrays)
         return self._select_fields(cached[1])
@@ -485,7 +486,10 @@ def create_brain_dataset(data_type: str, in_fields, out_field: str,
         raise TypeError('create_brain_dataset type must be a string.')
     if frame_rate <= 0:
         raise ValueError('frame_rate must be greater than 0.')
-    kwargs = {k: v for k, v in kwargs.items() if v is not None}
+    # None means "absent" for optional fields/patterns — except
+    # shuffle_seed, where None explicitly requests fresh randomness.
+    kwargs = {k: v for k, v in kwargs.items()
+              if v is not None or k == 'shuffle_seed'}
     if data_type in ('tfrecord', 'tfrecords', 'tfexample'):
         return TFExampleData(in_fields, out_field, frame_rate, **kwargs)
     if data_type == 'test':

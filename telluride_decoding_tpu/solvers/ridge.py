@@ -133,6 +133,13 @@ def calculate_linear_regressor_parameters(x, y, lamb=0.1,
     order-dependent approximation; with in-memory data the exact version
     is both cheaper and better).
     """
+    if not use_ridge and isinstance(lamb, (int, float)) and \
+            lamb != -1 and not 0 <= lamb <= 1:
+        # Shrinkage interpolates eigenvalues toward their mean; outside
+        # [0, 1] the blended matrix is not a covariance (reference
+        # brain_model.py:466-469 raises the same way).
+        raise ValueError('Regularization lambda must be between 0 and '
+                         '1, not %g.' % lamb)
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     if x.shape[0] > block:

@@ -178,8 +178,18 @@ def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
     def eval_one(file_idx, lamb):
         ex, vx, ey, vy, cov_xy, mean_x, mean_y = [
             e[file_idx] for e in eigs]
-        inv_x = jax.lax.rsqrt(jnp.maximum(ex + lamb, 1e-12))
-        inv_y = jax.lax.rsqrt(jnp.maximum(ey + lamb, 1e-12))
+        # Match solve_cca_from_moments: degenerate eigendirections
+        # (float32 eigh can return small negatives on rank-deficient
+        # covariances) are ZEROED out of the whitening product, not
+        # clamped to 1e-12 (which would amplify them ~1e6x).
+        def inv_sqrt(e):
+            shifted = e + lamb
+            return jnp.where(shifted > 1e-12,
+                             jax.lax.rsqrt(jnp.maximum(shifted, 1e-12)),
+                             0.0)
+
+        inv_x = inv_sqrt(ex)
+        inv_y = inv_sqrt(ey)
         k11 = (vx * inv_x[None, :]) @ vx.T
         k22 = (vy * inv_y[None, :]) @ vy.T
         t = k11 @ cov_xy @ k22
