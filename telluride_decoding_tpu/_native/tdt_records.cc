@@ -240,8 +240,10 @@ int64_t tdt_scan_records(const uint8_t* data, int64_t size, int validate,
 }
 
 // Decodes feature `name` from `num` records into out [num, width].
-// Rows with missing/short features are zero-filled. Returns rows
-// decoded, or -1 on malformed proto.
+// STRICT: a row whose feature is missing, unpacked, or not exactly
+// `width` floats fails the whole call (returns -(row+2)) so the caller
+// falls back to the tolerant pure-Python parser instead of silently
+// zero-filling. Malformed protos return -1.
 int64_t tdt_read_feature(const uint8_t* data, const int64_t* offsets,
                          const int64_t* lengths, int64_t num,
                          const char* name, float* out, int64_t width) {
@@ -251,10 +253,8 @@ int64_t tdt_read_feature(const uint8_t* data, const int64_t* offsets,
     int64_t got = FindFloatFeature(data + offsets[r], lengths[r], name,
                                    name_len, &values);
     if (got < 0) return -1;
-    int64_t copy = got < width ? got : width;
-    if (copy > 0) std::memcpy(out + r * width, values, copy * 4);
-    if (copy < width)
-      std::memset(out + r * width + copy, 0, (width - copy) * 4);
+    if (got != width || values == nullptr) return -(r + 2);
+    std::memcpy(out + r * width, values, width * 4);
   }
   return num;
 }

@@ -455,7 +455,14 @@ def read_tfrecords(path: str,
             if fields is not None and name not in fields:
                 continue
             rows.setdefault(name, []).append(value)
-    return {name: np.stack(values) for name, values in rows.items()}
+    try:
+        return {name: np.stack(values) for name, values in rows.items()}
+    except ValueError as error:
+        counts = {name: len(values) for name, values in rows.items()}
+        raise ValueError(
+            '%s: inconsistent records (per-feature counts %s; a feature '
+            'is missing from some records or changes width): %s' %
+            (path, counts, error))
 
 
 def convert_data_to_tfrecords(data_dict: Dict[str, np.ndarray],

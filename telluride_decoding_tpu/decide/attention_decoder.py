@@ -130,7 +130,7 @@ def _ssd_update(state: SsdState, consts: SsdConstants,
         lam = consts.lambda_state
 
         def inner_body(_, inner_carry):
-            z_kk, sig_kk, eta = inner_carry
+            z_kk, sig_kk, eta, _ = inner_carry
 
             # Forward Kalman filter over the window with Newton updates.
             def filter_step(carry, inputs):
@@ -183,15 +183,15 @@ def _ssd_update(state: SsdState, consts: SsdConstants,
                    sig_cap[1:] + sig_cap[:-1] -
                    2.0 * sig_cap[1:] * sm + 2 * consts.b_0) / (
                        1 + 2 * (consts.a_0 + 1))
-            return z_kk, sig_kk, eta
+            return z_kk, sig_kk, eta, z_cap
 
-        z_kk, sig_kk, eta = jax.lax.fori_loop(
-            0, inner_iter, inner_body, (z_kk, sig_kk, eta))
+        z_kk, sig_kk, eta, z_cap = jax.lax.fori_loop(
+            0, inner_iter, inner_body,
+            (z_kk, sig_kk, eta, jnp.concatenate([z_kk[:1], z])))
 
-        # Recompute smoothed z for the next outer iteration: re-run the
-        # smoother pass is embedded above; the reference reuses
-        # z_k_k_cap[1:]. We recompute z from the filtered state.
-        z = z_kk[1:]
+        # The next outer E-step uses the SMOOTHED state
+        # (reference: z = z_k_k_cap[1:]).
+        z = z_cap[1:]
         return mu_d, rho_d, z_kk, sig_kk, eta, z
 
     z0 = state.z_kk[1:]
@@ -199,10 +199,12 @@ def _ssd_update(state: SsdState, consts: SsdConstants,
         0, outer_iter, outer_body,
         (state.mu_d, state.rho_d, state.z_kk, state.sig_kk, state.eta, z0))
 
+    # Carry the smoothed head into the next window
+    # (reference: z_k_k[0] = z_k_k_cap[1]).
     new_state = state._replace(mu_d=mu_d, rho_d=rho_d,
-                               z_kk=z_kk.at[0].set(z_kk[1]),
+                               z_kk=z_kk.at[0].set(z[0]),
                                sig_kk=sig_kk, eta=eta)
-    return new_state, z[-1], eta[-1]
+    return new_state, z, eta
 
 
 class StateSpaceAttentionDecoder(AttentionDecoder):
@@ -296,12 +298,14 @@ class StateSpaceAttentionDecoder(AttentionDecoder):
         self._state = state
         if self.calls < self.k_w:
             return (0.5, 0.5, 0.5)
-        new_state, z_last, eta_last = _ssd_update(
+        new_state, z_window, eta_window = _ssd_update(
             state, self._constants(), self.outer_iter, self.inner_iter,
             self.newton_iter, self.k_w)
         self._state = new_state
-        z = float(z_last)
-        eta = float(eta_last)
+        # Fixed-lag output: the estimate k_f frames back
+        # (reference: z_smoothed[-1 - k_f]).
+        z = float(z_window[-1 - self.k_f])
+        eta = float(eta_window[-1 - self.k_f])
         self.z_dyn.append(z)
         self.eta_dyn.append(eta)
         # Note: the reference returns (mean, sigmoid(z+c0*s),

@@ -35,11 +35,17 @@ def _num(field: bytes) -> float:
 
 
 def read_edf(path: str) -> Dict[str, Any]:
-    """Reads an EDF file into header dicts + per-channel float arrays."""
+    """Reads an EDF or BDF file into header dicts + channel arrays.
+
+    BDF (BioSemi) is the 24-bit variant: first header byte 0xFF and
+    3-byte little-endian samples instead of EDF's 16-bit; everything
+    else shares the layout.
+    """
     with open(path, 'rb') as f:
         raw = f.read()
     if len(raw) < 256:
         raise ValueError('%s: too short to be an EDF file.' % path)
+    is_bdf = raw[0] == 0xFF
     header = {
         'version': _ascii(raw[0:8]),
         'patient': _ascii(raw[8:88]),
@@ -80,7 +86,15 @@ def read_edf(path: str) -> Dict[str, Any]:
     sample_rates = [spr / record_duration for spr in samples_per_record]
 
     record_len = sum(samples_per_record)
-    data = np.frombuffer(raw, dtype='<i2', offset=header_bytes)
+    if is_bdf:
+        # 24-bit LE samples: combine 3 bytes and sign-extend.
+        bytes3 = np.frombuffer(raw, dtype=np.uint8, offset=header_bytes)
+        usable = (bytes3.shape[0] // 3) * 3
+        bytes3 = bytes3[:usable].reshape(-1, 3).astype(np.int32)
+        data = (bytes3[:, 0] | (bytes3[:, 1] << 8) | (bytes3[:, 2] << 16))
+        data = np.where(data >= (1 << 23), data - (1 << 24), data)
+    else:
+        data = np.frombuffer(raw, dtype='<i2', offset=header_bytes)
     if num_records < 0:  # Unknown length: infer from the file size.
         num_records = data.shape[0] // record_len
     data = data[:num_records * record_len].reshape(num_records, record_len)
@@ -140,8 +154,9 @@ def write_edf(path: str, signals: Sequence[np.ndarray],
               labels: Sequence[str], sample_rates: Sequence[float],
               record_duration: float = 1.0,
               physical_range: Optional[Sequence[float]] = None,
-              patient: str = 'X', recording: str = 'X'):
-    """Writes float signals as an EDF file (int16 quantized)."""
+              patient: str = 'X', recording: str = 'X',
+              bdf: bool = False):
+    """Writes float signals as EDF (int16) or BDF (24-bit) files."""
     ns = len(signals)
     if not (len(labels) == len(sample_rates) == ns):
         raise ValueError('signals, labels, sample_rates must align.')
@@ -152,6 +167,9 @@ def write_edf(path: str, signals: Sequence[np.ndarray],
         int(math.ceil(s.shape[0] / spr))
         for s, spr in zip(signals, samples_per_record))
 
+    dig_range = (1 << 24) - 1 if bdf else 65535
+    dig_min = -(1 << 23) if bdf else -32768
+    dig_max = (1 << 23) - 1 if bdf else 32767
     phys_mins, phys_maxs = [], []
     digital_rows = []
     for sig, spr in zip(signals, samples_per_record):
@@ -165,18 +183,28 @@ def write_edf(path: str, signals: Sequence[np.ndarray],
             hi = float(np.max(padded))
             if hi <= lo:
                 hi = lo + 1.0
-        gain = (hi - lo) / 65535.0
-        digital = np.round((padded - lo) / gain - 32768.0)
-        digital_rows.append(np.clip(digital, -32768,
-                                    32767).astype('<i2').reshape(
-                                        num_records, spr))
+        gain = (hi - lo) / dig_range
+        digital = np.round((padded - lo) / gain + dig_min)
+        digital = np.clip(digital, dig_min, dig_max).astype(np.int32)
+        if bdf:
+            u = (digital & 0xFFFFFF).astype(np.uint32)
+            row_bytes = np.stack([u & 0xFF, (u >> 8) & 0xFF,
+                                  (u >> 16) & 0xFF],
+                                 axis=1).astype(np.uint8)
+            digital_rows.append(row_bytes.reshape(num_records, spr * 3))
+        else:
+            digital_rows.append(digital.astype('<i2').reshape(
+                num_records, spr))
         phys_mins.append(lo)
         phys_maxs.append(hi)
 
     header_bytes = 256 + 256 * ns
     now = datetime.datetime(2000, 1, 1)
     out = bytearray()
-    out += _pad_ascii('0', 8)
+    if bdf:
+        out += b'\xffBIOSEMI'
+    else:
+        out += _pad_ascii('0', 8)
     out += _pad_ascii(patient, 80)
     out += _pad_ascii(recording, 80)
     out += _pad_ascii(now.strftime('%d.%m.%y'), 8)
@@ -195,8 +223,8 @@ def write_edf(path: str, signals: Sequence[np.ndarray],
     out += column(['uV'] * ns, 8)                     # dimension
     out += column(['%g' % v for v in phys_mins], 8)
     out += column(['%g' % v for v in phys_maxs], 8)
-    out += column(['-32768'] * ns, 8)
-    out += column(['32767'] * ns, 8)
+    out += column([str(dig_min)] * ns, 8)
+    out += column([str(dig_max)] * ns, 8)
     out += column([''] * ns, 80)                      # prefilter
     out += column([str(s) for s in samples_per_record], 8)
     out += column([''] * ns, 32)                      # reserved

@@ -172,14 +172,18 @@ class BrainModel:
         inputs = {'input_1': jnp.asarray(in1), 'input_2': jnp.asarray(in2)}
         y_true = jnp.asarray(out)
 
-        def program(params, inputs, y_true):
-            y_pred = self.apply(params, inputs)
-            results = {'loss': self._metric(self.loss_name, y_true, y_pred)}
-            for name in self.metric_names:
-                results[name] = self._metric(name, y_true, y_pred)
-            return results
-
-        results = jax.jit(program)(self.params, inputs, y_true)
+        # One jitted program, cached on the instance: repeated
+        # evaluations (jackknife loops) must not recompile per call.
+        if not hasattr(self, '_eval_jit'):
+            def program(params, inputs, y_true):
+                y_pred = self.apply(params, inputs)
+                results = {'loss': self._metric(self.loss_name, y_true,
+                                                y_pred)}
+                for name in self.metric_names:
+                    results[name] = self._metric(name, y_true, y_pred)
+                return results
+            self._eval_jit = jax.jit(program)
+        results = self._eval_jit(self.params, inputs, y_true)
         metrics = {k: float(v) for k, v in results.items()}
         if self._tensorboard_dir:
             from telluride_decoding_tpu.utils import summaries

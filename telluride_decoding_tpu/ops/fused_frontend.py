@@ -31,6 +31,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,12 +45,15 @@ def fused_envelope_lagstack_reference(audio, fs_in: float, fs_out: float,
     num_in = audio.shape[0]
     num_out = int(round(num_in / fs_in * fs_out))
     half = 0.5 * window / fs_out
-    m = jnp.arange(num_out, dtype=jnp.float64 if False else jnp.float32)
-    t1 = jnp.maximum(0.0, jnp.round(fs_in * (m / fs_out - half)))
-    t2 = jnp.minimum(float(num_in), jnp.round(fs_in * (m / fs_out + half)))
+    # Window bounds in float64 on host (shapes are static): float32
+    # index math drifts at long horizons (round(fs_in*t) for t in the
+    # millions of samples).
+    m = np.arange(num_out, dtype=np.float64)
+    t1i = jnp.asarray(np.maximum(
+        0, np.round(fs_in * (m / fs_out - half))).astype(np.int32))
+    t2i = jnp.asarray(np.minimum(
+        num_in, np.round(fs_in * (m / fs_out + half))).astype(np.int32))
     csum = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(audio ** 2)])
-    t1i = t1.astype(jnp.int32)
-    t2i = t2.astype(jnp.int32)
     counts = jnp.maximum(t2i - t1i, 1).astype(jnp.float32)
     env = ((csum[t2i] - csum[t1i]) / counts) ** 0.5
     env = env ** exponent
@@ -67,29 +71,36 @@ def _in_stride(fs_in: float, fs_out: float, out_tile: int) -> int:
     return int(round(out_tile * fs_in / fs_out))
 
 
-def _kernel(audio_ref, out_ref, *, fs_in, fs_out, window, exponent,
-            pre, post, out_tile, in_tile, stride, front, num_in,
+def _kernel(starts_ref, audio_ref, out_ref, *, fs_in, fs_out, window,
+            exponent, pre, post, out_tile, in_tile, front, num_in,
             num_out, halo):
     """One tile: envelope for out_tile + 2*halo frames, then lag stack.
 
     audio_ref holds padded-audio samples [tile_start, tile_start +
-    in_tile) where tile_start = i * stride and padded index = original
-    index + front.
+    in_tile); tile_start comes from starts_ref (exact per-tile starts,
+    round(i*out_tile*fs_in/fs_out), so non-dyadic rate ratios don't
+    accumulate drift against a fixed integer stride) and padded index =
+    original index + front.
     """
     i = pl.program_id(0)
     base_out = i * out_tile
-    tile_start = i * stride
+    # Tile-relative coordinates: the host supplies d1 = exact
+    # fs_in*base_out/fs_out - tile_start + front (small), plus the
+    # first-tile low clamp and last-tile high clamp, so all in-kernel
+    # index arithmetic stays small-magnitude (float32-exact) no matter
+    # how long the recording is.
+    d1 = starts_ref[0, 0]
+    lo_clamp = starts_ref[0, 1]
+    hi_clamp = starts_ref[0, 2]
 
     total_out = out_tile + 2 * halo
-    m = (jax.lax.broadcasted_iota(jnp.int32, (total_out, 1), 0)[:, 0]
-         .astype(jnp.float32) + (base_out - halo))
+    m_rel = (jax.lax.broadcasted_iota(jnp.int32, (total_out, 1), 0)[:, 0]
+             .astype(jnp.float32) - halo)
     half = 0.5 * window / fs_out
-    # Original-coordinate bounds, clamped to the recording.
-    t1 = jnp.maximum(0.0, jnp.round(fs_in * (m / fs_out - half)))
-    t2 = jnp.minimum(float(num_in), jnp.round(fs_in * (m / fs_out + half)))
-    # Padded coordinates relative to this tile's first loaded sample.
-    t1r = jnp.clip(t1 + front - tile_start, 0.0, float(in_tile))
-    t2r = jnp.clip(t2 + front - tile_start, 0.0, float(in_tile))
+    t1r = jnp.clip(jnp.round(d1 + fs_in * (m_rel / fs_out - half)),
+                   lo_clamp, float(in_tile))
+    t2r = jnp.clip(jnp.round(d1 + fs_in * (m_rel / fs_out + half)),
+                   0.0, hi_clamp)
 
     # Banded selection matmul on the MXU, accumulated over fixed-size
     # input slabs so the [slab, total_out] selection matrix stays well
@@ -115,7 +126,8 @@ def _kernel(audio_ref, out_ref, *, fs_in, fs_out, window, exponent,
     counts = jnp.maximum(t2r - t1r, 1.0)
     env = (sums / counts) ** 0.5
     env = env ** exponent
-    valid = jnp.logical_and(m >= 0, m < float(num_out))
+    m_global = m_rel + base_out
+    valid = jnp.logical_and(m_global >= 0, m_global < float(num_out))
     env = jnp.where(valid, env, 0.0)
 
     for k in range(pre + 1 + post):
@@ -139,31 +151,43 @@ def fused_envelope_lagstack(audio, fs_in: float, fs_out: float,
     num_in = audio.shape[0]
     num_out = int(round(num_in / fs_in * fs_out))
     halo = max(pre, post)
-    stride = _in_stride(fs_in, fs_out, out_tile)
     # Margin: the widest reach beyond a tile's nominal input span, from
     # halo frames plus half the averaging window plus rounding slack.
     margin = int(math.ceil(fs_in * (halo + 1) / fs_out +
                            0.5 * window * fs_in / fs_out)) + 2
-    in_tile = stride + 2 * margin
+    in_tile = _in_stride(fs_in, fs_out, out_tile) + 2 * margin
     in_tile += (-in_tile) % _SLAB  # Slab-align for the in-kernel loop.
     num_tiles = max(1, (num_out + out_tile - 1) // out_tile)
+    # Exact per-tile input starts (no cumulative rounding drift for
+    # non-dyadic fs ratios).
+    starts_np = np.round(np.arange(num_tiles) * out_tile * fs_in /
+                         fs_out).astype(np.int64)
     front = margin
-    back = max(0, (num_tiles - 1) * stride + in_tile - (num_in + front))
+    back = max(0, int(starts_np[-1]) + in_tile - (num_in + front))
     padded = jnp.pad(audio, (front, back))
 
-    # Overlapping input tiles (stride < in_tile) as [num_tiles, 1,
-    # in_tile]; BlockSpec indexes whole blocks, so the overlap is
-    # materialized by this gather (fused by XLA into the operand
-    # stream).
-    starts = jnp.arange(num_tiles) * stride
+    # Overlapping input tiles as [num_tiles, 1, in_tile]; BlockSpec
+    # indexes whole blocks, so the overlap is materialized by this
+    # gather (fused by XLA into the operand stream).
+    starts = jnp.asarray(starts_np)
     idx = starts[:, None] + jnp.arange(in_tile)[None, :]
     tiles = jnp.take(padded, idx, axis=0).reshape(num_tiles, 1, in_tile)
+    # Per-tile scalars (float64 on host; small-magnitude in the kernel):
+    # d1 = exact base input coordinate relative to the tile, plus the
+    # boundary clamps expressed tile-relative.
+    base_in = (np.arange(num_tiles, dtype=np.float64) * out_tile *
+               fs_in / fs_out)
+    d1 = base_in - starts_np + front
+    lo_clamp = np.maximum(front - starts_np, 0)
+    hi_clamp = np.minimum(num_in + front - starts_np, in_tile)
+    starts_arg = jnp.asarray(
+        np.stack([d1, lo_clamp, hi_clamp], axis=1), jnp.float32)
 
     total = pre + 1 + post
     kernel = functools.partial(
         _kernel, fs_in=float(fs_in), fs_out=float(fs_out),
         window=float(window), exponent=float(exponent), pre=pre,
-        post=post, out_tile=out_tile, in_tile=in_tile, stride=stride,
+        post=post, out_tile=out_tile, in_tile=in_tile,
         front=front, num_in=num_in, num_out=num_out, halo=halo)
 
     out = pl.pallas_call(
@@ -171,10 +195,14 @@ def fused_envelope_lagstack(audio, fs_in: float, fs_out: float,
         out_shape=jax.ShapeDtypeStruct((num_tiles * out_tile, total),
                                        jnp.float32),
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec((1, 1, in_tile), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, in_tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((out_tile, total), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tiles)
+    )(starts_arg, tiles)
     return out[:num_out]

@@ -33,7 +33,11 @@ def pearson_correlation(x: jax.Array, y: jax.Array) -> jax.Array:
     y_p = jnp.sum(jnp.square(y_m), axis=0)
     denom = jnp.sqrt(x_p) * jnp.sqrt(y_p)
     corr = jnp.sum(x_m * y_m, axis=0) / jnp.where(denom <= _EPS, 1.0, denom)
-    zero_cond = jnp.logical_or(jnp.prod(x_p) <= 0, jnp.prod(y_p) <= 0)
+    # The reference zeroes everything when prod(power) <= 0
+    # (brain_model.py:75-79, float64 numpy); in jitted float32 that
+    # product under/overflows for many columns, so test the intent
+    # directly: does any column lack power?
+    zero_cond = jnp.logical_or(jnp.any(x_p <= 0), jnp.any(y_p <= 0))
     return jnp.where(zero_cond, jnp.zeros_like(corr), corr)
 
 

@@ -99,12 +99,18 @@ def solve_ridge_from_moments(stats: MomentStats,
             czc = cov_x_zc / n
             mu_n = jnp.trace(czc) / n_col
             delta = jnp.sum((czc - mu_n * eye) ** 2) / n_col
-            beta_ = jnp.sum(sum_x2tx2 / (n * n) - czc ** 2) / (n_col * n)
+            # Ledoit-Wolf (sklearn form): beta_ =
+            #   (sum(Xc^2' Xc^2)/n - ||S||_F^2) / (p * n).
+            beta_ = (jnp.sum(sum_x2tx2) / n -
+                     jnp.sum(czc ** 2)) / (n_col * n)
             beta = jnp.minimum(beta_, delta)
             auto = jnp.clip(beta / jnp.maximum(delta, 1e-30), 0.0, 1.0)
             shrinkage = jnp.where(lamb == -1, auto, lamb)
         else:
-            shrinkage = lamb
+            # No sum_x2tx2: the -1 auto sentinel cannot be honored;
+            # clamp into the valid shrinkage range (so -1 degrades to
+            # 0 = no shrinkage rather than a non-PSD blend).
+            shrinkage = jnp.clip(lamb, 0.0, 1.0)
         # Blankertz eq. 12: shrink eigenvalues toward the mean.
         cov_r = (1.0 - shrinkage) * cov_x + shrinkage * mu * eye
 
