@@ -23,25 +23,32 @@
 namespace {
 
 uint32_t kCrcTable[8][256];
-bool crc_initialized = false;
 
-void InitCrcTables() {
-  if (crc_initialized) return;
-  const uint32_t poly = 0x82F63B78u;  // CRC-32C reflected.
-  for (uint32_t i = 0; i < 256; ++i) {
-    uint32_t crc = i;
-    for (int k = 0; k < 8; ++k)
-      crc = (crc >> 1) ^ ((crc & 1) ? poly : 0);
-    kCrcTable[0][i] = crc;
-  }
-  for (uint32_t i = 0; i < 256; ++i) {
-    uint32_t crc = kCrcTable[0][i];
-    for (int t = 1; t < 8; ++t) {
-      crc = (crc >> 8) ^ kCrcTable[0][crc & 0xFF];
-      kCrcTable[t][i] = crc;
+struct CrcTableBuilder {
+  CrcTableBuilder() {
+    const uint32_t poly = 0x82F63B78u;  // CRC-32C reflected.
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t crc = i;
+      for (int k = 0; k < 8; ++k)
+        crc = (crc >> 1) ^ ((crc & 1) ? poly : 0);
+      kCrcTable[0][i] = crc;
+    }
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t crc = kCrcTable[0][i];
+      for (int t = 1; t < 8; ++t) {
+        crc = (crc >> 8) ^ kCrcTable[0][crc & 0xFF];
+        kCrcTable[t][i] = crc;
+      }
     }
   }
-  crc_initialized = true;
+};
+
+void InitCrcTables() {
+  // Thread-safe one-time init (ctypes calls release the GIL, so two
+  // Python threads can race a plain flag): C++ guarantees static
+  // locals initialize exactly once.
+  static CrcTableBuilder builder;
+  (void)builder;
 }
 
 uint32_t Crc32c(const uint8_t* data, int64_t size, uint32_t crc = 0) {
@@ -217,6 +224,11 @@ int64_t tdt_scan_records(const uint8_t* data, int64_t size, int validate,
     if (pos + 12 > size) return -(pos + 1);
     uint64_t len;
     std::memcpy(&len, data + pos, 8);
+    // Reject lengths that cannot fit the file: guards against signed
+    // overflow in the bounds arithmetic below (a corrupt length like
+    // 0xFFFFFFFFFFFFFFF0 would otherwise wrap negative and either
+    // read out of bounds or loop forever).
+    if (len > static_cast<uint64_t>(size)) return -(pos + 1);
     if (validate) {
       uint32_t want;
       std::memcpy(&want, data + pos + 8, 4);

@@ -163,6 +163,14 @@ def write_edf(path: str, signals: Sequence[np.ndarray],
     signals = [np.asarray(s, np.float64).reshape(-1) for s in signals]
     samples_per_record = [int(round(sr * record_duration))
                           for sr in sample_rates]
+    if any(spr <= 0 for spr in samples_per_record):
+        raise ValueError('sample_rate * record_duration must round to at '
+                         'least 1 sample per record (rates %s, duration '
+                         '%g).' % (list(sample_rates), record_duration))
+    if physical_range is not None and \
+            physical_range[1] <= physical_range[0]:
+        raise ValueError('physical_range must satisfy max > min, got %s.'
+                         % (tuple(physical_range),))
     num_records = max(
         int(math.ceil(s.shape[0] / spr))
         for s, spr in zip(signals, samples_per_record))

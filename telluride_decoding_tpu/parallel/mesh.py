@@ -18,6 +18,7 @@ parallelism table):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -43,8 +44,10 @@ def shard_frames(x: np.ndarray, mesh: Mesh, axis: str = 'data'
                  ) -> jax.Array:
     """Puts an [N, D] array with frames sharded over a mesh axis.
 
-    N is padded with zero frames to a multiple of the axis size (zero
-    frames contribute nothing to moment sums).
+    N is padded with zero frames to a multiple of the axis size. Zero
+    frames contribute nothing to moment SUMS, but they do occupy rows:
+    pass the true frame count to sharded_moments (count=N) or the
+    padded count will bias means/covariances.
     """
     num = int(np.prod([mesh.shape[a] for a in (axis,)]))
     n = x.shape[0]
@@ -54,25 +57,33 @@ def shard_frames(x: np.ndarray, mesh: Mesh, axis: str = 'data'
     return jax.device_put(x, NamedSharding(mesh, P(axis, None)))
 
 
-def sharded_moments(x: jax.Array, y: jax.Array, mesh: Mesh,
-                    axis: str = 'data', want_syy: bool = False,
-                    count: Optional[float] = None) -> MomentStats:
-    """MomentStats over frame-sharded data: local matmuls + one psum.
-
-    Each device computes moments of its local frame shard on the MXU;
-    a single psum over the ICI ring reduces them. ``count`` overrides
-    the frame count when the input was zero-padded by shard_frames.
-    """
+@functools.lru_cache(maxsize=32)
+def _sharded_moments_fn(mesh: Mesh, axis: str, want_syy: bool):
+    """Jitted shard_map moments, cached per (mesh, axis, want_syy) so
+    repeated calls hit the jit cache instead of retracing."""
     from jax import shard_map
 
     def local_moments(x_shard, y_shard):
         stats = moments_from_arrays(x_shard, y_shard, want_syy=want_syy)
         return jax.tree.map(lambda s: jax.lax.psum(s, axis), stats)
 
-    fn = shard_map(local_moments, mesh=mesh,
-                   in_specs=(P(axis, None), P(axis, None)),
-                   out_specs=P())
-    stats = jax.jit(fn)(x, y)
+    return jax.jit(shard_map(local_moments, mesh=mesh,
+                             in_specs=(P(axis, None), P(axis, None)),
+                             out_specs=P()))
+
+
+def sharded_moments(x: jax.Array, y: jax.Array, mesh: Mesh,
+                    axis: str = 'data', want_syy: bool = False,
+                    count: Optional[float] = None) -> MomentStats:
+    """MomentStats over frame-sharded data: local matmuls + one psum.
+
+    Each device computes moments of its local frame shard on the MXU;
+    a single psum over the ICI ring reduces them. ``count`` MUST be the
+    true (pre-padding) frame count whenever shard_frames padded the
+    input — the padded rows are zeros (sums unaffected) but would
+    inflate the count and bias every derived mean/covariance.
+    """
+    stats = _sharded_moments_fn(mesh, axis, want_syy)(x, y)
     if count is not None:
         stats = stats._replace(count=jnp.asarray(count, jnp.float32))
     return stats
@@ -80,6 +91,12 @@ def sharded_moments(x: jax.Array, y: jax.Array, mesh: Mesh,
 
 def time_sharded_lag_stack(x: jax.Array, pre: int, post: int, mesh: Mesh,
                            axis: str = 'data') -> jax.Array:
+    return _time_sharded_lag_stack_fn(mesh, axis, pre, post)(x)
+
+
+@functools.lru_cache(maxsize=32)
+def _time_sharded_lag_stack_fn(mesh: Mesh, axis: str, pre: int,
+                               post: int):
     """Lag stacking with the time axis sharded across devices.
 
     Each device holds a contiguous [N/d, C] time slice. Before local
@@ -126,4 +143,4 @@ def time_sharded_lag_stack(x: jax.Array, pre: int, post: int, mesh: Mesh,
 
     fn = shard_map(local, mesh=mesh, in_specs=P(axis, None),
                    out_specs=P(axis, None))
-    return jax.jit(fn)(x)
+    return jax.jit(fn)

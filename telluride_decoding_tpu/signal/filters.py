@@ -56,15 +56,23 @@ def _biquad_apply(section, x, zi):
     v = k[None, :, None] * x[:, None, :]
     ms = jnp.broadcast_to(m, (n, 2, 2))
 
+    # precision=HIGHEST is load-bearing: the TPU default (bf16 matmul
+    # inputs) compounds multiplicatively over the recurrence and puts
+    # the filter ~0.25 absolute off scipy; full precision restores
+    # ~1e-6 parity. These are 2x2 matmuls — the cost is irrelevant.
+    highest = jax.lax.Precision.HIGHEST
+
     def combine(left, right):
         m1, v1 = left
         m2, v2 = right
-        return (jnp.einsum('nij,njk->nik', m2, m1),
-                jnp.einsum('nij,njc->nic', m2, v1) + v2)
+        return (jnp.einsum('nij,njk->nik', m2, m1, precision=highest),
+                jnp.einsum('nij,njc->nic', m2, v1,
+                           precision=highest) + v2)
 
     cm, cv = jax.lax.associative_scan(combine, (ms, v))
     # State BEFORE consuming x[n]: z[0] = zi; z[n] = cm[n-1] zi + cv[n-1].
-    z_after = jnp.einsum('nij,jc->nic', cm, zi) + cv         # z[1..N]
+    z_after = jnp.einsum('nij,jc->nic', cm, zi,
+                         precision=highest) + cv             # z[1..N]
     z_before = jnp.concatenate([zi[None], z_after[:-1]], axis=0)
     y = b0 * x + z_before[:, 0, :]
     return y, z_after[-1]

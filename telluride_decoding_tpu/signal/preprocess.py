@@ -49,8 +49,8 @@ class Preprocessor:
             raise ValueError('highpass_order must be positive.')
         if lowpass_cutoff and lowpass_order <= 0:
             raise ValueError('lowpass_order must be positive.')
-        if data_std is not None and data_std == 0:
-            raise ValueError('data_std must not be 0.')
+        if data_std is not None and data_std <= 0:
+            raise ValueError('data_std must be greater than 0.')
         if pre_context < 0 or post_context < 0:
             raise ValueError('context must be >= 0.')
         self._fs_in = fs_in

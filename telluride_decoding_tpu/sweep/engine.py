@@ -62,6 +62,10 @@ def pad_and_stack(arrays: Sequence[np.ndarray]
     Device arrays stay on device (padded with jnp.pad); host arrays
     build the batch host-side in one buffer. Mixing is fine.
     """
+    arrays = [a if getattr(a, 'ndim', 2) != 1
+              else (a[:, None] if isinstance(a, jax.Array)
+                    else np.asarray(a)[:, None])
+              for a in arrays]
     max_n = max(a.shape[0] for a in arrays)
     all_on_device = all(isinstance(a, jax.Array) for a in arrays)
     mask = np.zeros((len(arrays), max_n), np.float32)
@@ -231,10 +235,13 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     """Leave-one-file-out ridge sweep over a lambda grid, one program.
 
     per_file_x[i]: lag-stacked input of file i ([N_i, Dx]);
-    per_file_y[i]: target. Returns correlations[num_lambdas, num_files]
-    where entry (l, f) is the test correlation of a model trained on
-    all files but f with regularization lambdas[l].
+    per_file_y[i]: target ([N_i, Dy] or [N_i]). Returns
+    correlations[num_lambdas, num_files] where entry (l, f) is the test
+    correlation of a model trained on all files but f with
+    regularization lambdas[l].
     """
+    per_file_y = [y if getattr(y, 'ndim', 2) != 1
+                  else jnp.asarray(y)[:, None] for y in per_file_y]
     stats_list = [moments_from_arrays(jnp.asarray(x, jnp.float32),
                                       jnp.asarray(y, jnp.float32))
                   for x, y in zip(per_file_x, per_file_y)]
@@ -260,6 +267,8 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                         ) -> SweepResult:
     """Leave-one-file-out CCA sweep (correlation of first canonical
     pair on the held-out file) over a regularization grid."""
+    per_file_y = [y if getattr(y, 'ndim', 2) != 1
+                  else jnp.asarray(y)[:, None] for y in per_file_y]
     stats_list = [moments_from_arrays(jnp.asarray(x, jnp.float32),
                                       jnp.asarray(y, jnp.float32),
                                       want_syy=True)

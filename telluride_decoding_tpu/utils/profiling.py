@@ -47,7 +47,9 @@ class StageTimer:
             self._counts[stage_name] += 1
 
     def total(self, stage_name: str) -> float:
-        return self._totals[stage_name]
+        # .get, not [ ]: indexing a defaultdict would insert a phantom
+        # 0.0 entry that later hides the stage from report()'s order.
+        return self._totals.get(stage_name, 0.0)
 
     def report(self) -> str:
         lines = ['%s timing:' % self.name]

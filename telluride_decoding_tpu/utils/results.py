@@ -38,9 +38,14 @@ def parse_results_file(path: str) -> Tuple[Dict[str, str],
                     pass
             elif line.startswith('Final_Test/'):
                 name, value = line[len('Final_Test/'):].split(':', 1)
-                values = [float(x) for x in value.split()]
-                metrics[name.strip()] = (values[0] if len(values) == 1
-                                         else sum(values) / len(values))
+                try:
+                    values = [float(x) for x in value.split()]
+                except ValueError:
+                    continue
+                if values:
+                    metrics[name.strip()] = (
+                        values[0] if len(values) == 1
+                        else sum(values) / len(values))
     return parameters, metrics
 
 
