@@ -81,15 +81,21 @@ def _chunk_moments(x: jax.Array, y: jax.Array,
     dtype = jnp.float32
     xf = x.astype(dtype)
     yf = y.astype(dtype)
-    syy = (jnp.dot(yf.T, yf, preferred_element_type=dtype)
+    highest = jax.lax.Precision.HIGHEST  # Solver-grade accuracy: the
+    # TPU default (bf16 operands) costs ~1e-3 relative error in X^T X,
+    # which visibly degrades ridge recovery and CCA eigenvalues.
+    syy = (jnp.dot(yf.T, yf, preferred_element_type=dtype,
+                   precision=highest)
            if want_syy else jnp.zeros((y.shape[1], y.shape[1]), dtype))
     return MomentStats(
         count=jnp.asarray(n, dtype),
         sum_x=jnp.sum(xf, axis=0),
         sum_y=jnp.sum(yf, axis=0),
-        sxx=jnp.dot(xf.T, xf, preferred_element_type=dtype),
+        sxx=jnp.dot(xf.T, xf, preferred_element_type=dtype,
+                    precision=highest),
         syy=syy,
-        sxy=jnp.dot(xf.T, yf, preferred_element_type=dtype),
+        sxy=jnp.dot(xf.T, yf, preferred_element_type=dtype,
+                    precision=highest),
     )
 
 

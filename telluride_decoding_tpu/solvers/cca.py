@@ -46,7 +46,8 @@ def _inv_sqrt_psd(cov: jax.Array, eps_eig: float) -> jax.Array:
     inv_sqrt = jnp.where(vals > eps_eig, jax.lax.rsqrt(jnp.maximum(vals,
                                                                    eps_eig)),
                          0.0)
-    return (vecs * inv_sqrt[None, :]) @ vecs.T
+    return jnp.matmul(vecs * inv_sqrt[None, :], vecs.T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def solve_cca_from_moments(stats: MomentStats, dim: int,
@@ -70,13 +71,15 @@ def solve_cca_from_moments(stats: MomentStats, dim: int,
     cov_yy = cov_yy + regularization * jnp.eye(cov_yy.shape[0],
                                                dtype=cov_yy.dtype)
 
+    highest = jax.lax.Precision.HIGHEST
     k11 = _inv_sqrt_psd(cov_xx, eps_eig)
     k22 = _inv_sqrt_psd(cov_yy, eps_eig)
-    t = k11 @ cov_xy @ k22
+    t = jnp.matmul(jnp.matmul(k11, cov_xy, precision=highest), k22,
+                   precision=highest)
     u, e, vt = jnp.linalg.svd(t, full_matrices=False)
     v = vt.T
-    rot_x = k11 @ u[:, :dim]
-    rot_y = k22 @ v[:, :dim]
+    rot_x = jnp.matmul(k11, u[:, :dim], precision=highest)
+    rot_y = jnp.matmul(k22, v[:, :dim], precision=highest)
     return CcaSolution(rot_x=rot_x, rot_y=rot_y,
                        mean_x=mean_x[None, :], mean_y=mean_y[None, :],
                        eigenvalues=e[:dim])
@@ -121,14 +124,16 @@ def cca_loss(x: jax.Array, y: jax.Array, dim: int,
     x = x - jnp.mean(x, axis=0, keepdims=True)
     y = y - jnp.mean(y, axis=0, keepdims=True)
     batch_norm = x.shape[0] - 1.0
-    cov_xx = (x.T @ x) / batch_norm + rcov1 * jnp.eye(x.shape[1],
-                                                      dtype=x.dtype)
-    cov_yy = (y.T @ y) / batch_norm + rcov2 * jnp.eye(y.shape[1],
-                                                      dtype=y.dtype)
-    cov_xy = (x.T @ y) / batch_norm
+    highest = jax.lax.Precision.HIGHEST
+    cov_xx = jnp.matmul(x.T, x, precision=highest) / batch_norm + \
+        rcov1 * jnp.eye(x.shape[1], dtype=x.dtype)
+    cov_yy = jnp.matmul(y.T, y, precision=highest) / batch_norm + \
+        rcov2 * jnp.eye(y.shape[1], dtype=y.dtype)
+    cov_xy = jnp.matmul(x.T, y, precision=highest) / batch_norm
     k11 = _inv_sqrt_psd(cov_xx, eps_eig)
     k22 = _inv_sqrt_psd(cov_yy, eps_eig)
-    t = k11 @ cov_xy @ k22
+    t = jnp.matmul(jnp.matmul(k11, cov_xy, precision=highest), k22,
+                   precision=highest)
     # Eigenvalues of T T^T are the squared canonical correlations; eigh
     # returns ascending order, so the last `dim` are the top ones.
     vals = jnp.linalg.eigh(t @ t.T)[0]

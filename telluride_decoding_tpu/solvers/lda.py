@@ -37,16 +37,18 @@ class LdaParams(NamedTuple):
 
 def _scatter_matrices(x: jnp.ndarray, onehot: jnp.ndarray):
     """Within/between class scatter from data and a [N, K] class onehot."""
+    highest = jax.lax.Precision.HIGHEST
     counts = jnp.sum(onehot, axis=0)                      # [K]
-    sums = onehot.T @ x                                   # [K, D]
+    sums = jnp.matmul(onehot.T, x, precision=highest)     # [K, D]
     means = sums / counts[:, None]                        # [K, D]
     # Within-class scatter: sum_k sum_{i in k} (x - mu_k)(x - mu_k)^T
     #   = X^T X - sum_k n_k mu_k mu_k^T
-    sxx = x.T @ x
-    sw = sxx - means.T @ (means * counts[:, None])
+    sxx = jnp.matmul(x.T, x, precision=highest)
+    sw = sxx - jnp.matmul(means.T, means * counts[:, None],
+                          precision=highest)
     overall = jnp.sum(sums, axis=0) / jnp.sum(counts)
     diff = means - overall[None, :]
-    sb = diff.T @ (diff * counts[:, None])
+    sb = jnp.matmul(diff.T, diff * counts[:, None], precision=highest)
     return sw, sb, means
 
 

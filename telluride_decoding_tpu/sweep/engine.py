@@ -194,12 +194,14 @@ def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
 
         inv_x = inv_sqrt(ex)
         inv_y = inv_sqrt(ey)
-        k11 = (vx * inv_x[None, :]) @ vx.T
-        k22 = (vy * inv_y[None, :]) @ vy.T
-        t = k11 @ cov_xy @ k22
+        highest = jax.lax.Precision.HIGHEST
+        k11 = jnp.matmul(vx * inv_x[None, :], vx.T, precision=highest)
+        k22 = jnp.matmul(vy * inv_y[None, :], vy.T, precision=highest)
+        t = jnp.matmul(jnp.matmul(k11, cov_xy, precision=highest), k22,
+                       precision=highest)
         u, _, vt = jnp.linalg.svd(t, full_matrices=False)
-        rot_x = k11 @ u[:, :dims]
-        rot_y = k22 @ vt.T[:, :dims]
+        rot_x = jnp.matmul(k11, u[:, :dims], precision=highest)
+        rot_y = jnp.matmul(k22, vt.T[:, :dims], precision=highest)
         r1 = (xs[file_idx] - mean_x[None, :]) @ rot_x
         r2 = (ys[file_idx] - mean_y[None, :]) @ rot_y
         return _masked_pearson_first(r1, r2, masks[file_idx])
