@@ -88,10 +88,11 @@ def _kernel(starts_ref, audio_ref, out_ref, *, fs_in, fs_out, window,
     # fs_in*base_out/fs_out - tile_start + front (small), plus the
     # first-tile low clamp and last-tile high clamp, so all in-kernel
     # index arithmetic stays small-magnitude (float32-exact) no matter
-    # how long the recording is.
-    d1 = starts_ref[0, 0]
-    lo_clamp = starts_ref[0, 1]
-    hi_clamp = starts_ref[0, 2]
+    # how long the recording is. starts_ref is a scalar-prefetch
+    # operand: the whole [num_tiles, 3] table, indexed per tile.
+    d1 = starts_ref[i, 0]
+    lo_clamp = starts_ref[i, 1]
+    hi_clamp = starts_ref[i, 2]
 
     total_out = out_tile + 2 * halo
     m_rel = (jax.lax.broadcasted_iota(jnp.int32, (total_out, 1), 0)[:, 0]
@@ -190,19 +191,22 @@ def fused_envelope_lagstack(audio, fs_in: float, fs_out: float,
         post=post, out_tile=out_tile, in_tile=in_tile,
         front=front, num_in=num_in, num_out=num_out, halo=halo)
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, in_tile), lambda i, starts: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((out_tile, total),
+                               lambda i, starts: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((num_tiles * out_tile, total),
                                        jnp.float32),
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 3), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, in_tile), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((out_tile, total), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         interpret=interpret,
     )(starts_arg, tiles)
     return out[:num_out]

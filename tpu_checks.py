@@ -1,0 +1,143 @@
+"""On-device correctness gates: run the key numeric checks on the
+default JAX backend (the real TPU in this environment).
+
+The pytest suite runs on a virtual CPU mesh; this script re-runs the
+reference's headline quality gates on actual hardware, where matmul
+precision and kernel lowering differ. Exits nonzero on any failure.
+
+    python tpu_checks.py
+"""
+
+import sys
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir',
+                  '/root/.cache/jax_compilation')
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+
+def check(name, ok, detail=''):
+    status = 'PASS' if ok else 'FAIL'
+    print('%-52s %s %s' % (name, status, detail))
+    return ok
+
+
+def main():
+    results = []
+    rng = np.random.RandomState(0)
+    platform = jax.devices()[0].platform
+    print('backend: %s (%s)' % (platform, jax.devices()[0]))
+
+    # 1. Ridge exact recovery (reference gate: atol 1e-4).
+    from telluride_decoding_tpu.solvers.ridge import (
+        calculate_linear_regressor_parameters)
+    x = rng.randn(2000, 6).astype(np.float32)
+    w = rng.randn(6, 3).astype(np.float32)
+    b = rng.randn(3).astype(np.float32)
+    sol = calculate_linear_regressor_parameters(x, x @ w + b, lamb=0.0)
+    err = max(np.abs(np.asarray(sol.w) - w).max(),
+              np.abs(np.asarray(sol.b) - b).max())
+    results.append(check('ridge exact recovery', err < 1e-4,
+                         'err %.2g' % err))
+
+    # 2. CCA planted structure (reference gate: e1>0.90, e3<0.02).
+    from telluride_decoding_tpu.solvers.cca import calculate_cca_parameters
+    np.random.seed(42)
+    x1 = np.random.randn(5000, 3).astype(np.float32)
+    x2 = np.random.randn(5000, 5).astype(np.float32)
+    x2[:, 4] = x1[:, 0]
+    e = np.asarray(calculate_cca_parameters(
+        x1, x2, dim=3, regularization=0.1).eigenvalues)
+    results.append(check('CCA planted eigenstructure',
+                         e[0] > 0.90 and e[2] < 0.02,
+                         'e=%s' % np.round(e, 4)))
+
+    # 3. IIR filter parity with scipy (solver-precision matmuls).
+    from telluride_decoding_tpu.signal import butter_sos, sosfilt
+    xf = rng.randn(2000, 4).astype(np.float32)
+    sos = butter_sos(4, 2.0, 'hp', fs=100.0)
+    want, _ = scipy.signal.sosfilt(sos, xf, axis=0,
+                                   zi=np.zeros((sos.shape[0], 2, 4)))
+    got, _ = sosfilt(sos, xf)
+    ferr = np.abs(np.asarray(got) - want).max()
+    results.append(check('IIR sosfilt vs scipy', ferr < 1e-3,
+                         'err %.2g' % ferr))
+
+    # 4. Fused Pallas frontend vs its XLA reference (compiled kernel).
+    try:
+        from telluride_decoding_tpu.ops.fused_frontend import (
+            fused_envelope_lagstack, fused_envelope_lagstack_reference)
+        audio = rng.randn(16000 * 10).astype(np.float32)
+        args = dict(window=2.0, exponent=float(np.log10(2)), pre=3,
+                    post=3)
+        got = np.asarray(fused_envelope_lagstack(audio, 16000, 100,
+                                                 **args))
+        want = np.asarray(fused_envelope_lagstack_reference(
+            audio, 16000, 100, **args))
+        kerr = np.abs(got - want).max()
+        results.append(check('fused frontend kernel', kerr < 1e-3,
+                             'err %.2g' % kerr))
+    except Exception as error:
+        results.append(check('fused frontend kernel', False,
+                             repr(error)[:60]))
+
+    # 5. Pallas lag stack bit-parity with the numpy semantics.
+    try:
+        from telluride_decoding_tpu.ops.lagstack import (lag_stack_np,
+                                                         lag_stack_pallas)
+        xl = rng.randn(3000, 64).astype(np.float32)
+        got = np.asarray(lag_stack_pallas(jnp.asarray(xl), 4, 4))
+        lerr = np.abs(got - lag_stack_np(xl, 4, 4)).max()
+        results.append(check('pallas lag stack', lerr == 0.0,
+                             'err %.2g' % lerr))
+    except Exception as error:
+        results.append(check('pallas lag stack', False,
+                             repr(error)[:60]))
+
+    # 6. Jackknife sweep recovers the planted model at small lambda.
+    from telluride_decoding_tpu.sweep.engine import ridge_jackknife_sweep
+    xs = [rng.randn(400, 6).astype(np.float32) for _ in range(4)]
+    wj = rng.randn(6, 1).astype(np.float32)
+    ys = [xi @ wj + 0.05 * rng.randn(400, 1).astype(np.float32)
+          for xi in xs]
+    res = ridge_jackknife_sweep(xs, ys, np.logspace(-6, 0, 7))
+    results.append(check('jackknife sweep recovery',
+                         bool(np.all(res.correlations[0] > 0.97)),
+                         'min r %.4f' % res.correlations[0].min()))
+
+    # 7. SSD attention tracking (<15% switch error gate).
+    from telluride_decoding_tpu.decide import create_attention_decoder
+    n = 300
+    attended = (np.arange(n) // 75) % 2 == 0
+    r_att = np.exp(-0.4 + 0.6 * rng.randn(n))
+    r_un = np.exp(-1.5 + 0.9 * rng.randn(n))
+    r1 = np.where(attended, r_att, r_un)
+    r2 = np.where(attended, r_un, r_att)
+    dec = create_attention_decoder('ssd')
+    dec.tune(r1[:75], r2[:75])
+    errors = total = 0
+    for i in range(n):
+        p, _, _ = dec.attention(r1[i], r2[i])
+        if i < dec.k_w:
+            continue
+        errors += (p > 0.5) != attended[i - dec.k_b]
+        total += 1
+    frac = errors / total
+    results.append(check('SSD switch tracking', frac < 0.15,
+                         'err %.1f%%' % (100 * frac)))
+
+    print()
+    if all(results):
+        print('ALL %d GATES PASS on %s' % (len(results), platform))
+        return 0
+    print('%d/%d gates FAILED' % (len(results) - sum(results),
+                                  len(results)))
+    return 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())
