@@ -7,3 +7,7 @@ from telluride_decoding_tpu.sweep.engine import (
     pad_and_stack,
     ridge_jackknife_sweep,
 )
+from telluride_decoding_tpu.sweep.checkpoint import (
+    SweepCheckpoint,
+    run_sweep_with_checkpoints,
+)
