@@ -25,11 +25,17 @@ import time
 
 import jax
 
-# Persistent compilation cache: repeated bench runs (and anything else
-# on this machine) skip the remote TPU compile round trips.
-jax.config.update('jax_compilation_cache_dir',
-                  os.path.expanduser('~/.cache/jax_compilation'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+# Persistent compilation cache: repeated bench runs skip the remote
+# TPU compile round trips. TPU only — CPU AOT artifacts embed host
+# machine features and can SIGILL when replayed on a different host.
+try:
+    if jax.devices()[0].platform == 'tpu':
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.cache/jax_compilation'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          1.0)
+except Exception:
+    pass
 
 import jax.numpy as jnp
 import numpy as np
