@@ -217,7 +217,8 @@ def create_brain_model(model_flags: DecodingOptions, input_dataset):
         hidden_units = ([int(x) for x in model_flags.hidden_units.split('-')]
                         if model_flags.hidden_units else [])
         bm = BrainModelDNN(input_dataset, hidden_units,
-                           tensorboard_dir=model_flags.tensorboard_dir)
+                           tensorboard_dir=model_flags.tensorboard_dir,
+                           dropout=model_flags.dropout)
     elif kind == 'classifier':
         bm = BrainModelClassifier(
             input_dataset, model_flags.hidden_units,

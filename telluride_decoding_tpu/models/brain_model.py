@@ -370,12 +370,19 @@ def _init_mlp(key, widths: Sequence[int]) -> List[Dict[str, jax.Array]]:
     return layers
 
 
-def _apply_mlp(layers, x, final_activation=None):
+def _apply_mlp(layers, x, final_activation=None, dropout: float = 0.0,
+               rng=None):
+    """Dense stack; training-time dropout on hidden activations when a
+    PRNG key is supplied (inference passes rng=None -> no dropout)."""
     for i, layer in enumerate(layers):
         x = jnp.dot(x, layer['w'], preferred_element_type=jnp.float32)
         x = x + layer['b']
         if i < len(layers) - 1:
             x = jax.nn.relu(x)
+            if dropout > 0.0 and rng is not None:
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 1.0 - dropout, x.shape)
+                x = jnp.where(keep, x / (1.0 - dropout), 0.0)
         elif final_activation is not None:
             x = final_activation(x)
     return x
@@ -385,7 +392,7 @@ class _SgdModel(BrainModel):
     """Shared optax training loop: one lax.scan per epoch over shuffled
     minibatches (the whole epoch compiles to a single XLA program)."""
 
-    def _loss_fn(self, params, inputs, y_true):
+    def _loss_fn(self, params, inputs, y_true, rng=None):
         raise NotImplementedError
 
     def fit(self, dataset, epochs: int = 1, batch_size: int = 512,
@@ -405,20 +412,24 @@ class _SgdModel(BrainModel):
 
         def epoch_step(carry, key):
             params, opt_state = carry
-            perm = jax.random.permutation(key, n)[:num_batches * batch_size]
+            perm_key, drop_key = jax.random.split(key)
+            perm = jax.random.permutation(
+                perm_key, n)[:num_batches * batch_size]
             perm = perm.reshape(num_batches, batch_size)
+            drop_keys = jax.random.split(drop_key, num_batches)
 
-            def batch_step(carry, idx):
+            def batch_step(carry, batch):
+                idx, bkey = batch
                 params, opt_state = carry
                 bi = {'input_1': x1[idx], 'input_2': x2[idx]}
                 loss, grads = jax.value_and_grad(self._loss_fn)(
-                    params, bi, y[idx])
+                    params, bi, y[idx], bkey)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
-                batch_step, (params, opt_state), perm)
+                batch_step, (params, opt_state), (perm, drop_keys))
             return (params, opt_state), jnp.mean(losses)
 
         keys = jax.random.split(jax.random.PRNGKey(seed + 1), epochs)
@@ -437,7 +448,8 @@ class BrainModelDNN(_SgdModel):
     metric_names = ('pearson_correlation_first', 'mse')
 
     def __init__(self, input_dataset=None, num_hidden_list=None,
-                 tensorboard_dir=None, input_width=None, output_width=None):
+                 tensorboard_dir=None, input_width=None, output_width=None,
+                 dropout: float = 0.0):
         super().__init__(tensorboard_dir)
         if num_hidden_list is None:
             num_hidden_list = []
@@ -451,11 +463,15 @@ class BrainModelDNN(_SgdModel):
         self._input_width = input_width
         self._output_width = output_width
         self.num_hidden_list = num_hidden_list
+        # Training-time dropout on hidden layers (the reference defines
+        # the --dropout flag but never consumes it; here it works).
+        self._dropout = float(dropout)
 
     def config(self):
         return {'num_hidden_list': self.num_hidden_list,
                 'input_width': self._input_width,
-                'output_width': self._output_width}
+                'output_width': self._output_width,
+                'dropout': self._dropout}
 
     @classmethod
     def _from_config(cls, config):
@@ -477,11 +493,12 @@ class BrainModelDNN(_SgdModel):
     def apply(self, params, input_dict):
         return _apply_mlp(params, input_dict['input_1'])
 
-    def _loss_fn(self, params, inputs, y_true):
+    def _loss_fn(self, params, inputs, y_true, rng=None):
+        y_pred = _apply_mlp(params, inputs['input_1'],
+                            dropout=self._dropout, rng=rng)
         if self._compiled.get('loss') == 'pearson':
-            y_pred = self.apply(params, inputs)
             return jnp.sum(pearson.pearson_loss(y_true, y_pred))
-        return jnp.mean(jnp.square(self.apply(params, inputs) - y_true))
+        return jnp.mean(jnp.square(y_pred - y_true))
 
 
 @register_model
@@ -540,7 +557,8 @@ class BrainModelClassifier(_SgdModel):
         return _apply_mlp(x=x, layers=params,
                           final_activation=jax.nn.sigmoid)
 
-    def _loss_fn(self, params, inputs, y_true):
+    def _loss_fn(self, params, inputs, y_true, rng=None):
+        del rng
         y_pred = self.apply(params, inputs)
         eps = 1e-7
         p = jnp.clip(y_pred, eps, 1 - eps)

@@ -184,8 +184,8 @@ class BrainModelDCCA(_SgdModel):
                      preferred_element_type=jnp.float32)
         return jnp.concatenate([r1, r2], axis=1)
 
-    def _loss_fn(self, params, inputs, y_true):
-        del y_true  # Unsupervised: maximize canonical correlation.
+    def _loss_fn(self, params, inputs, y_true, rng=None):
+        del y_true, rng  # Unsupervised: maximize canonical correlation.
         h1, h2 = self._towers(params, inputs)
         return -cca_solver.cca_loss(h1, h2, self._cca_dims,
                                     rcov1=self._reg, rcov2=self._reg)

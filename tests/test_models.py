@@ -86,6 +86,25 @@ class TestDNNModel:
         results = model.evaluate(bd.create_dataset('test'))
         assert results['pearson_correlation_first'] > 0.9
 
+    def test_dropout_regularizes(self, rng):
+        # Working --dropout (the reference defines but never consumes
+        # it): with dropout the net cannot memorize the noise floor.
+        n = 400
+        x = rng.randn(n, 20).astype(np.float32)
+        y = (x[:, :1] + 0.5 * rng.randn(n, 1)).astype(np.float32)
+        bd = brain_data.TestBrainData('input', 'output', 100.0,
+                                      final_batch_size=200)
+        bd.preserve_test_data(x, y)
+        ds = bd.create_dataset('train')
+        losses = {}
+        for rate in (0.0, 0.5):
+            m = BrainModelDNN(ds, [64, 64], dropout=rate)
+            m.compile(learning_rate=3e-3)
+            h = m.fit(ds, epochs=150, batch_size=200, seed=1)
+            losses[rate] = h['loss'][-1]
+        assert losses[0.0] < 0.05          # Memorizes the noise.
+        assert losses[0.5] > 0.2           # Dropout prevents that.
+
     def test_save_load(self, rng, tmp_path):
         bd, _, _ = _linear_test_data(rng, n=500, dx=4, dy=1)
         ds = bd.create_dataset('train')
