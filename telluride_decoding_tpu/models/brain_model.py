@@ -465,6 +465,9 @@ class BrainModelDNN(_SgdModel):
         self.num_hidden_list = num_hidden_list
         # Training-time dropout on hidden layers (the reference defines
         # the --dropout flag but never consumes it; here it works).
+        if not 0.0 <= dropout < 1.0:
+            raise ValueError('dropout must be in [0, 1), not %g.' %
+                             dropout)
         self._dropout = float(dropout)
 
     def config(self):

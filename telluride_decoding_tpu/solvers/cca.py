@@ -136,5 +136,5 @@ def cca_loss(x: jax.Array, y: jax.Array, dim: int,
                    precision=highest)
     # Eigenvalues of T T^T are the squared canonical correlations; eigh
     # returns ascending order, so the last `dim` are the top ones.
-    vals = jnp.linalg.eigh(t @ t.T)[0]
+    vals = jnp.linalg.eigh(jnp.matmul(t, t.T, precision=highest))[0]
     return jnp.sum(jnp.sqrt(jnp.maximum(0.0, vals[-dim:])))

@@ -34,6 +34,14 @@ from telluride_decoding_tpu.solvers.cca import solve_cca_from_moments
 from telluride_decoding_tpu.solvers.ridge import solve_ridge_from_moments
 
 
+def _ensure_2d(a):
+    """[N] -> [N, 1], preserving host/device residency."""
+    if getattr(a, 'ndim', 2) != 1:
+        return a
+    return a[:, None] if isinstance(a, jax.Array) else \
+        np.asarray(a)[:, None]
+
+
 class SweepResult(NamedTuple):
     correlations: np.ndarray   # [num_lambdas, num_files]
     lambdas: np.ndarray        # [num_lambdas]
@@ -62,10 +70,7 @@ def pad_and_stack(arrays: Sequence[np.ndarray]
     Device arrays stay on device (padded with jnp.pad); host arrays
     build the batch host-side in one buffer. Mixing is fine.
     """
-    arrays = [a if getattr(a, 'ndim', 2) != 1
-              else (a[:, None] if isinstance(a, jax.Array)
-                    else np.asarray(a)[:, None])
-              for a in arrays]
+    arrays = [_ensure_2d(a) for a in arrays]
     max_n = max(a.shape[0] for a in arrays)
     all_on_device = all(isinstance(a, jax.Array) for a in arrays)
     mask = np.zeros((len(arrays), max_n), np.float32)
@@ -127,13 +132,15 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
             cov_x = szz / n
             cov_xy = szy / n
             e, v = jnp.linalg.eigh(0.5 * (cov_x + cov_x.T))
-            return e, v, v.T @ cov_xy
+            return e, v, jnp.matmul(v.T, cov_xy,
+                                    precision=jax.lax.Precision.HIGHEST)
 
         eigs = jax.vmap(file_eig)(jnp.arange(num_files))
 
         def eval_eig(file_idx, lamb):
             e, v, vt_cov_xy = [a[file_idx] for a in eigs]
-            solution = v @ (vt_cov_xy / (e + lamb)[:, None])
+            solution = jnp.matmul(v, vt_cov_xy / (e + lamb)[:, None],
+                                  precision=jax.lax.Precision.HIGHEST)
             w = solution[:-1, :]
             b = solution[-1, :]
             pred = xs[file_idx] @ w + b
@@ -242,8 +249,7 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     correlation of a model trained on all files but f with
     regularization lambdas[l].
     """
-    per_file_y = [y if getattr(y, 'ndim', 2) != 1
-                  else jnp.asarray(y)[:, None] for y in per_file_y]
+    per_file_y = [_ensure_2d(y) for y in per_file_y]
     stats_list = [moments_from_arrays(jnp.asarray(x, jnp.float32),
                                       jnp.asarray(y, jnp.float32))
                   for x, y in zip(per_file_x, per_file_y)]
@@ -269,8 +275,7 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                         ) -> SweepResult:
     """Leave-one-file-out CCA sweep (correlation of first canonical
     pair on the held-out file) over a regularization grid."""
-    per_file_y = [y if getattr(y, 'ndim', 2) != 1
-                  else jnp.asarray(y)[:, None] for y in per_file_y]
+    per_file_y = [_ensure_2d(y) for y in per_file_y]
     stats_list = [moments_from_arrays(jnp.asarray(x, jnp.float32),
                                       jnp.asarray(y, jnp.float32),
                                       want_syy=True)

@@ -10,10 +10,18 @@ precision and kernel lowering differ. Exits nonzero on any failure.
 
 import sys
 
+import os
+
 import jax
 
-jax.config.update('jax_compilation_cache_dir',
-                  '/root/.cache/jax_compilation')
+# Persistent compile cache on TPU only (CPU AOT artifacts embed host
+# machine features; replaying cross-host can SIGILL).
+try:
+    if jax.devices()[0].platform == 'tpu':
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.cache/jax_compilation'))
+except Exception:
+    pass
 
 import jax.numpy as jnp
 import numpy as np
