@@ -8,9 +8,8 @@ precision and kernel lowering differ. Exits nonzero on any failure.
     python tpu_checks.py
 """
 
-import sys
-
 import os
+import sys
 
 import jax
 
