@@ -3,7 +3,9 @@
 from telluride_decoding_tpu.sweep.engine import (
     SweepResult,
     cca_jackknife_sweep,
+    cohort_summary,
     default_mesh,
+    multi_subject_sweep,
     pad_and_stack,
     ridge_jackknife_sweep,
 )

@@ -293,6 +293,39 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                                       for i in range(len(per_file_x))])
 
 
+def multi_subject_sweep(subjects, lambdas: Sequence[float],
+                        model: str = 'ridge', dims: int = 5,
+                        mesh: Optional['jax.sharding.Mesh'] = None,
+                        use_ridge: bool = True):
+    """Per-subject jackknife x lambda grids for a whole cohort.
+
+    ``subjects`` maps subject name -> (per_file_x, per_file_y). Each
+    subject's leave-one-out runs independently (files never mix across
+    subjects); subjects with identical shapes reuse the compiled
+    program, so a 22-subject x 40-trial x 9-lambda cohort (the
+    codelab's full experiment, ~8k model fits) runs in seconds.
+    Returns {subject: SweepResult}.
+    """
+    results = {}
+    for name, (xs, ys) in subjects.items():
+        if model == 'cca':
+            results[name] = cca_jackknife_sweep(xs, ys, lambdas,
+                                                dims=dims, mesh=mesh)
+        else:
+            results[name] = ridge_jackknife_sweep(xs, ys, lambdas,
+                                                  mesh=mesh,
+                                                  use_ridge=use_ridge)
+    return results
+
+
+def cohort_summary(results) -> Tuple[np.ndarray, np.ndarray]:
+    """Mean/std correlation per lambda across all subjects' held-out
+    files (the codelab's cross-subject analysis)."""
+    all_corr = np.concatenate([r.correlations for r in results.values()],
+                              axis=1)
+    return np.mean(all_corr, axis=1), np.std(all_corr, axis=1)
+
+
 def default_mesh(axis_name: str = 'file') -> Optional['jax.sharding.Mesh']:
     """A 1-D mesh over all local devices (None if single-device)."""
     devices = jax.devices()

@@ -138,3 +138,26 @@ class TestRegressionCli:
         assert reg.parse_regularization_values(0.5) == [0.5]
         with pytest.raises(ValueError):
             reg.parse_regularization_values('abc,def')
+
+
+class TestMultiSubject:
+
+    def test_cohort_sweep_and_summary(self, rng):
+        from telluride_decoding_tpu.sweep import (cohort_summary,
+                                                  multi_subject_sweep)
+        subjects = {}
+        for s in range(3):
+            w = rng.randn(5, 1).astype(np.float32)
+            xs = [rng.randn(200, 5).astype(np.float32) for _ in range(4)]
+            ys = [x @ w + 0.1 * rng.randn(200, 1).astype(np.float32)
+                  for x in xs]
+            subjects['subject_%02d' % s] = (xs, ys)
+        results = multi_subject_sweep(subjects, [1e-4, 1e-1])
+        assert set(results) == set(subjects)
+        for res in results.values():
+            assert res.correlations.shape == (2, 4)
+            assert np.all(res.correlations[0] > 0.9)
+        mean, std = cohort_summary(results)
+        assert mean.shape == (2,)
+        assert mean[0] > 0.9
+        assert np.all(std >= 0)
