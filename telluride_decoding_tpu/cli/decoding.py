@@ -218,7 +218,8 @@ def create_brain_model(model_flags: DecodingOptions, input_dataset):
                         if model_flags.hidden_units else [])
         bm = BrainModelDNN(input_dataset, hidden_units,
                            tensorboard_dir=model_flags.tensorboard_dir,
-                           dropout=model_flags.dropout)
+                           dropout=model_flags.dropout,
+                           batch_norm=model_flags.batch_norm)
     elif kind == 'classifier':
         bm = BrainModelClassifier(
             input_dataset, model_flags.hidden_units,

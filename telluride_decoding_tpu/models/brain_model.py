@@ -449,7 +449,7 @@ class BrainModelDNN(_SgdModel):
 
     def __init__(self, input_dataset=None, num_hidden_list=None,
                  tensorboard_dir=None, input_width=None, output_width=None,
-                 dropout: float = 0.0):
+                 dropout: float = 0.0, batch_norm: bool = False):
         super().__init__(tensorboard_dir)
         if num_hidden_list is None:
             num_hidden_list = []
@@ -469,12 +469,18 @@ class BrainModelDNN(_SgdModel):
             raise ValueError('dropout must be in [0, 1), not %g.' %
                              dropout)
         self._dropout = float(dropout)
+        # Batch normalization on hidden layers (the other flag the
+        # reference defines but never consumes): batch statistics in
+        # training; population statistics, computed in one pass over
+        # the training set after fit, at inference.
+        self._batch_norm = bool(batch_norm)
 
     def config(self):
         return {'num_hidden_list': self.num_hidden_list,
                 'input_width': self._input_width,
                 'output_width': self._output_width,
-                'dropout': self._dropout}
+                'dropout': self._dropout,
+                'batch_norm': self._batch_norm}
 
     @classmethod
     def _from_config(cls, config):
@@ -485,23 +491,90 @@ class BrainModelDNN(_SgdModel):
                 [self._output_width])
 
     def _init_params(self, key):
-        return _init_mlp(key, self._widths())
+        params = {'layers': _init_mlp(key, self._widths())}
+        if self._batch_norm:
+            params['bn'] = [
+                {'gamma': jnp.ones((h,)), 'beta': jnp.zeros((h,)),
+                 'mean': jnp.zeros((h,)), 'var': jnp.ones((h,))}
+                for h in self.num_hidden_list]
+        return params
 
     def _params_template(self):
         widths = self._widths()
-        return [{'w': jnp.zeros((widths[i], widths[i + 1])),
-                 'b': jnp.zeros((widths[i + 1],))}
-                for i in range(len(widths) - 1)]
+        template = {'layers': [
+            {'w': jnp.zeros((widths[i], widths[i + 1])),
+             'b': jnp.zeros((widths[i + 1],))}
+            for i in range(len(widths) - 1)]}
+        if self._batch_norm:
+            template['bn'] = [
+                {'gamma': jnp.zeros((h,)), 'beta': jnp.zeros((h,)),
+                 'mean': jnp.zeros((h,)), 'var': jnp.zeros((h,))}
+                for h in self.num_hidden_list]
+        return template
+
+    def _forward(self, params, x, training: bool, rng=None,
+                 collect_stats: bool = False):
+        """MLP with optional per-hidden-layer batchnorm + dropout."""
+        layers = params['layers']
+        bn = params.get('bn')
+        stats = []
+        for i, layer in enumerate(layers):
+            x = jnp.dot(x, layer['w'],
+                        preferred_element_type=jnp.float32) + layer['b']
+            if i < len(layers) - 1:
+                if bn is not None:
+                    if training:
+                        mean = jnp.mean(x, axis=0)
+                        var = jnp.var(x, axis=0)
+                    else:
+                        mean = bn[i]['mean']
+                        var = bn[i]['var']
+                    if collect_stats:
+                        stats.append((jnp.mean(x, axis=0),
+                                      jnp.var(x, axis=0)))
+                    x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+                    x = x * bn[i]['gamma'] + bn[i]['beta']
+                x = jax.nn.relu(x)
+                if self._dropout > 0.0 and rng is not None:
+                    rng, sub = jax.random.split(rng)
+                    keep = jax.random.bernoulli(
+                        sub, 1.0 - self._dropout, x.shape)
+                    x = jnp.where(keep, x / (1.0 - self._dropout), 0.0)
+        return (x, stats) if collect_stats else x
 
     def apply(self, params, input_dict):
-        return _apply_mlp(params, input_dict['input_1'])
+        if isinstance(params, list):  # Pre-batchnorm checkpoints.
+            params = {'layers': params}
+        return self._forward(params, input_dict['input_1'],
+                             training=False)
 
     def _loss_fn(self, params, inputs, y_true, rng=None):
-        y_pred = _apply_mlp(params, inputs['input_1'],
-                            dropout=self._dropout, rng=rng)
+        y_pred = self._forward(params, inputs['input_1'], training=True,
+                               rng=rng)
         if self._compiled.get('loss') == 'pearson':
             return jnp.sum(pearson.pearson_loss(y_true, y_pred))
         return jnp.mean(jnp.square(y_pred - y_true))
+
+    def fit(self, dataset, epochs: int = 1, batch_size: int = 512,
+            seed: int = 0, **kwargs):
+        history = super().fit(dataset, epochs=epochs,
+                              batch_size=batch_size, seed=seed, **kwargs)
+        if self._batch_norm:
+            # Population statistics for inference: one pass over the
+            # whole training set through the pre-activation taps.
+            in1, _, _, _ = _dataset_arrays(dataset)
+
+            @jax.jit
+            def population_stats(params, x):
+                _, stats = self._forward(params, x, training=True,
+                                         collect_stats=True)
+                return stats
+
+            stats = population_stats(self.params, jnp.asarray(in1))
+            bn = [dict(entry, mean=mean, var=var)
+                  for entry, (mean, var) in zip(self.params['bn'], stats)]
+            self.params = dict(self.params, bn=bn)
+        return history
 
 
 @register_model

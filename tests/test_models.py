@@ -105,6 +105,34 @@ class TestDNNModel:
         assert losses[0.0] < 0.05          # Memorizes the noise.
         assert losses[0.5] > 0.2           # Dropout prevents that.
 
+    def test_batch_norm_handles_misscaled_features(self, rng, tmp_path):
+        # Working --batch_norm (also defined-but-inert in the
+        # reference): with features spanning 6 orders of magnitude the
+        # plain MLP stalls; batchnorm learns.
+        n = 2000
+        x = (rng.randn(n, 6) * np.array([1e3, 1e-3, 1, 10, 0.1, 100]
+                                        )).astype(np.float32)
+        y = (np.tanh(x[:, :1] / 1e3) +
+             0.1 * rng.randn(n, 1)).astype(np.float32)
+        bd = brain_data.TestBrainData('input', 'output', 100.0,
+                                      final_batch_size=500)
+        bd.preserve_test_data(x, y)
+        ds = bd.create_dataset('train')
+        scores = {}
+        for use_bn in (False, True):
+            m = BrainModelDNN(ds, [32], batch_norm=use_bn)
+            m.compile(learning_rate=3e-3)
+            m.fit(ds, epochs=60, batch_size=500, seed=2)
+            scores[use_bn] = m.evaluate(
+                bd.create_dataset('test'))['pearson_correlation_first']
+        assert scores[True] > 0.9
+        assert scores[True] > scores[False] + 0.3
+        # Population stats persist through save/load.
+        m.save(str(tmp_path / 'bn'))
+        loaded = load_model(str(tmp_path / 'bn'))
+        (inputs, _), = list(bd.create_dataset('program_test'))[:1]
+        np.testing.assert_allclose(loaded(inputs), m(inputs), atol=1e-5)
+
     def test_save_load(self, rng, tmp_path):
         bd, _, _ = _linear_test_data(rng, n=500, dx=4, dy=1)
         ds = bd.create_dataset('train')
