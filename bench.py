@@ -161,6 +161,31 @@ def main():
             lat.append((time.perf_counter() - t0) * 1000)
         p50 = float(np.percentile(lat, 50))
 
+        # On-device streaming latency: N sequential single-window
+        # decodes as one device-resident loop with a data-dependent
+        # carry (window i's score biases window i+1), one readback at
+        # the end. This is the serving per-window latency with the
+        # tunnel RTT amortized away; the loop is deterministic so the
+        # mean IS the p50. Target: <10 ms (BASELINE.md, reference path
+        # infer_decoder.py:416-455).
+        stream_n = 1000
+
+        @jax.jit
+        def stream_loop(params, xa, xb):
+            def body(_, carry):
+                acc, bias = carry
+                s = _decode_windows(
+                    dict(params, lda_intercept=bias), xa, xb)
+                return acc + s[0], s[0]
+            acc, _ = jax.lax.fori_loop(
+                0, stream_n, body, (jnp.float32(0), jnp.float32(0)))
+            return acc
+
+        sync(stream_loop(params, xa, xb))  # Warm-up compile.
+        t0 = time.perf_counter()
+        sync(stream_loop(params, xa, xb))
+        p50_device = (time.perf_counter() - t0) * 1000 / stream_n
+
         # North-star sweep: the full codelab-scale jackknife x lambda
         # grid — 40 trials x 9 lambdas = 360 model fits at the jens
         # codelab width (2553 lag-stacked channels) in one program.
@@ -202,9 +227,12 @@ def main():
         sync(full_sweep())
         sweep_s = time.perf_counter() - t0
         print('diag: ridge_solve_ms=%.2f streaming_p50_ms=%.2f '
-              '(includes dispatch RTT) codelab_sweep_s=%.2f '
+              '(includes dispatch RTT) streaming_p50_device_ms=%.4f '
+              '(device-resident loop of %d windows, target <10ms) '
+              'codelab_sweep_s=%.2f '
               '(40 files x 9 lambdas, width 2553: 360 fits, '
-              'target <60s)' % (ridge_ms, p50, sweep_s),
+              'target <60s)' % (ridge_ms, p50, p50_device, stream_n,
+                                sweep_s),
               file=sys.stderr)
         del xs_list, ys_list
     except Exception as e:  # Diagnostics must never break the bench.

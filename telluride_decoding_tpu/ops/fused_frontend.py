@@ -72,8 +72,7 @@ def _in_stride(fs_in: float, fs_out: float, out_tile: int) -> int:
 
 
 def _kernel(starts_ref, audio_ref, out_ref, *, fs_in, fs_out, window,
-            exponent, pre, post, out_tile, in_tile, front, num_in,
-            num_out, halo):
+            exponent, pre, post, out_tile, in_tile, front, halo):
     """One tile: envelope for out_tile + 2*halo frames, then lag stack.
 
     audio_ref holds padded-audio samples [tile_start, tile_start +
@@ -93,6 +92,7 @@ def _kernel(starts_ref, audio_ref, out_ref, *, fs_in, fs_out, window,
     d1 = starts_ref[i, 0]
     lo_clamp = starts_ref[i, 1]
     hi_clamp = starts_ref[i, 2]
+    num_out_f = starts_ref[i, 3]
 
     total_out = out_tile + 2 * halo
     m_rel = (jax.lax.broadcasted_iota(jnp.int32, (total_out, 1), 0)[:, 0]
@@ -128,7 +128,7 @@ def _kernel(starts_ref, audio_ref, out_ref, *, fs_in, fs_out, window,
     env = (sums / counts) ** 0.5
     env = env ** exponent
     m_global = m_rel + base_out
-    valid = jnp.logical_and(m_global >= 0, m_global < float(num_out))
+    valid = jnp.logical_and(m_global >= 0, m_global < num_out_f)
     env = jnp.where(valid, env, 0.0)
 
     for k in range(pre + 1 + post):
@@ -143,10 +143,21 @@ def fused_envelope_lagstack(audio, fs_in: float, fs_out: float,
                             window: float = 2.0, exponent: float = 1.0,
                             pre: int = 0, post: int = 0,
                             out_tile: int = 256,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            valid_len=None, valid_out=None):
     """Pallas-fused frontend (semantics of the _reference function).
 
     interpret=True runs in interpreter mode for CPU tests.
+
+    valid_len/valid_out (optional, traced int scalars) support
+    bucket-padded inputs: when `audio` is zero-padded to a shape bucket,
+    pass the true sample count as valid_len and the true output frame
+    count (int(round(valid_len / fs_in * fs_out))) as valid_out. The
+    envelope windows then clamp at the TRUE signal end (identical
+    values to an unpadded call), frames past valid_out are zeroed, and
+    one compilation serves every recording in the bucket — essential on
+    backends where each compile costs seconds. Callers slice the result
+    to [:valid_out] on the host.
     """
     audio = jnp.asarray(audio, jnp.float32).reshape(-1)
     num_in = audio.shape[0]
@@ -180,16 +191,30 @@ def fused_envelope_lagstack(audio, fs_in: float, fs_out: float,
                fs_in / fs_out)
     d1 = base_in - starts_np + front
     lo_clamp = np.maximum(front - starts_np, 0)
-    hi_clamp = np.minimum(num_in + front - starts_np, in_tile)
-    starts_arg = jnp.asarray(
-        np.stack([d1, lo_clamp, hi_clamp], axis=1), jnp.float32)
+    if valid_len is None:
+        hi_clamp = jnp.asarray(
+            np.minimum(num_in + front - starts_np, in_tile), jnp.float32)
+        num_out_col = jnp.full((num_tiles,), float(num_out), jnp.float32)
+    else:
+        # Bucketed mode: the true end is a traced scalar, so the high
+        # clamp and the valid-frame bound enter through the prefetch
+        # table instead of being baked into the compilation.
+        hi_clamp = jnp.minimum(
+            jnp.asarray(valid_len, jnp.float32) + front -
+            jnp.asarray(starts_np, jnp.float32), float(in_tile))
+        num_out_col = jnp.broadcast_to(
+            jnp.asarray(valid_out, jnp.float32), (num_tiles,))
+    starts_arg = jnp.stack(
+        [jnp.asarray(d1, jnp.float32),
+         jnp.asarray(lo_clamp, jnp.float32),
+         hi_clamp, num_out_col], axis=1)
 
     total = pre + 1 + post
     kernel = functools.partial(
         _kernel, fs_in=float(fs_in), fs_out=float(fs_out),
         window=float(window), exponent=float(exponent), pre=pre,
         post=post, out_tile=out_tile, in_tile=in_tile,
-        front=front, num_in=num_in, num_out=num_out, halo=halo)
+        front=front, halo=halo)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -19,6 +19,8 @@ TPU-first re-design of the hot paths:
 
 from __future__ import annotations
 
+import functools
+import os
 import re
 from typing import List, Optional, Union
 
@@ -26,6 +28,40 @@ import numpy as np
 
 from telluride_decoding_tpu.ops.lagstack import lag_stack_np
 from telluride_decoding_tpu.signal import filters
+
+_FUSED_DISABLED = False
+
+
+def _disable_fused_frontend():
+    """Sticky opt-out after a kernel failure (fall back to cumsum)."""
+    global _FUSED_DISABLED
+    _FUSED_DISABLED = True
+
+
+def _fused_frontend_kernel():
+    """The fused Pallas frontend, if this process should use it.
+
+    Enabled on a TPU backend (where the kernel is the production
+    ingest path); TDT_FUSED_FRONTEND=interpret forces the interpreter
+    kernel on CPU (parity tests), TDT_FUSED_FRONTEND=0 disables.
+    """
+    if _FUSED_DISABLED:
+        return None
+    mode = os.environ.get('TDT_FUSED_FRONTEND', '')
+    if mode == '0':
+        return None
+    try:
+        from telluride_decoding_tpu.ops.fused_frontend import (
+            fused_envelope_lagstack)
+        if mode == 'interpret':
+            return functools.partial(fused_envelope_lagstack,
+                                     interpret=True)
+        import jax
+        if jax.devices()[0].platform == 'tpu':
+            return fused_envelope_lagstack
+    except Exception:
+        _disable_fused_frontend()
+    return None
 
 
 class Preprocessor:
@@ -354,10 +390,64 @@ class AudioFeatures:
         return (csum[t2] - csum[t1]) / counts
 
     def compute_intensity(self, data):
-        """Windowed RMS with optional amplitude compression."""
-        data = self.audio_resample(np.asarray(data).astype(
-            np.float32) ** 2) ** 0.5
+        """Windowed RMS with optional amplitude compression.
+
+        On a TPU backend the square -> overlapping-window mean -> sqrt
+        -> power chain runs as the fused Pallas frontend kernel
+        (ops/fused_frontend.py) — this is the ingest hot loop, the
+        reference's preprocess.py:676-682. The vectorized cumsum path
+        below is the fallback (CPU, streaming state, multi-channel);
+        both are value-identical (tests/test_fused_frontend.py).
+        """
+        data = np.asarray(data).astype(np.float32)
+        fused = self._fused_intensity(data)
+        if fused is not None:
+            return fused
+        data = self.audio_resample(data ** 2) ** 0.5
         return data ** self._exponent
+
+    def _fused_intensity(self, data):
+        """TPU fast path for the non-streaming single-stream case.
+
+        Inputs are zero-padded up to a shape bucket so one kernel
+        compilation serves every recording of similar length (remote
+        compiles cost seconds); the kernel clamps envelope windows at
+        the true signal end, so values are identical to an unpadded
+        call. Returns None when the fast path does not apply.
+        """
+        if self._buff is not None:          # Streaming continuation.
+            return None
+        if not (self._fs_out < self._fs_in or self._window > 1):
+            return None                      # audio_resample no-ops.
+        flat = np.squeeze(data)
+        if flat.ndim != 1 or flat.shape[0] < 2:
+            return None
+        kernel = _fused_frontend_kernel()
+        if kernel is None:
+            return None
+        import jax.numpy as jnp
+        n = flat.shape[0]
+        quantum = 1 << 16
+        padded_len = -(-n // quantum) * quantum
+        padded = np.zeros((padded_len,), np.float32)
+        padded[:n] = flat
+        num_out = int(round(n / self._fs_in * self._fs_out))
+        try:
+            env = kernel(padded, float(self._fs_in), float(self._fs_out),
+                         window=float(self._window),
+                         exponent=float(self._exponent),
+                         valid_len=jnp.int32(n),
+                         valid_out=jnp.int32(num_out))
+            env = np.asarray(env[:num_out])
+        except Exception:
+            _disable_fused_frontend()
+            return None
+        # Leave the streaming state exactly as audio_resample would:
+        # the tail of the SQUARED signal, half an averaging window long.
+        half_window = 0.5 * self._window / self._fs_out
+        squared = (flat ** 2).reshape(-1, 1)
+        self._buff = squared[-int(self._fs_in * half_window):, :]
+        return env
 
     def compute_spectrogram(self, wave, segment_size: int = 128,
                             n_overlap: int = 8, n_trans: int = 4,
