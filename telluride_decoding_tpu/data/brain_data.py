@@ -42,6 +42,49 @@ from telluride_decoding_tpu.data import records
 from telluride_decoding_tpu.ops.lagstack import lag_stack_np
 
 
+def _parse_field_specs(fields: List[str], frame_rate: float
+                       ) -> Tuple[List[str], List[Optional[str]]]:
+    """Splits field names from Preprocessor param-string suffixes.
+
+    'eeg(highpass_cutoff=0.5)' -> base 'eeg' + the full spec (validated
+    eagerly by constructing a Preprocessor); plain names pass through
+    with a None spec.
+    """
+    bases: List[str] = []
+    specs: List[Optional[str]] = []
+    for field in fields:
+        if '(' in field:
+            if frame_rate <= 0:
+                raise ValueError(
+                    'A positive frame_rate is required to preprocess '
+                    'field %s on the fly.' % field)
+            from telluride_decoding_tpu.signal.preprocess import (
+                Preprocessor)
+            pp = Preprocessor(field, frame_rate, frame_rate)
+            bases.append(pp.name)
+            specs.append(field)
+        else:
+            bases.append(field)
+            specs.append(None)
+    return bases, specs
+
+
+def _apply_field_spec(spec: Optional[str], arr: np.ndarray,
+                      frame_rate: float) -> np.ndarray:
+    """Runs one field's stream through its Preprocessor param string.
+
+    A FRESH Preprocessor per call keeps filter/context state from
+    crossing file boundaries (per-file context isolation, the same
+    rule as lag stacking).
+    """
+    arr = np.atleast_2d(np.asarray(arr, np.float32))
+    if spec is None:
+        return arr
+    from telluride_decoding_tpu.signal.preprocess import Preprocessor
+    pp = Preprocessor(spec, frame_rate, frame_rate)
+    return np.asarray(pp.process(arr, reset=True), np.float32)
+
+
 class BrainData:
     """Base class describing one experiment's data source.
 
@@ -82,9 +125,22 @@ class BrainData:
             in_fields = [in_fields]
         if isinstance(in2_fields, str) and in2_fields:
             in2_fields = [in2_fields]
-        self.in1_fields = list(in_fields)
-        self.in2_fields = list(in2_fields) if in2_fields else None
-        self.out_field = out_field
+        # On-the-fly preprocessing: a field may carry a Preprocessor
+        # param string, e.g. 'eeg(highpass_cutoff=0.5;channel_numbers=
+        # 0-3)'. The reference scaffolds this per-record and leaves it
+        # broken (parse_and_select_from_tfrecord2 TODO, reference
+        # brain_data.py:841-877); here the whole-file stream runs
+        # through a fresh Preprocessor before lag stacking, so filter
+        # state never crosses recordings.
+        self.in1_fields, self._in1_specs = _parse_field_specs(
+            list(in_fields), frame_rate)
+        if in2_fields:
+            self.in2_fields, self._in2_specs = _parse_field_specs(
+                list(in2_fields), frame_rate)
+        else:
+            self.in2_fields, self._in2_specs = None, None
+        (self.out_field,), (self._out_spec,) = _parse_field_specs(
+            [out_field], frame_rate)
         self.frame_rate = frame_rate
         self.in1_pre_context = pre_context
         self.in1_post_context = post_context
@@ -179,22 +235,26 @@ class BrainData:
             raise ValueError('Could not find all desired features (%s) in '
                              'data (%s)' % (self.in1_fields,
                                             list(data.keys())))
-        in1 = np.concatenate([np.atleast_2d(data[k].astype(np.float32))
-                              for k in self.in1_fields], axis=1)
+        in1 = np.concatenate(
+            [_apply_field_spec(spec, data[k], self.frame_rate)
+             for k, spec in zip(self.in1_fields, self._in1_specs)], axis=1)
         if self.out_field == 'ones':
             out = np.ones((in1.shape[0], 1), np.float32)
         else:
             if self.out_field not in data:
                 raise ValueError('Could not find output_field **%s** in %s' %
                                  (self.out_field, list(data.keys())))
-            out = data[self.out_field].astype(np.float32)
+            out = _apply_field_spec(self._out_spec, data[self.out_field],
+                                    self.frame_rate)
         if self.in2_fields:
             for k in self.in2_fields:
                 if k not in data:
                     raise ValueError('Could not find %s in features %s' %
                                      (k, list(data.keys())))
-            in2 = np.concatenate([np.atleast_2d(data[k].astype(np.float32))
-                                  for k in self.in2_fields], axis=1)
+            in2 = np.concatenate(
+                [_apply_field_spec(spec, data[k], self.frame_rate)
+                 for k, spec in zip(self.in2_fields, self._in2_specs)],
+                axis=1)
         else:
             in2 = in1[:, :1]  # Dummy, same as reference brain_data.py:818.
         if self.attended_field and self.attended_field in data:
@@ -273,12 +333,15 @@ class BrainData:
         if input_number not in (1, 2):
             raise ValueError('Only 1st or 2nd input is supported here.')
         fields = self.in1_fields if input_number == 1 else self.in2_fields
+        specs = self._in1_specs if input_number == 1 else self._in2_specs
         if fields:
-            for k in fields:
+            widths = []
+            for k, spec in zip(fields, specs):
                 if k not in self.features:
                     raise TypeError('Can\'t find **%s** in valid features: '
                                     '%s' % (k, list(self.features.keys())))
-            widths = [self.features[k].shape[0] for k in fields]
+                widths.append(self._spec_width(
+                    spec, self.features[k].shape[0]))
         else:
             widths = [1]
         if input_number == 1:
@@ -287,13 +350,24 @@ class BrainData:
             ctx = self.in2_pre_context + 1 + self.in2_post_context
         return sum(widths) * ctx
 
+    def _spec_width(self, spec: Optional[str], width: int) -> int:
+        """Field width after its preprocessing (channel selection)."""
+        if spec is None:
+            return width
+        from telluride_decoding_tpu.signal.preprocess import Preprocessor
+        pp = Preprocessor(spec, self.frame_rate, self.frame_rate)
+        if pp.channel_numbers is not None:
+            return len(pp.channel_numbers)
+        return width
+
     def output_field_width(self) -> int:
         if self.out_field == 'ones':
             return 1
         if self.out_field not in self.features:
             raise ValueError('Could not find output_field **%s** in %s' %
                              (self.out_field, list(self.features.keys())))
-        return self.features[self.out_field].shape[0]
+        return self._spec_width(self._out_spec,
+                                self.features[self.out_field].shape[0])
 
 
 class BrainDataset:

@@ -210,6 +210,86 @@ class TestFileFiltering:
                                       [0, 1, 2, 3, 4, 5])
 
 
+class TestOnTheFlyPreprocessing:
+    """in_fields may carry Preprocessor param strings — the reference's
+    parse_and_select_from_tfrecord2 TODO (brain_data.py:841-877),
+    finished here: per-file preprocessing before lag stacking."""
+
+    def _write(self, tmp_path, rng, names, n=400, channels=4):
+        d = tmp_path / 'records'
+        d.mkdir()
+        per_file = {}
+        for name in names:
+            data = {'eeg': rng.randn(n, channels).astype(np.float32),
+                    'env': rng.randn(n, 1).astype(np.float32)}
+            records.convert_data_to_tfrecords(data, str(d / name))
+            per_file[name] = data
+        return d, per_file
+
+    def test_highpass_matches_offline_preprocessing(self, tmp_path, rng):
+        from telluride_decoding_tpu.signal.preprocess import Preprocessor
+        from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+        d, per_file = self._write(tmp_path, rng,
+                                  ['t01.tfrecords', 't02.tfrecords'])
+        spec = 'eeg(highpass_cutoff=2)'
+        bd = brain_data.TFExampleData(
+            spec, 'env', 100.0, data_dir=str(d), pre_context=2,
+            test_file_pattern='t0', shuffle_buffer_size=0)
+        assert bd.in1_fields == ['eeg']  # Base name, for feature lookup.
+        in1, _, out, _ = bd.load_arrays('test')
+        # Offline: a fresh Preprocessor per file, then lag stacking —
+        # value-identical to the on-the-fly reader.
+        parts = []
+        for f in bd.filter_file_names('test'):
+            raw = per_file[os.path.basename(f)]['eeg']
+            pp = Preprocessor(spec, 100.0, 100.0)
+            parts.append(lag_stack_np(
+                np.asarray(pp.process(raw, reset=True), np.float32), 2, 0))
+        want = np.concatenate(parts, axis=0)
+        assert in1.shape == want.shape
+        np.testing.assert_allclose(in1, want, atol=1e-5)
+        # The filtering actually did something.
+        flat = brain_data.TFExampleData(
+            'eeg', 'env', 100.0, data_dir=str(d), pre_context=2,
+            test_file_pattern='t0', shuffle_buffer_size=0)
+        assert np.abs(in1 - flat.load_arrays('test')[0]).max() > 1e-3
+
+    def test_channel_selection_changes_width(self, tmp_path, rng):
+        d, _ = self._write(tmp_path, rng, ['t01.tfrecords'])
+        bd = brain_data.TFExampleData(
+            'eeg(highpass_cutoff=0;channel_numbers=1-2)', 'env', 100.0,
+            data_dir=str(d), pre_context=1, test_file_pattern='t01',
+            shuffle_buffer_size=0)
+        assert bd.input_fields_width(1) == 2 * 2  # 2 channels x 2 lags.
+        in1, _, _, _ = bd.load_arrays('test')
+        assert in1.shape[1] == 4
+
+    def test_out_field_preprocessing(self, tmp_path, rng):
+        from telluride_decoding_tpu.signal.preprocess import Preprocessor
+        d, per_file = self._write(tmp_path, rng, ['t01.tfrecords'])
+        bd = brain_data.TFExampleData(
+            'eeg', 'env(highpass_cutoff=2)', 100.0, data_dir=str(d),
+            test_file_pattern='t01', shuffle_buffer_size=0)
+        assert bd.out_field == 'env'
+        assert bd.output_field_width() == 1
+        _, _, out, _ = bd.load_arrays('test')
+        pp = Preprocessor('env(highpass_cutoff=2)', 100.0, 100.0)
+        want = np.asarray(pp.process(
+            per_file['t01.tfrecords']['env'], reset=True), np.float32)
+        np.testing.assert_allclose(out, want, atol=1e-5)
+
+    def test_bad_spec_fails_eagerly(self, tmp_path, rng):
+        d, _ = self._write(tmp_path, rng, ['t01.tfrecords'])
+        with pytest.raises(ValueError):
+            brain_data.TFExampleData(
+                'eeg(nonsense)', 'env', 100.0, data_dir=str(d),
+                test_file_pattern='t01')
+        with pytest.raises(ValueError):
+            brain_data.TFExampleData(
+                'eeg(highpass_cutoff=2)', 'env', 0.0, data_dir=str(d),
+                test_file_pattern='t01')
+
+
 class TestRecordsIO:
 
     def test_float_int_bytes_roundtrip(self, tmp_path):

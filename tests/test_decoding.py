@@ -125,6 +125,21 @@ class TestLinearExperiment:
         assert os.path.exists(os.path.join(model_dir,
                                            'decoder_model.json'))
 
+    def test_on_the_fly_preprocessing_flag(self, tmp_path,
+                                           trf_records_dir):
+        # Filtering specified in the input_field flag: the reader runs
+        # each file through a Preprocessor before lag stacking (the
+        # reference's parse_and_select_from_tfrecord2 TODO). A gentle
+        # highpass barely perturbs the TRF recovery, so the gate holds.
+        my_flags = _base_flags(tmp_path, trf_records_dir)
+        my_flags.dnn_regressor = 'linear'
+        my_flags.regularization_lambda = 1e-3
+        my_flags.input_field = 'eeg(highpass_cutoff=0.5)'
+        # The 0.5 Hz highpass removes real low-frequency signal, so the
+        # gate sits slightly below the unfiltered 0.97.
+        _, test_results, _ = decoding.run_decoding_experiment(my_flags)
+        assert test_results['pearson_correlation_first'] > 0.85
+
     def test_params_token_substitution(self, tmp_path, trf_records_dir):
         my_flags = _base_flags(tmp_path, trf_records_dir)
         my_flags.dnn_regressor = 'linear'
