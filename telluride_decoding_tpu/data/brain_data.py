@@ -69,6 +69,40 @@ def _parse_field_specs(fields: List[str], frame_rate: float
     return bases, specs
 
 
+def _device_file_moments(x_raw, y_raw, n_true, *, pre: int, post: int,
+                         pre_y: int, post_y: int, want_syy: bool):
+    """One file's MomentStats: on-device lag stack + masked moments.
+
+    Bucket zero-padding beyond n_true reproduces the lag stack's own
+    zero edge semantics exactly, so rows < n_true are value-identical
+    to an unpadded stack; rows >= n_true are masked out of the sums.
+    Jitted with static (pre, post, bucketed shape) so every
+    similar-length file reuses one compilation.
+    """
+    import jax
+    import jax.numpy as jnp
+    from telluride_decoding_tpu.ops.covariance import blocked_moments
+    from telluride_decoding_tpu.ops.lagstack import lag_stack_reference
+
+    global _DEVICE_FILE_MOMENTS_JIT
+    if _DEVICE_FILE_MOMENTS_JIT is None:
+        def fn(x_raw, y_raw, n_true, pre, post, pre_y, post_y, want_syy):
+            x = lag_stack_reference(x_raw, pre, post)
+            y = lag_stack_reference(y_raw, pre_y, post_y)
+            valid = (jnp.arange(x.shape[0]) <
+                     n_true).astype(jnp.float32)
+            return blocked_moments(x, y, want_syy=want_syy, valid=valid)
+        _DEVICE_FILE_MOMENTS_JIT = jax.jit(
+            fn, static_argnames=('pre', 'post', 'pre_y', 'post_y',
+                                 'want_syy'))
+    return _DEVICE_FILE_MOMENTS_JIT(x_raw, y_raw, n_true, pre=pre,
+                                    post=post, pre_y=pre_y,
+                                    post_y=post_y, want_syy=want_syy)
+
+
+_DEVICE_FILE_MOMENTS_JIT = None
+
+
 def _apply_field_spec(spec: Optional[str], arr: np.ndarray,
                       frame_rate: float) -> np.ndarray:
     """Runs one field's stream through its Preprocessor param string.
@@ -307,6 +341,86 @@ class BrainData:
         return bool(self.in1_pre_context or self.in1_post_context or
                     self.in2_pre_context or self.in2_post_context or
                     self.input_offset)
+
+    # -- bounded-memory streaming -------------------------------------------
+
+    def iter_file_arrays(self, mode: str, temporal_context: bool = True):
+        """Yields (filename, (in1, in2, out, attended)) one file at a
+        time — the bounded-memory counterpart of load_arrays (the
+        reference streams from disk via tf.data interleave,
+        brain_data.py:725-760). Each file's arrays are free to be
+        dropped after use; nothing is concatenated."""
+        filename_list = self.filter_file_names(mode)
+        if not filename_list:
+            raise ValueError('No files to process in mode %s from '
+                             'directory %s: %s' %
+                             (mode, self.data_dir, self.all_files()))
+        for filename in filename_list:
+            streams = self.file_arrays(filename)
+            if temporal_context and self._needs_context():
+                streams = self._add_context(*streams)
+            yield filename, streams
+
+    def streaming_moments(self, mode: str = 'train', *,
+                          y_source: str = 'output',
+                          want_syy: bool = False,
+                          frame_bucket: int = 4096):
+        """Covariance sufficient statistics with bounded memory.
+
+        Decodes one file at a time and accumulates MomentStats; the
+        lag stacking runs ON DEVICE from the raw stream (at codelab
+        width the stacked matrix is 37x the raw data, so this also cuts
+        host->device traffic 37x). Raw frames pad to ``frame_bucket``
+        multiples with a validity mask, so one compilation serves every
+        file of similar length. Covariance-based fits (ridge, CCA, LDA)
+        never hold the whole corpus: peak host memory is one raw file.
+
+        y_source selects the second stream: 'output' (ridge/linear
+        targets) or 'input_2' (CCA pairs, lag-stacked with the in2
+        contexts). A nonzero input_offset falls back to the per-file
+        host path (same bounded memory, exact offset semantics).
+        """
+        if y_source not in ('output', 'input_2'):
+            raise ValueError("y_source must be 'output' or 'input_2', "
+                             'not %s' % y_source)
+        import jax.numpy as jnp
+        total = None
+        if self.input_offset != 0:
+            from telluride_decoding_tpu.ops.covariance import (
+                moments_from_arrays)
+            for _, (in1, in2, out, _) in self.iter_file_arrays(mode):
+                y = out if y_source == 'output' else in2
+                stats = moments_from_arrays(jnp.asarray(in1),
+                                            jnp.asarray(y),
+                                            want_syy=want_syy)
+                total = stats if total is None else total + stats
+            return total
+        pre_y, post_y = ((0, 0) if y_source == 'output' else
+                         (self.in2_pre_context, self.in2_post_context))
+        for filename in self.filter_file_names(mode) or \
+                self._raise_no_files(mode):
+            in1, in2, out, _ = self.file_arrays(filename)
+            y_raw = out if y_source == 'output' else in2
+            n = min(in1.shape[0], y_raw.shape[0])
+            padded_n = n + ((-n) % frame_bucket)
+            x_p = np.zeros((padded_n, in1.shape[1]), np.float32)
+            x_p[:n] = in1[:n]
+            y_p = np.zeros((padded_n, y_raw.shape[1]), np.float32)
+            y_p[:n] = y_raw[:n]
+            stats = _device_file_moments(
+                jnp.asarray(x_p), jnp.asarray(y_p),
+                jnp.asarray(n, jnp.float32),
+                pre=self.in1_pre_context, post=self.in1_post_context,
+                pre_y=pre_y, post_y=post_y, want_syy=want_syy)
+            total = stats if total is None else total + stats
+        if total is None:
+            raise ValueError('No files to process in mode %s from '
+                             'directory %s' % (mode, self.data_dir))
+        return total
+
+    def _raise_no_files(self, mode):
+        raise ValueError('No files to process in mode %s from directory '
+                         '%s: %s' % (mode, self.data_dir, self.all_files()))
 
     # -- batching / dataset iterator ----------------------------------------
 

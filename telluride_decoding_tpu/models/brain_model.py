@@ -348,10 +348,25 @@ class BrainModelLinearRegression(BrainModel):
         in1, _, out, _ = _dataset_arrays(dataset)
         solution = ridge.calculate_linear_regressor_parameters(
             in1, out, lamb=self._regularization_lambda)
+        self._set_solution(solution)
+        return {}
+
+    def fit_streaming(self, brain_data, mode: str = 'train'
+                      ) -> Dict[str, Any]:
+        """Bounded-memory fit: per-file streamed covariance (one raw
+        file of host memory at a time; lag stacking on device), then
+        the same deterministic solve. Value-identical to fit() on the
+        concatenated arrays."""
+        stats = brain_data.streaming_moments(mode, y_source='output')
+        solution = ridge.solve_ridge_from_moments(
+            stats, lamb=self._regularization_lambda)
+        self._set_solution(solution)
+        return {}
+
+    def _set_solution(self, solution):
         self.params = {'w': solution.w, 'b': solution.b}
         self.w_estimate = np.asarray(solution.w)
         self.b_estimate = np.asarray(solution.b)
-        return {}
 
     @property
     def weight_matrices(self) -> List[np.ndarray]:

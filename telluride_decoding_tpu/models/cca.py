@@ -101,6 +101,22 @@ class BrainModelCCA(BrainModel):
         solution = cca_solver.calculate_cca_parameters(
             in1, in2, dim=self._real_dims(),
             regularization=self._regularization_lambda)
+        self._set_solution(solution)
+        return {}
+
+    def fit_streaming(self, brain_data, mode: str = 'train'):
+        """Bounded-memory fit: per-file streamed covariance of the
+        (input_1, input_2) pair, then the same whitening + SVD solve.
+        Value-identical to fit() on the concatenated arrays."""
+        stats = brain_data.streaming_moments(mode, y_source='input_2',
+                                             want_syy=True)
+        solution = cca_solver.solve_cca_from_moments(
+            stats, dim=self._real_dims(),
+            regularization=self._regularization_lambda)
+        self._set_solution(solution)
+        return {}
+
+    def _set_solution(self, solution):
         self.params = {'mean1': solution.mean_x, 'mean2': solution.mean_y,
                        'rot1': solution.rot_x, 'rot2': solution.rot_y}
         self.eigenvalues = np.asarray(solution.eigenvalues)
