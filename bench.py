@@ -226,13 +226,50 @@ def main():
         t0 = time.perf_counter()
         sync(full_sweep())
         sweep_s = time.perf_counter() - t0
+
+        # Full-cohort sweep at codelab scale: 22 subjects x 40 trials
+        # x 9 lambdas (7920 model fits at width 2553 — the codelab's
+        # ENTIRE experiment, which the reference runs as days of shell
+        # jobs). Subjects are ragged (trial lengths differ) but pad to
+        # one shared program shape, so the sweep compiles once; data
+        # is generated and dropped per subject to bound HBM. TPU only
+        # (minutes of matmuls on CPU).
+        cohort_s = float('nan')
+        if jax.devices()[0].platform == 'tpu':
+            from telluride_decoding_tpu.sweep.engine import (
+                ridge_jackknife_sweep)
+            num_subjects = 22
+            t0 = time.perf_counter()
+            corr_peak = 0.0
+            for s in range(num_subjects):
+                frames_s = frames - (s % 5) * 37   # Ragged cohort.
+                keys = jax.random.split(
+                    jax.random.PRNGKey(100 + s), num_files)
+                xs_s, ys_s = [], []
+                for k in keys:
+                    x = jax.random.normal(k, (frames_s, width),
+                                          jnp.float32)
+                    y = (x[:, :1] * 0.5 + 0.1 * jax.random.normal(
+                        k, (frames_s, 1), jnp.float32))
+                    xs_s.append(x)
+                    ys_s.append(y)
+                res = ridge_jackknife_sweep(
+                    xs_s, ys_s, lambdas9, pad_files_to=num_files,
+                    pad_frames_to=frames)
+                corr_peak = max(corr_peak,
+                                float(res.correlations.max()))
+                del xs_s, ys_s
+            cohort_s = time.perf_counter() - t0
+            assert corr_peak > 0.9, corr_peak
         print('diag: ridge_solve_ms=%.2f streaming_p50_ms=%.2f '
               '(includes dispatch RTT) streaming_p50_device_ms=%.4f '
               '(device-resident loop of %d windows, target <10ms) '
               'codelab_sweep_s=%.2f '
               '(40 files x 9 lambdas, width 2553: 360 fits, '
-              'target <60s)' % (ridge_ms, p50, p50_device, stream_n,
-                                sweep_s),
+              'target <60s) cohort_sweep_s=%.2f (22 subjects x 40 '
+              'trials x 9 lambdas at width 2553: 7920 fits, ragged, '
+              'one compile)' % (ridge_ms, p50, p50_device, stream_n,
+                                sweep_s, cohort_s),
               file=sys.stderr)
         del xs_list, ys_list
     except Exception as e:  # Diagnostics must never break the bench.

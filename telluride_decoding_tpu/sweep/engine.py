@@ -63,15 +63,18 @@ def _masked_pearson_first(x: jax.Array, y: jax.Array,
     return r[0]
 
 
-def pad_and_stack(arrays: Sequence[np.ndarray]
+def pad_and_stack(arrays: Sequence[np.ndarray],
+                  pad_frames_to: Optional[int] = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stacks variable-length [N_i, D] arrays into [F, N_max, D] + mask.
 
     Device arrays stay on device (padded with jnp.pad); host arrays
     build the batch host-side in one buffer. Mixing is fine.
+    pad_frames_to forces a larger N_max so ragged cohorts share one
+    compiled program shape.
     """
     arrays = [_ensure_2d(a) for a in arrays]
-    max_n = max(a.shape[0] for a in arrays)
+    max_n = max(max(a.shape[0] for a in arrays), pad_frames_to or 0)
     all_on_device = all(isinstance(a, jax.Array) for a in arrays)
     mask = np.zeros((len(arrays), max_n), np.float32)
     for i, a in enumerate(arrays):
@@ -91,6 +94,27 @@ def pad_and_stack(arrays: Sequence[np.ndarray]
 
 def _stack_stats(stats_list: Sequence[MomentStats]) -> MomentStats:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *stats_list)
+
+
+def _pad_files(per_file_x, per_file_y, stats_list,
+               pad_files_to: Optional[int]):
+    """Appends zero dummy files (and zero stats) up to pad_files_to.
+
+    Zero stats leave the leave-one-out totals untouched; the dummy
+    files' evaluation masks are zeroed by the caller, so their
+    correlations come out 0 and are sliced away from the result. This
+    lets ragged cohorts share ONE compiled sweep program.
+    """
+    if not pad_files_to or pad_files_to <= len(per_file_x):
+        return per_file_x, per_file_y, stats_list
+    from telluride_decoding_tpu.ops.covariance import zeros_moments
+    dx = per_file_x[0].shape[1]
+    dy = per_file_y[0].shape[1]
+    pad = pad_files_to - len(per_file_x)
+    per_file_x = list(per_file_x) + [np.zeros((1, dx), np.float32)] * pad
+    per_file_y = list(per_file_y) + [np.zeros((1, dy), np.float32)] * pad
+    stats_list = list(stats_list) + [zeros_moments(dx, dy)] * pad
+    return per_file_x, per_file_y, stats_list
 
 
 def _total_minus(stacked: MomentStats, total: MomentStats,
@@ -240,7 +264,10 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                           lambdas: Sequence[float],
                           file_names: Optional[List[str]] = None,
                           mesh: Optional['jax.sharding.Mesh'] = None,
-                          use_ridge: bool = True) -> SweepResult:
+                          use_ridge: bool = True,
+                          pad_files_to: Optional[int] = None,
+                          pad_frames_to: Optional[int] = None
+                          ) -> SweepResult:
     """Leave-one-file-out ridge sweep over a lambda grid, one program.
 
     per_file_x[i]: lag-stacked input of file i ([N_i, Dx]);
@@ -248,22 +275,31 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     correlations[num_lambdas, num_files] where entry (l, f) is the test
     correlation of a model trained on all files but f with
     regularization lambdas[l].
+
+    pad_files_to/pad_frames_to force a shared program shape so a whole
+    ragged cohort reuses ONE compilation (padding is masked out and
+    sliced away from the result).
     """
+    num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
     stats_list = [moments_from_arrays(jnp.asarray(x, jnp.float32),
                                       jnp.asarray(y, jnp.float32))
                   for x, y in zip(per_file_x, per_file_y)]
+    per_file_x, per_file_y, stats_list = _pad_files(
+        per_file_x, per_file_y, stats_list, pad_files_to)
     stacked = _stack_stats(stats_list)
     total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
-    xs, masks = pad_and_stack(per_file_x)
-    ys, _ = pad_and_stack(per_file_y)
+    xs, masks = pad_and_stack(per_file_x, pad_frames_to)
+    ys, _ = pad_and_stack(per_file_y, pad_frames_to)
+    masks = masks.at[num_real:].set(0.0)
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
     xs, ys, masks = _shard_over_mesh([xs, ys, masks], mesh)
     corr = _ridge_sweep_program(stacked, total, xs, ys, masks, lambdas_arr,
                                 use_ridge=use_ridge)
-    return SweepResult(np.asarray(corr), np.asarray(lambdas),
+    return SweepResult(np.asarray(corr)[:, :num_real],
+                       np.asarray(lambdas),
                        file_names or ['file%d' % i
-                                      for i in range(len(per_file_x))])
+                                      for i in range(num_real)])
 
 
 def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
@@ -271,50 +307,68 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                         lambdas: Sequence[float],
                         dims: int = 5,
                         file_names: Optional[List[str]] = None,
-                        mesh: Optional['jax.sharding.Mesh'] = None
+                        mesh: Optional['jax.sharding.Mesh'] = None,
+                        pad_files_to: Optional[int] = None,
+                        pad_frames_to: Optional[int] = None
                         ) -> SweepResult:
     """Leave-one-file-out CCA sweep (correlation of first canonical
     pair on the held-out file) over a regularization grid."""
+    num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
     stats_list = [moments_from_arrays(jnp.asarray(x, jnp.float32),
                                       jnp.asarray(y, jnp.float32),
                                       want_syy=True)
                   for x, y in zip(per_file_x, per_file_y)]
+    per_file_x, per_file_y, stats_list = _pad_files(
+        per_file_x, per_file_y, stats_list, pad_files_to)
     stacked = _stack_stats(stats_list)
     total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
-    xs, masks = pad_and_stack(per_file_x)
-    ys, _ = pad_and_stack(per_file_y)
+    xs, masks = pad_and_stack(per_file_x, pad_frames_to)
+    ys, _ = pad_and_stack(per_file_y, pad_frames_to)
+    masks = masks.at[num_real:].set(0.0)
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
     xs, ys, masks = _shard_over_mesh([xs, ys, masks], mesh)
     corr = _cca_sweep_program(stacked, total, xs, ys, masks, lambdas_arr,
                               dims=dims)
-    return SweepResult(np.asarray(corr), np.asarray(lambdas),
+    return SweepResult(np.asarray(corr)[:, :num_real],
+                       np.asarray(lambdas),
                        file_names or ['file%d' % i
-                                      for i in range(len(per_file_x))])
+                                      for i in range(num_real)])
 
 
 def multi_subject_sweep(subjects, lambdas: Sequence[float],
                         model: str = 'ridge', dims: int = 5,
                         mesh: Optional['jax.sharding.Mesh'] = None,
-                        use_ridge: bool = True):
+                        use_ridge: bool = True,
+                        shared_shapes: bool = True):
     """Per-subject jackknife x lambda grids for a whole cohort.
 
     ``subjects`` maps subject name -> (per_file_x, per_file_y). Each
     subject's leave-one-out runs independently (files never mix across
-    subjects); subjects with identical shapes reuse the compiled
-    program, so a 22-subject x 40-trial x 9-lambda cohort (the
-    codelab's full experiment, ~8k model fits) runs in seconds.
-    Returns {subject: SweepResult}.
+    subjects). With shared_shapes (the default) every subject pads to
+    the cohort's (max files, max frames) shape, so a RAGGED cohort —
+    different trial counts or lengths per subject — still compiles the
+    sweep program exactly ONCE; a 22-subject x 40-trial x 9-lambda
+    cohort (the codelab's full experiment, ~8k model fits) runs in
+    seconds. Returns {subject: SweepResult} (padding sliced away).
     """
+    items = (list(subjects.items()) if hasattr(subjects, 'items')
+             else list(subjects))
+    pad_files_to = pad_frames_to = None
+    if shared_shapes and len(items) > 1:
+        pad_files_to = max(len(xs) for _, (xs, _) in items)
+        pad_frames_to = max(x.shape[0] for _, (xs, _) in items
+                            for x in xs)
     results = {}
-    for name, (xs, ys) in subjects.items():
+    for name, (xs, ys) in items:
         if model == 'cca':
-            results[name] = cca_jackknife_sweep(xs, ys, lambdas,
-                                                dims=dims, mesh=mesh)
+            results[name] = cca_jackknife_sweep(
+                xs, ys, lambdas, dims=dims, mesh=mesh,
+                pad_files_to=pad_files_to, pad_frames_to=pad_frames_to)
         else:
-            results[name] = ridge_jackknife_sweep(xs, ys, lambdas,
-                                                  mesh=mesh,
-                                                  use_ridge=use_ridge)
+            results[name] = ridge_jackknife_sweep(
+                xs, ys, lambdas, mesh=mesh, use_ridge=use_ridge,
+                pad_files_to=pad_files_to, pad_frames_to=pad_frames_to)
     return results
 
 

@@ -81,6 +81,24 @@ class TestMigration:
                                    atol=1e-6)
         assert loaded.telluride_metadata == model.telluride_metadata
 
+    def test_migrate_cli_tool(self, frozen_model_dir, rng, tmp_path):
+        """The stated one-way compatibility policy: SavedModel -> native
+        via the CLI shim, then served natively (README 'Model artifact
+        compatibility')."""
+        from telluride_decoding_tpu.cli import migrate_saved_model
+        dst = str(tmp_path / 'native')
+        migrate_saved_model.app_main([frozen_model_dir, dst])
+        assert os.path.exists(os.path.join(dst, 'model.json'))
+        assert os.path.exists(os.path.join(dst, 'weights.npz'))
+        loaded = load_model(dst)
+        width = json.loads(loaded.telluride_inputs)['input_1'][1]
+        x = rng.randn(8, width).astype(np.float32)
+        assert np.asarray(loaded({'input_1': x})).shape == (8, 1)
+        with pytest.raises(SystemExit):
+            migrate_saved_model.app_main([str(tmp_path), dst])  # No pb.
+        with pytest.raises(SystemExit):
+            migrate_saved_model.app_main([dst])  # Wrong arity.
+
     def test_migrated_model_in_decoder(self, frozen_model_dir, rng):
         from telluride_decoding_tpu.decode import LinearRegressionDecoder
         model = load_reference_saved_model(frozen_model_dir)
