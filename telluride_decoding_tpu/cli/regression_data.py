@@ -289,8 +289,21 @@ class RegressionDataJensImpaired(RegressionData):
         return False
 
     def download_data(self, url, cache_dir, debug=False):
-        del debug
-        super().download_data(url, _tmp_dir)
+        archive = os.path.join(_tmp_dir, 'ds-eeg-snhl.tar')
+        if download_from_gdrive(url, archive, debug=debug):
+            import tarfile
+            make_if_not_exists(cache_dir)
+            with tarfile.open(archive) as tf:
+                tf.extractall(cache_dir, filter='data')
+            # The archive wraps everything in ds-eeg-snhl/ — hoist it
+            # (the manual instructions' `mv ds-eeg-snhl/* .`).
+            wrapper = os.path.join(cache_dir, 'ds-eeg-snhl')
+            if os.path.isdir(wrapper):
+                for name in os.listdir(wrapper):
+                    os.replace(os.path.join(wrapper, name),
+                               os.path.join(cache_dir, name))
+                os.rmdir(wrapper)
+            return super().download_data(url, cache_dir)
         print('To download manually, use: wget -c {} -O {}/{}'.format(
             url, cache_dir, 'ds-eeg-snhl.tar'), file=regression_data_print)
         print(' cd %s; tar xvf ds-eeg-snhl.tar; mv ds-eeg-snhl/* .' %
@@ -420,8 +433,18 @@ class RegressionDataKULeuven(RegressionData):
         return False
 
     def download_data(self, url, cache_dir, debug=False):
-        del debug
-        super().download_data(url, _tmp_dir)
+        # A directly fetchable archive of preprocessed S*.mat files (+
+        # stimuli/) installs automatically; the published dataset needs
+        # the authors' Matlab preprocess_data first, hence the manual
+        # fallback instructions.
+        archive = os.path.join(_tmp_dir, 'kuleuven.zip')
+        if url.endswith('.zip') and download_from_gdrive(url, archive,
+                                                         debug=debug):
+            import zipfile
+            make_if_not_exists(cache_dir)
+            with zipfile.ZipFile(archive) as zf:
+                zf.extractall(cache_dir)
+            return super().download_data(url, cache_dir)
         print('To download manually, grab data from %s and run the '
               'dataset\'s Matlab preprocess_data, then copy the S*.mat '
               'files to %s' % (url, cache_dir),
