@@ -140,7 +140,7 @@ from telluride_decoding_tpu.data import brain_data, records
 
 d = %(tmp)r
 rng = np.random.RandomState(0)
-for i in range(24):
+for i in range(48):
     n = 4000 + 37 * i
     records.convert_data_to_tfrecords(
         {'eeg': rng.randn(n, 32).astype(np.float32),
@@ -151,8 +151,8 @@ bd = brain_data.TFExampleData(
     data_dir=d, train_file_pattern='t')
 stats = bd.streaming_moments('train', y_source='output')
 assert np.all(np.isfinite(np.asarray(stats.sxx)))
-# Dense equivalent: 24 files x ~4400 frames x (64*32) cols x 4 B
-# ~= 860 MB of lag-stacked float32 the streaming path never holds.
+# Dense equivalent: 48 files x ~4900 frames x (64*32) cols x 4 B
+# ~= 1.9 GB of lag-stacked float32 the streaming path never holds.
 peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 print('PEAK_MB %%.1f' %% peak_mb)
 """
@@ -162,8 +162,8 @@ class TestBoundedMemory:
 
     def test_peak_rss_stays_bounded(self, tmp_path):
         """Cohort-scale streaming accumulation must not materialize the
-        lag-stacked corpus (~860 MB dense); the subprocess gives a clean
-        high-water mark."""
+        lag-stacked corpus (~1.9 GB dense); the subprocess gives a
+        clean high-water mark."""
         env = dict(os.environ, PALLAS_AXON_POOL_IPS='',
                    JAX_PLATFORMS='cpu')
         env.pop('XLA_FLAGS', None)  # No 8-device mesh in the child.
@@ -176,7 +176,8 @@ class TestBoundedMemory:
                               timeout=300)
         assert proc.returncode == 0, proc.stderr[-2000:]
         peak = float(proc.stdout.strip().split('PEAK_MB')[1])
-        # jax-on-CPU baseline is ~300 MB; one streamed file's stacked
-        # block is ~36 MB. The dense path needs 860 MB+ for the corpus
-        # alone, so a 650 MB ceiling proves the bound.
-        assert peak < 650, 'peak RSS %.1f MB' % peak
+        # jax-on-CPU baseline is ~300-500 MB (grows under machine
+        # load); one streamed file's stacked block is ~40 MB. The dense
+        # path needs 1.9 GB+ for the corpus alone, so an 850 MB ceiling
+        # proves the bound with headroom for runtime-arena noise.
+        assert peak < 850, 'peak RSS %.1f MB' % peak
