@@ -67,6 +67,7 @@ class DecodingOptions:
     pre_context: int = 0
     random_mixup_batch: bool = False
     mismatch_batch: bool = False
+    streaming_fit: bool = False
     regularization_lambda: float = 0.1
     saved_model_dir: Optional[str] = None
     shuffle_buffer_size: int = 100000
@@ -168,6 +169,12 @@ def define_flags():
                        'Regularization for linear regression/CCA.')
     flags.DEFINE_bool('random_mixup_batch', defaults.random_mixup_batch,
                       'Mixup the data so labels are random, for testing.')
+    flags.DEFINE_bool('streaming_fit', defaults.streaming_fit,
+                      'Fit deterministic models (linear/cca) from '
+                      'per-file streamed covariance statistics: bounded '
+                      'host memory (one raw file at a time) with lag '
+                      'stacking on device. Value-identical to the '
+                      'default whole-array fit.')
     flags.DEFINE_bool('mismatch_batch', defaults.mismatch_batch,
                       'Train in the match-mismatch paradigm: half of each '
                       'batch gets shuffled input_2 and the label becomes '
@@ -259,9 +266,17 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
         raise TypeError('Train_and_test needs a DecodingOptions object, '
                         'not %s.' % type(my_flags))
     mismatch = getattr(my_flags, 'mismatch_batch', False)
-    train_dataset = test_brain_data.create_dataset(
-        'train', mismatch_batch=mismatch)
-    train_results = test_brain_model.fit(train_dataset, epochs=epochs)
+    if (getattr(my_flags, 'streaming_fit', False) and
+            hasattr(test_brain_model, 'fit_streaming') and not mismatch and
+            isinstance(test_brain_data, brain_data.TFExampleData)):
+        # Bounded-memory path: per-file streamed covariance (the train
+        # split is never concatenated on the host).
+        train_results = test_brain_model.fit_streaming(test_brain_data,
+                                                       'train')
+    else:
+        train_dataset = test_brain_data.create_dataset(
+            'train', mismatch_batch=mismatch)
+        train_results = test_brain_model.fit(train_dataset, epochs=epochs)
     test_dataset = test_brain_data.create_dataset(
         'test', mismatch_batch=mismatch)
     test_results = test_brain_model.evaluate(test_dataset)

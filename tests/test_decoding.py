@@ -125,6 +125,18 @@ class TestLinearExperiment:
         assert os.path.exists(os.path.join(model_dir,
                                            'decoder_model.json'))
 
+    def test_streaming_fit_flag(self, tmp_path, trf_records_dir):
+        # --streaming_fit trains from per-file streamed covariance;
+        # results must clear the same TRF gate as the dense fit.
+        my_flags = _base_flags(tmp_path, trf_records_dir)
+        my_flags.dnn_regressor = 'linear'
+        my_flags.regularization_lambda = 1e-3
+        my_flags.streaming_fit = True
+        _, test_results, dprime = decoding.run_decoding_experiment(
+            my_flags)
+        assert test_results['pearson_correlation_first'] > 0.97
+        assert dprime > 1.0
+
     def test_on_the_fly_preprocessing_flag(self, tmp_path,
                                            trf_records_dir):
         # Filtering specified in the input_field flag: the reader runs
