@@ -191,9 +191,7 @@ def main():
         # codelab width (2553 lag-stacked channels) in one program.
         # (The reference documents ~1 hour per fit on a workstation.)
         from telluride_decoding_tpu.sweep.engine import (
-            _ridge_sweep_program, _stack_stats, pad_and_stack)
-        from telluride_decoding_tpu.ops.covariance import (
-            moments_from_arrays)
+            _ridge_sweep_program, _stacked_moments, pad_and_stack)
         num_files, frames, width = 40, 3300, 2553
         datakeys = jax.random.split(jax.random.PRNGKey(3), num_files)
 
@@ -213,12 +211,10 @@ def main():
         lambdas9 = jnp.asarray(np.logspace(-6, 2, 9), jnp.float32)
 
         def full_sweep():
-            stats = [moments_from_arrays(x, y)
-                     for x, y in zip(xs_list, ys_list)]
-            stacked = _stack_stats(stats)
-            total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
             xs, masks = pad_and_stack(xs_list)
             ys, _ = pad_and_stack(ys_list)
+            stacked = _stacked_moments(xs, ys, masks, want_syy=False)
+            total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
             return _ridge_sweep_program(stacked, total, xs, ys, masks,
                                         lambdas9)
 

@@ -1,13 +1,25 @@
-"""Fused CCA-decode window kernel: the serving hot loop as one pass.
+"""Fused CCA-decode window kernel (measured: XLA wins; kept as the
+documented fusion study + an option for shapes where it helps).
 
 The flagship decode (reference call stack: infer_decoder.infer_one ->
 decode_one -> compute_correlation -> LDA reduction,
 infer_decoder.py:416-455 + 583-632) is HBM-bandwidth-bound: the lagged
 EEG windows x1 [W, T, 2553] dominate every other operand by 2-3 orders
-of magnitude. XLA's composition (einsum + elementwise + reduce) reaches
-~55% of the read bandwidth because the [W, T, D] intermediates round-
-trip through HBM between fusions. This kernel performs the WHOLE
-pipeline per window block inside VMEM:
+of magnitude. This kernel performs the WHOLE pipeline per window block
+inside VMEM so x1 is read from HBM exactly once.
+
+MEASURED RESULT (v5e, 512 windows x 100 frames x 2553, bf16,
+interleaved A/B medians over 5 runs): XLA einsum path 0.59 ms/batch
+(869k windows/s) vs this kernel 0.97 ms/batch (525k windows/s). XLA's
+fusion already keeps the [W, T, D] intermediates out of HBM here (D=10
+is tiny), and its einsum schedule overlaps the x1 DMA better than this
+grid does — so the einsum path REMAINS the production decode
+(bench.py, decode/infer_decoder.py). The kernel stays because (a) the
+negative result is load-bearing engineering documentation, and (b) at
+larger D (where [W, T, D] no longer fits XLA's fusion budget) the
+one-pass structure wins; revisit if the model family grows.
+
+Pipeline per window block:
 
   r1 = x1 @ rot1          (MXU, bf16 operands, f32 accumulation)
   r2 = x2 @ rot2

@@ -96,25 +96,36 @@ def _stack_stats(stats_list: Sequence[MomentStats]) -> MomentStats:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *stats_list)
 
 
-def _pad_files(per_file_x, per_file_y, stats_list,
-               pad_files_to: Optional[int]):
-    """Appends zero dummy files (and zero stats) up to pad_files_to.
+def _pad_files(per_file_x, per_file_y, pad_files_to: Optional[int]):
+    """Appends zero dummy files up to pad_files_to.
 
-    Zero stats leave the leave-one-out totals untouched; the dummy
-    files' evaluation masks are zeroed by the caller, so their
+    Dummy files' masks are zeroed by the caller, so their statistics
+    are exact zeros (leaving leave-one-out totals untouched) and their
     correlations come out 0 and are sliced away from the result. This
     lets ragged cohorts share ONE compiled sweep program.
     """
     if not pad_files_to or pad_files_to <= len(per_file_x):
-        return per_file_x, per_file_y, stats_list
-    from telluride_decoding_tpu.ops.covariance import zeros_moments
+        return per_file_x, per_file_y
     dx = per_file_x[0].shape[1]
     dy = per_file_y[0].shape[1]
     pad = pad_files_to - len(per_file_x)
     per_file_x = list(per_file_x) + [np.zeros((1, dx), np.float32)] * pad
     per_file_y = list(per_file_y) + [np.zeros((1, dy), np.float32)] * pad
-    stats_list = list(stats_list) + [zeros_moments(dx, dy)] * pad
-    return per_file_x, per_file_y, stats_list
+    return per_file_x, per_file_y
+
+
+@functools.partial(jax.jit, static_argnames=('want_syy',))
+def _stacked_moments(xs: jax.Array, ys: jax.Array, masks: jax.Array,
+                     want_syy: bool) -> MomentStats:
+    """Per-file MomentStats from the padded [F, N, D] stack — ONE
+    device program for the whole file set (the per-file eager loop it
+    replaces cost one dispatch round trip per file, which dominated
+    cohort sweeps through a high-latency link)."""
+    def one(x, y, m):
+        stats = moments_from_arrays(x * m[:, None], y * m[:, None],
+                                    want_syy=want_syy)
+        return stats._replace(count=jnp.sum(m))
+    return jax.vmap(one)(xs, ys, masks)
 
 
 def _total_minus(stacked: MomentStats, total: MomentStats,
@@ -282,18 +293,15 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     """
     num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
-    stats_list = [moments_from_arrays(jnp.asarray(x, jnp.float32),
-                                      jnp.asarray(y, jnp.float32))
-                  for x, y in zip(per_file_x, per_file_y)]
-    per_file_x, per_file_y, stats_list = _pad_files(
-        per_file_x, per_file_y, stats_list, pad_files_to)
-    stacked = _stack_stats(stats_list)
-    total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
+    per_file_x, per_file_y = _pad_files(per_file_x, per_file_y,
+                                        pad_files_to)
     xs, masks = pad_and_stack(per_file_x, pad_frames_to)
     ys, _ = pad_and_stack(per_file_y, pad_frames_to)
     masks = masks.at[num_real:].set(0.0)
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
     xs, ys, masks = _shard_over_mesh([xs, ys, masks], mesh)
+    stacked = _stacked_moments(xs, ys, masks, want_syy=False)
+    total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
     corr = _ridge_sweep_program(stacked, total, xs, ys, masks, lambdas_arr,
                                 use_ridge=use_ridge)
     return SweepResult(np.asarray(corr)[:, :num_real],
@@ -315,19 +323,15 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     pair on the held-out file) over a regularization grid."""
     num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
-    stats_list = [moments_from_arrays(jnp.asarray(x, jnp.float32),
-                                      jnp.asarray(y, jnp.float32),
-                                      want_syy=True)
-                  for x, y in zip(per_file_x, per_file_y)]
-    per_file_x, per_file_y, stats_list = _pad_files(
-        per_file_x, per_file_y, stats_list, pad_files_to)
-    stacked = _stack_stats(stats_list)
-    total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
+    per_file_x, per_file_y = _pad_files(per_file_x, per_file_y,
+                                        pad_files_to)
     xs, masks = pad_and_stack(per_file_x, pad_frames_to)
     ys, _ = pad_and_stack(per_file_y, pad_frames_to)
     masks = masks.at[num_real:].set(0.0)
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
     xs, ys, masks = _shard_over_mesh([xs, ys, masks], mesh)
+    stacked = _stacked_moments(xs, ys, masks, want_syy=True)
+    total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
     corr = _cca_sweep_program(stacked, total, xs, ys, masks, lambdas_arr,
                               dims=dims)
     return SweepResult(np.asarray(corr)[:, :num_real],
