@@ -266,14 +266,29 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
         raise TypeError('Train_and_test needs a DecodingOptions object, '
                         'not %s.' % type(my_flags))
     mismatch = getattr(my_flags, 'mismatch_batch', False)
-    if (getattr(my_flags, 'streaming_fit', False) and
-            hasattr(test_brain_model, 'fit_streaming') and not mismatch and
-            isinstance(test_brain_data, brain_data.TFExampleData)):
+    streaming_ok = (hasattr(test_brain_model, 'fit_streaming') and
+                    not mismatch and
+                    isinstance(test_brain_data, brain_data.TFExampleData))
+    if getattr(my_flags, 'streaming_fit', False) and streaming_ok:
         # Bounded-memory path: per-file streamed covariance (the train
         # split is never concatenated on the host).
         train_results = test_brain_model.fit_streaming(test_brain_data,
                                                        'train')
     else:
+        if getattr(my_flags, 'streaming_fit', False):
+            # The user asked for bounded memory; say loudly that the
+            # dense fallback (which concatenates the train split on
+            # the host) is being used instead, and why.
+            reason = ('model %s has no streaming fit'
+                      % type(test_brain_model).__name__
+                      if not hasattr(test_brain_model, 'fit_streaming')
+                      else 'mismatch batches transform the stream'
+                      if mismatch else
+                      'dataset %s is not file-backed'
+                      % type(test_brain_data).__name__)
+            logging.warning('--streaming_fit requested but not '
+                            'applicable (%s); using the dense '
+                            'whole-array fit.', reason)
         train_dataset = test_brain_data.create_dataset(
             'train', mismatch_batch=mismatch)
         train_results = test_brain_model.fit(train_dataset, epochs=epochs)

@@ -291,17 +291,25 @@ class RegressionDataJensImpaired(RegressionData):
     def download_data(self, url, cache_dir, debug=False):
         archive = os.path.join(_tmp_dir, 'ds-eeg-snhl.tar')
         if download_from_gdrive(url, archive, debug=debug):
+            import shutil
             import tarfile
             make_if_not_exists(cache_dir)
             with tarfile.open(archive) as tf:
-                tf.extractall(cache_dir, filter='data')
+                try:
+                    tf.extractall(cache_dir, filter='data')
+                except TypeError:  # filter= needs >=3.10.12/3.11.4.
+                    tf.extractall(cache_dir)
             # The archive wraps everything in ds-eeg-snhl/ — hoist it
-            # (the manual instructions' `mv ds-eeg-snhl/* .`).
+            # (the manual instructions' `mv ds-eeg-snhl/* .`). The
+            # fresh extraction is authoritative: leftovers from an
+            # interrupted or --force'd earlier attempt are replaced.
             wrapper = os.path.join(cache_dir, 'ds-eeg-snhl')
             if os.path.isdir(wrapper):
                 for name in os.listdir(wrapper):
-                    os.replace(os.path.join(wrapper, name),
-                               os.path.join(cache_dir, name))
+                    dst = os.path.join(cache_dir, name)
+                    if os.path.isdir(dst):
+                        shutil.rmtree(dst)
+                    os.replace(os.path.join(wrapper, name), dst)
                 os.rmdir(wrapper)
             return super().download_data(url, cache_dir)
         print('To download manually, use: wget -c {} -O {}/{}'.format(

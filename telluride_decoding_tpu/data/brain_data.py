@@ -323,13 +323,8 @@ class BrainData:
         the TPU-first entry point: the result feeds device solvers in one
         transfer.
         """
-        filename_list = self.filter_file_names(mode)
-        if not filename_list:
-            raise ValueError('No files to process in mode %s from directory '
-                             '%s: %s' % (mode, self.data_dir,
-                                         self.all_files()))
         parts = []
-        for filename in filename_list:
+        for filename in self._files_or_raise(mode):
             streams = self.file_arrays(filename)
             if temporal_context and self._needs_context():
                 streams = self._add_context(*streams)
@@ -350,12 +345,7 @@ class BrainData:
         reference streams from disk via tf.data interleave,
         brain_data.py:725-760). Each file's arrays are free to be
         dropped after use; nothing is concatenated."""
-        filename_list = self.filter_file_names(mode)
-        if not filename_list:
-            raise ValueError('No files to process in mode %s from '
-                             'directory %s: %s' %
-                             (mode, self.data_dir, self.all_files()))
-        for filename in filename_list:
+        for filename in self._files_or_raise(mode):
             streams = self.file_arrays(filename)
             if temporal_context and self._needs_context():
                 streams = self._add_context(*streams)
@@ -397,8 +387,7 @@ class BrainData:
             return total
         pre_y, post_y = ((0, 0) if y_source == 'output' else
                          (self.in2_pre_context, self.in2_post_context))
-        for filename in self.filter_file_names(mode) or \
-                self._raise_no_files(mode):
+        for filename in self._files_or_raise(mode):
             in1, in2, out, _ = self.file_arrays(filename)
             y_raw = out if y_source == 'output' else in2
             n = min(in1.shape[0], y_raw.shape[0])
@@ -413,14 +402,15 @@ class BrainData:
                 pre=self.in1_pre_context, post=self.in1_post_context,
                 pre_y=pre_y, post_y=post_y, want_syy=want_syy)
             total = stats if total is None else total + stats
-        if total is None:
-            raise ValueError('No files to process in mode %s from '
-                             'directory %s' % (mode, self.data_dir))
         return total
 
-    def _raise_no_files(self, mode):
-        raise ValueError('No files to process in mode %s from directory '
-                         '%s: %s' % (mode, self.data_dir, self.all_files()))
+    def _files_or_raise(self, mode: str) -> List[str]:
+        filename_list = self.filter_file_names(mode)
+        if not filename_list:
+            raise ValueError('No files to process in mode %s from '
+                             'directory %s: %s' %
+                             (mode, self.data_dir, self.all_files()))
+        return filename_list
 
     # -- batching / dataset iterator ----------------------------------------
 

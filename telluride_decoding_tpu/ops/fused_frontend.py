@@ -198,10 +198,15 @@ def fused_envelope_lagstack(audio, fs_in: float, fs_out: float,
     else:
         # Bucketed mode: the true end is a traced scalar, so the high
         # clamp and the valid-frame bound enter through the prefetch
-        # table instead of being baked into the compilation.
+        # table instead of being baked into the compilation. The
+        # subtraction runs in int32 (exact for any recording below
+        # 2^31 samples) and only the already-clamped small result is
+        # cast to float32 — casting valid_len to f32 FIRST would round
+        # by whole samples past 2^24 (~17 min at 16 kHz).
         hi_clamp = jnp.minimum(
-            jnp.asarray(valid_len, jnp.float32) + front -
-            jnp.asarray(starts_np, jnp.float32), float(in_tile))
+            jnp.asarray(valid_len, jnp.int32) + front -
+            jnp.asarray(starts_np.astype(np.int32)),
+            in_tile).astype(jnp.float32)
         num_out_col = jnp.broadcast_to(
             jnp.asarray(valid_out, jnp.float32), (num_tiles,))
     starts_arg = jnp.stack(

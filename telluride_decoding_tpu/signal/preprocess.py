@@ -182,7 +182,17 @@ class Preprocessor:
                 except ValueError:
                     pass
             param_dict[k] = v
-        self.init_highpass(param_dict['highpass_cutoff'],
+        # The reference hard-indexes all three keys (preprocess.py:
+        # 582-584, KeyError on any omission); here each is optional
+        # and unknown keys fail with a real error message.
+        known = {'highpass_cutoff', 'highpass_order', 'channel_numbers'}
+        unknown = set(param_dict) - known
+        if unknown:
+            raise ValueError('Unknown preprocess param(s) %s in %s '
+                             '(known: %s).' %
+                             (sorted(unknown), param_string,
+                              sorted(known)))
+        self.init_highpass(param_dict.get('highpass_cutoff', 0),
                            param_dict.get('highpass_order', 4))
         self.init_channel_numbers(param_dict.get('channel_numbers'))
 

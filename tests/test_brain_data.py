@@ -278,11 +278,25 @@ class TestOnTheFlyPreprocessing:
             per_file['t01.tfrecords']['env'], reset=True), np.float32)
         np.testing.assert_allclose(out, want, atol=1e-5)
 
+    def test_channel_only_spec_works(self, tmp_path, rng):
+        # highpass_cutoff is optional (the reference's param parser
+        # KeyErrors without it, preprocess.py:582-584 — fixed here).
+        d, _ = self._write(tmp_path, rng, ['t01.tfrecords'])
+        bd = brain_data.TFExampleData(
+            'eeg(channel_numbers=0,3)', 'env', 100.0, data_dir=str(d),
+            test_file_pattern='t01', shuffle_buffer_size=0)
+        in1, _, _, _ = bd.load_arrays('test')
+        assert in1.shape[1] == 2
+
     def test_bad_spec_fails_eagerly(self, tmp_path, rng):
         d, _ = self._write(tmp_path, rng, ['t01.tfrecords'])
         with pytest.raises(ValueError):
             brain_data.TFExampleData(
                 'eeg(nonsense)', 'env', 100.0, data_dir=str(d),
+                test_file_pattern='t01')
+        with pytest.raises(ValueError):  # Unknown key.
+            brain_data.TFExampleData(
+                'eeg(bogus_param=1)', 'env', 100.0, data_dir=str(d),
                 test_file_pattern='t01')
         with pytest.raises(ValueError):
             brain_data.TFExampleData(
