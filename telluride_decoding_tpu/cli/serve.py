@@ -1,0 +1,295 @@
+"""Real-time streaming attention server.
+
+The reference stores decoder_model.json "so that the correlation
+calculation can be restarted quickly, e.g. in real-time code"
+(reference infer_decoder.py:124) — but never ships that real-time
+code. This driver is it: frames arrive in chunks (replayed from a file
+here; any acquisition loop can call StreamingAttentionServer.push),
+lag context is carried across chunk boundaries, each chunk is ONE
+device dispatch per speaker, and window decisions stream out as JSON
+lines with per-window latency.
+
+  python -m telluride_decoding_tpu.cli.serve \
+      --model_dir /model --reduction lda --decoder wta \
+      --input stream.npz --chunk_size 32 --window_width 100
+
+stream.npz holds eeg [N, C], audio1 [N, 1], audio2 [N, 1] (field names
+configurable). --selftest builds a toy invertible model + stream in a
+temp dir, serves it, and asserts the decisions track the planted
+attention switch — an executable end-to-end smoke test.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+from absl import app
+from absl import flags
+
+import numpy as np
+
+from telluride_decoding_tpu.decide import attention_decoder
+from telluride_decoding_tpu.decode import infer_decoder
+from telluride_decoding_tpu.decode.result_store import TwoResultStore
+from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+
+FLAGS = flags.FLAGS
+
+
+def define_flags():
+    if 'serve_input' in FLAGS:
+        return
+    flags.DEFINE_string('serve_model_dir', None, 'Trained model dir '
+                        '(model.json + weights.npz + decoder_model.json).')
+    flags.DEFINE_string('serve_input', None,
+                        '.npz with eeg/audio1/audio2 arrays to replay.')
+    flags.DEFINE_string('serve_output', None,
+                        'Where to write JSON-line decisions (default '
+                        'stdout).')
+    flags.DEFINE_integer('chunk_size', 32,
+                         'Frames per push (simulated acquisition chunk).')
+    flags.DEFINE_integer('serve_window_width', 100,
+                         'Frames per correlation window.')
+    flags.DEFINE_integer('serve_window_step', 50,
+                         'Frames between window starts.')
+    flags.DEFINE_enum('serve_reduction', 'lda',
+                      ['first', 'second', 'mean', 'mean-squared', 'lda'],
+                      'Correlation-to-scalar reduction.')
+    flags.DEFINE_enum('serve_decoder', 'wta', ['wta', 'stepped', 'ssd'],
+                      'Attention decision rule.')
+    flags.DEFINE_float('serve_frame_rate', 100.0, 'Frames per second.')
+    flags.DEFINE_bool('selftest', False,
+                      'Build a toy model + stream and assert the served '
+                      'decisions track the planted attention switch.')
+
+
+class ContextBuffer:
+    """Carries lag-window context across streaming chunk boundaries.
+
+    Emits output frame t once frames up to t+post have arrived; frame
+    t's row is [x[t-pre], ..., x[t+post]] with zeros only before the
+    stream start — identical to the offline per-file lag stack, just
+    incremental. (The emission delay is `post` frames, the price of
+    future context in real time.)
+    """
+
+    def __init__(self, channels: int, pre: int, post: int):
+        self._pre = pre
+        self._post = post
+        # Buffer holds frames starting at stream index emitted - pre
+        # (zeros for negative indices).
+        self._buf = np.zeros((pre, channels), np.float32)
+        self._arrived = 0
+        self._emitted = 0
+
+    def push(self, frames: np.ndarray) -> np.ndarray:
+        """Adds [n, C] frames; returns all newly-completable stacked
+        rows [m, (pre+1+post)*C] (possibly empty)."""
+        frames = np.atleast_2d(np.asarray(frames, np.float32))
+        self._buf = np.concatenate([self._buf, frames], axis=0)
+        self._arrived += frames.shape[0]
+        avail = self._arrived - self._post - self._emitted
+        if avail <= 0:
+            return np.zeros(
+                (0, (self._pre + 1 + self._post) * frames.shape[1]),
+                np.float32)
+        rows = self._buf[:avail + self._pre + self._post]
+        stacked = lag_stack_np(rows, self._pre, self._post)
+        out = stacked[self._pre:self._pre + avail]
+        self._buf = self._buf[avail:]
+        self._emitted += avail
+        return out
+
+    @property
+    def delay_frames(self) -> int:
+        return self._post
+
+
+class StreamingAttentionServer:
+    """Chunked two-speaker decode + windowed attention decisions."""
+
+    def __init__(self, decoder: infer_decoder.Decoder,
+                 eeg_channels: int, audio_channels: int = 1,
+                 window_width: int = 100, window_step: int = 50,
+                 decision: str = 'wta', frame_rate: float = 100.0):
+        self._decoder = decoder
+        params = decoder.decoding_model_params
+        self._ctx_eeg = ContextBuffer(eeg_channels,
+                                      int(params.get('pre_context', 0)),
+                                      int(params.get('post_context', 0)))
+        in2_pre = int(params.get('input2_pre_context', 0))
+        in2_post = int(params.get('input2_post_context', 0))
+        self._ctx_a1 = ContextBuffer(audio_channels, in2_pre, in2_post)
+        self._ctx_a2 = ContextBuffer(audio_channels, in2_pre, in2_post)
+        # Raw audio queue for the `output` stream (no context, but the
+        # eeg path delays emission by post frames — keep aligned).
+        self._q1 = np.zeros((0, audio_channels), np.float32)
+        self._q2 = np.zeros((0, audio_channels), np.float32)
+        self._store = TwoResultStore(window_width=window_width,
+                                     window_step=window_step)
+        self._decide = attention_decoder.create_attention_decoder(
+            decision, window_step=window_step, frame_rate=frame_rate)
+        self._window_width = window_width
+        self._window_step = window_step
+        self._frame_rate = frame_rate
+        self._windows_emitted = 0
+
+    def push(self, eeg: np.ndarray, audio1: np.ndarray,
+             audio2: np.ndarray) -> List[Dict]:
+        """Feeds one acquisition chunk; returns completed decisions."""
+        t0 = time.perf_counter()
+        stacked = self._ctx_eeg.push(eeg)
+        a1_ctx = self._ctx_a1.push(audio1)
+        a2_ctx = self._ctx_a2.push(audio2)
+        self._q1 = np.concatenate(
+            [self._q1, np.atleast_2d(np.asarray(audio1, np.float32))])
+        self._q2 = np.concatenate(
+            [self._q2, np.atleast_2d(np.asarray(audio2, np.float32))])
+        n = min(stacked.shape[0], a1_ctx.shape[0], a2_ctx.shape[0])
+        if n:
+            y1, self._q1 = self._q1[:n], self._q1[n:]
+            y2, self._q2 = self._q2[:n], self._q2[n:]
+            s1 = self._decoder.infer_one(
+                {'input_1': stacked[:n], 'input_2': a1_ctx[:n]}, y1)
+            s2 = self._decoder.infer_one(
+                {'input_1': stacked[:n], 'input_2': a2_ctx[:n]}, y2)
+            self._store.add_data(np.asarray(s1).reshape(-1, 1),
+                                 np.asarray(s2).reshape(-1, 1))
+        decisions = []
+        for w1, w2 in self._store.next_window():
+            if w1 is None:
+                break
+            c1 = float(np.mean(w1))
+            c2 = float(np.mean(w2))
+            att = self._decide.attention(c1, c2)
+            center = (self._windows_emitted * self._window_step +
+                      self._window_width / 2.0)
+            decisions.append({
+                'window': self._windows_emitted,
+                'time_s': round(center / self._frame_rate, 4),
+                'score1': round(c1, 6),
+                'score2': round(c2, 6),
+                'attend_speaker1': bool(np.asarray(att[0]).reshape(-1)[0]
+                                        >= 0.5),
+                'latency_ms': round((time.perf_counter() - t0) * 1e3, 3),
+            })
+            self._windows_emitted += 1
+        return decisions
+
+
+def serve_stream(model_dir: str, eeg: np.ndarray, audio1: np.ndarray,
+                 audio2: np.ndarray, *, chunk_size: int = 32,
+                 reduction: str = 'lda', decision: str = 'wta',
+                 window_width: int = 100, window_step: int = 50,
+                 frame_rate: float = 100.0,
+                 out_stream=None) -> List[Dict]:
+    """Replays a recorded stream through the server; returns decisions."""
+    from telluride_decoding_tpu.cli.infer import load_model
+    decoder = load_model(model_dir, reduction)
+    audio1 = np.atleast_2d(audio1.astype(np.float32))
+    audio2 = np.atleast_2d(audio2.astype(np.float32))
+    if audio1.shape[0] == 1:
+        audio1, audio2 = audio1.T, audio2.T
+    server = StreamingAttentionServer(
+        decoder, eeg_channels=eeg.shape[1],
+        audio_channels=audio1.shape[1], window_width=window_width,
+        window_step=window_step, decision=decision,
+        frame_rate=frame_rate)
+    all_decisions = []
+    for start in range(0, eeg.shape[0], chunk_size):
+        sl = slice(start, start + chunk_size)
+        for record in server.push(eeg[sl], audio1[sl], audio2[sl]):
+            all_decisions.append(record)
+            if out_stream is not None:
+                out_stream.write(json.dumps(record) + '\n')
+    if all_decisions and out_stream is not None:
+        lat = np.asarray([d['latency_ms'] for d in all_decisions])
+        out_stream.write(json.dumps({
+            'summary': True, 'windows': len(all_decisions),
+            'latency_p50_ms': round(float(np.percentile(lat, 50)), 3),
+            'latency_p95_ms': round(float(np.percentile(lat, 95)), 3),
+        }) + '\n')
+    return all_decisions
+
+
+def _selftest(out_stream) -> None:
+    """Toy invertible model end to end: decisions must track the
+    planted attention switch (>90% of unambiguous windows)."""
+    import tempfile
+    from telluride_decoding_tpu.data.brain_data import TestBrainData
+    from telluride_decoding_tpu.models.brain_model import (
+        BrainModelLinearRegression)
+
+    rng = np.random.RandomState(42)
+    n = 6000
+    a1 = np.abs(rng.randn(n, 1)).astype(np.float32)
+    a2 = np.abs(rng.randn(n, 1)).astype(np.float32)
+    attend = (np.arange(n) >= n // 2)           # Switch at midpoint.
+    attended = np.where(attend[:, None], a2, a1)
+    eeg = (attended * 2.0 - 1.0 +
+           0.05 * rng.randn(n, 1)).astype(np.float32)
+
+    model = BrainModelLinearRegression(input_width=1, output_width=1,
+                                       regularization_lambda=1e-4)
+    bd = TestBrainData('input_1', 'output', 100.0)
+    bd.preserve_test_data(eeg[:n // 2], a1[:n // 2])
+    model.fit(bd.create_dataset('train'))
+    model.add_metadata({'pre_context': 0, 'post_context': 0,
+                        'input2_pre_context': 0,
+                        'input2_post_context': 0,
+                        'dnn_regressor': 'linear'}, dataset=None)
+    tmp = tempfile.mkdtemp()
+    model.save(tmp)
+    dec = infer_decoder.create_decoder(tmp, reduction='first')
+    dec.load_decoding_model(tmp)
+    dec.add_data_correlator(a1[:n // 2], a1[:n // 2])
+    dec.save_parameters(os.path.join(tmp, 'decoder_model.json'))
+
+    decisions = serve_stream(tmp, eeg, a1, a2, chunk_size=64,
+                             reduction='first', decision='wta',
+                             window_width=100, window_step=100,
+                             out_stream=out_stream)
+    correct = sum(
+        d['attend_speaker1'] != (d['time_s'] >= (n // 2) / 100.0)
+        for d in decisions)
+    frac = correct / max(len(decisions), 1)
+    print('selftest: %d windows, %.1f%% correct' %
+          (len(decisions), 100 * frac), file=sys.stderr)
+    if frac <= 0.9:
+        raise SystemExit('selftest FAILED: %.3f <= 0.9' % frac)
+
+
+def main(argv):
+    if len(argv) > 1:
+        raise app.UsageError('Too many command-line arguments: %s.' % argv)
+    out = (open(FLAGS.serve_output, 'w') if FLAGS.serve_output
+           else sys.stdout)
+    if FLAGS.selftest:
+        _selftest(out)
+        return
+    if not FLAGS.serve_model_dir or not FLAGS.serve_input:
+        raise app.UsageError('Need --serve_model_dir and --serve_input '
+                             '(or --selftest).')
+    data = np.load(FLAGS.serve_input)
+    serve_stream(FLAGS.serve_model_dir, data['eeg'], data['audio1'],
+                 data['audio2'], chunk_size=FLAGS.chunk_size,
+                 reduction=FLAGS.serve_reduction,
+                 decision=FLAGS.serve_decoder,
+                 window_width=FLAGS.serve_window_width,
+                 window_step=FLAGS.serve_window_step,
+                 frame_rate=FLAGS.serve_frame_rate, out_stream=out)
+
+
+define_flags()
+
+
+def app_main():
+    app.run(main)
+
+
+if __name__ == '__main__':
+    app_main()

@@ -1,0 +1,123 @@
+"""Streaming attention server: chunked serving must equal offline
+batch decoding, with carried lag context across chunk boundaries."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from telluride_decoding_tpu.cli import serve
+from telluride_decoding_tpu.data.brain_data import TestBrainData
+from telluride_decoding_tpu.decode import infer_decoder
+from telluride_decoding_tpu.models.brain_model import (
+    BrainModelLinearRegression)
+from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+
+
+class TestContextBuffer:
+
+    @pytest.mark.parametrize('pre,post,chunks',
+                             [(0, 0, [7, 5, 9]),
+                              (3, 0, [4, 4, 4, 4]),
+                              (2, 4, [1, 9, 3, 8]),
+                              (5, 5, [30])])
+    def test_chunked_equals_offline_interior(self, rng, pre, post,
+                                             chunks):
+        n = sum(chunks)
+        x = rng.randn(n, 3).astype(np.float32)
+        buf = serve.ContextBuffer(3, pre, post)
+        parts = []
+        start = 0
+        for c in chunks:
+            parts.append(buf.push(x[start:start + c]))
+            start += c
+        got = np.concatenate(parts, axis=0)
+        # Offline: zero-padded only at the stream start; the last
+        # `post` frames are not emitted (no future context yet).
+        want = lag_stack_np(x, pre, post)[:n - post]
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+
+    def test_emission_delay(self, rng):
+        buf = serve.ContextBuffer(2, pre=1, post=3)
+        assert buf.push(rng.randn(2, 2)).shape[0] == 0  # < post+1.
+        assert buf.push(rng.randn(2, 2)).shape[0] == 1
+        assert buf.delay_frames == 3
+
+
+def _toy_model_dir(tmp_path, rng, pre=0, post=0):
+    """Invertible toy: eeg predicts the attended intensity."""
+    n = 3000
+    a1 = np.abs(rng.randn(n, 1)).astype(np.float32)
+    lagged_width = pre + 1 + post
+    eeg = (2.0 * a1 - 1.0 + 0.01 * rng.randn(n, 1)).astype(np.float32)
+    model = BrainModelLinearRegression(
+        input_width=lagged_width, output_width=1,
+        regularization_lambda=1e-4)
+    bd = TestBrainData('input_1', 'output', 100.0, pre_context=pre,
+                       post_context=post)
+    bd.preserve_test_data(eeg, a1)
+    model.fit(bd.create_dataset('train'))
+    model.add_metadata({'pre_context': pre, 'post_context': post,
+                        'input2_pre_context': 0,
+                        'input2_post_context': 0,
+                        'dnn_regressor': 'linear'}, dataset=None)
+    d = str(tmp_path / 'model')
+    model.save(d)
+    dec = infer_decoder.create_decoder(d, reduction='first')
+    dec.load_decoding_model(d)
+    dec.add_data_correlator(a1, a1)
+    dec.save_parameters(os.path.join(d, 'decoder_model.json'))
+    return d, eeg, a1
+
+
+class TestServeStream:
+
+    def test_matches_offline_scores(self, tmp_path, rng):
+        """Chunked streaming scores == offline whole-stream infer_one
+        on the frames both can see (interior)."""
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng, pre=2,
+                                            post=3)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        decisions = serve.serve_stream(
+            model_dir, eeg, a1, a2, chunk_size=37, reduction='first',
+            decision='wta', window_width=100, window_step=100)
+        assert len(decisions) == (eeg.shape[0] - 3) // 100
+        # Offline: lag-stack the whole stream, decode, window-average.
+        from telluride_decoding_tpu.cli.infer import load_model
+        dec = load_model(model_dir, 'first')
+        stacked = lag_stack_np(eeg, 2, 3)[:eeg.shape[0] - 3]
+        scores = np.asarray(dec.infer_one(
+            {'input_1': stacked, 'input_2': a1[:stacked.shape[0]]},
+            a1[:stacked.shape[0]]))
+        for k, d in enumerate(decisions):
+            want = float(np.mean(scores[k * 100:(k + 1) * 100]))
+            assert d['score1'] == pytest.approx(want, abs=1e-4)
+            assert d['attend_speaker1']  # Speaker 1 is attended.
+
+    def test_decisions_track_attention_switch(self, tmp_path, rng):
+        model_dir, _, _ = _toy_model_dir(tmp_path, rng)
+        n = 4000
+        a1 = np.abs(rng.randn(n, 1)).astype(np.float32)
+        a2 = np.abs(rng.randn(n, 1)).astype(np.float32)
+        attend2 = np.arange(n) >= n // 2
+        eeg = (2.0 * np.where(attend2[:, None], a2, a1) - 1.0 +
+               0.05 * rng.randn(n, 1)).astype(np.float32)
+        out = io.StringIO()
+        decisions = serve.serve_stream(
+            model_dir, eeg, a1, a2, chunk_size=64, reduction='first',
+            decision='wta', window_width=100, window_step=100,
+            out_stream=out)
+        correct = sum(
+            d['attend_speaker1'] != (d['time_s'] >= (n // 2) / 100.0)
+            for d in decisions)
+        assert correct / len(decisions) > 0.9
+        lines = [json.loads(l) for l in out.getvalue().splitlines()]
+        assert lines[-1].get('summary')
+        assert lines[-1]['windows'] == len(decisions)
+
+    def test_selftest_main(self, capsys):
+        serve._selftest(io.StringIO())
+        assert 'correct' in capsys.readouterr().err
