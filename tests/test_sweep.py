@@ -128,6 +128,45 @@ class TestRegressionCli:
         assert any('reglambda' in p
                    for p in os.listdir(str(tmp_path / 's')))
 
+    def test_new_corpus_presets(self, rng, tmp_path):
+        """jens_impaired/kuleuven presets (beyond the reference's four)
+        select correct fields and run a jackknife end to end."""
+        from telluride_decoding_tpu.cli import decoding as dec
+        from telluride_decoding_tpu.cli import regression as reg
+        from telluride_decoding_tpu.data import records
+        from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+        for name, cls in [('jens_impaired_linear',
+                           reg.JensImpairedLinear),
+                          ('kuleuven_linear', reg.KULeuvenLinear),
+                          ('kuleuven_cca', reg.KULeuvenCCA)]:
+            obj = reg.select_regression_object(name,
+                                               dec.DecodingOptions())
+            assert isinstance(obj, cls)
+        # End to end on impaired-style records (attended_intensity).
+        d = tmp_path / 'records'
+        d.mkdir()
+        w = rng.randn(3 * 21, 1).astype(np.float32)
+        for name in ['t01', 't02', 't03']:
+            eeg = rng.randn(400, 3).astype(np.float32)
+            att = (lag_stack_np(eeg, 0, 20) @ w +
+                   0.1 * rng.randn(400, 1).astype(np.float32))
+            records.convert_data_to_tfrecords(
+                {'eeg': eeg,
+                 'attended_intensity': att.astype(np.float32),
+                 'unattended_intensity': rng.randn(400, 1).astype(
+                     np.float32)},
+                str(d / (name + '.tfrecords')))
+        my_flags = dec.DecodingOptions().set_from_dict(dict(
+            tfexample_dir=str(d)))
+        obj = reg.JensImpairedLinear(my_flags)
+        obj.preset_flags()
+        assert my_flags.output_field == 'attended_intensity'
+        assert my_flags.frame_rate == 64.0
+        results = obj.jackknife_over_regularizations(
+            my_flags, [1e-4], summary_base_dir=str(tmp_path / 's'))
+        mean_low, _ = results[1e-4]
+        assert mean_low > 0.9
+
     def test_parse_regularization_values(self):
         from telluride_decoding_tpu.cli import regression as reg
         normal = reg.parse_regularization_values('normal')
