@@ -92,10 +92,6 @@ def pad_and_stack(arrays: Sequence[np.ndarray],
     return jnp.asarray(stacked), jnp.asarray(mask)
 
 
-def _stack_stats(stats_list: Sequence[MomentStats]) -> MomentStats:
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *stats_list)
-
-
 def _pad_files(per_file_x, per_file_y, pad_files_to: Optional[int]):
     """Appends zero dummy files up to pad_files_to.
 

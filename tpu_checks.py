@@ -116,7 +116,52 @@ def main():
                          bool(np.all(res.correlations[0] > 0.97)),
                          'min r %.4f' % res.correlations[0].min()))
 
-    # 7. SSD attention tracking (<15% switch error gate).
+    # 7. Fused-intensity production path (bucketed kernel) equals the
+    # cumsum fallback on this device.
+    try:
+        import os as _os
+        from telluride_decoding_tpu.signal import AudioFeatures
+        audio = rng.randn(30000).astype(np.float32)
+        af = AudioFeatures('loud', 16000, 64, window=1.0,
+                           exponent=float(np.log10(2)))
+        fused = np.asarray(af.compute_intensity(audio))
+        _os.environ['TDT_FUSED_FRONTEND'] = '0'
+        try:
+            af2 = AudioFeatures('loud', 16000, 64, window=1.0,
+                                exponent=float(np.log10(2)))
+            plain = np.asarray(af2.compute_intensity(audio))
+        finally:
+            del _os.environ['TDT_FUSED_FRONTEND']
+        ierr = np.abs(fused - plain).max()
+        results.append(check('fused intensity ingest path',
+                             ierr < 1e-3, 'err %.2g' % ierr))
+    except Exception as error:
+        results.append(check('fused intensity ingest path', False,
+                             repr(error)[:60]))
+
+    # 8. Streamed per-file moments equal the dense accumulation.
+    from telluride_decoding_tpu.ops.covariance import moments_from_arrays
+    from telluride_decoding_tpu.data.brain_data import _device_file_moments
+    xm = rng.randn(700, 12).astype(np.float32)
+    ym = rng.randn(700, 2).astype(np.float32)
+    from telluride_decoding_tpu.ops.lagstack import lag_stack_np as _lsn
+    dense = moments_from_arrays(jnp.asarray(_lsn(xm, 2, 1)),
+                                jnp.asarray(ym))
+    pad = np.zeros((1024, 12), np.float32)
+    pad[:700] = xm
+    pady = np.zeros((1024, 2), np.float32)
+    pady[:700] = ym
+    stream = _device_file_moments(jnp.asarray(pad), jnp.asarray(pady),
+                                  jnp.asarray(700, jnp.float32),
+                                  pre=2, post=1, pre_y=0, post_y=0,
+                                  want_syy=False)
+    merr = max(float(jnp.max(jnp.abs(getattr(dense, f) -
+                                     getattr(stream, f))))
+               for f in dense._fields)
+    results.append(check('streamed moments parity', merr < 1e-2,
+                         'err %.2g' % merr))
+
+    # 9. SSD attention tracking (<15% switch error gate).
     from telluride_decoding_tpu.decide import create_attention_decoder
     n = 300
     attended = (np.arange(n) // 75) % 2 == 0
