@@ -149,11 +149,17 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
         pred = xs[file_idx] @ solution.w + solution.b
         return _masked_pearson_first(ys[file_idx], pred, masks[file_idx])
 
-    if lambdas.shape[0] >= 6 and use_ridge:
-        # Large grids amortize one eigendecomposition per file:
+    if lambdas.shape[0] >= 24 and use_ridge:
+        # LARGE grids amortize one eigendecomposition per file:
         # (cov + lamb I)^-1 b = V diag(1/(e + lamb)) V^T b, so every
         # additional lambda costs two thin matmuls instead of an
         # O(D^3) solve. (Augmented covariance is symmetric PSD.)
+        # Threshold measured on v5e at codelab scale (40 files, width
+        # 2553): direct solves are 0.38 s/lambda while the 40 eighs
+        # cost a fixed ~8.4 s (TPU eigh is QR-iteration bound; batched
+        # Cholesky solves ride the MXU) — crossover ~22 lambdas, so
+        # the standard 9-lambda codelab grid takes the solve path
+        # (3.45 s vs 8.47 s measured).
         def file_eig(file_idx):
             stats = _total_minus(stacked_stats, total, file_idx)
             n = stats.count

@@ -52,6 +52,18 @@ class TestRidgeSweep:
         result = ridge_jackknife_sweep(xs, ys, [1e-4])
         assert np.all(result.correlations > 0.97)
 
+    def test_eig_reuse_path_matches_direct_solves(self, rng):
+        """Grids >= 24 lambdas take the eigendecomposition-reuse path
+        (the crossover measured on v5e); it must agree with the
+        direct-solve path exactly."""
+        xs, ys = _files(rng)
+        lambdas = list(np.logspace(-6, 2, 25))
+        eig = ridge_jackknife_sweep(xs, ys, lambdas)            # >= 24.
+        direct = np.stack([
+            ridge_jackknife_sweep(xs, ys, [l]).correlations[0]
+            for l in lambdas])
+        np.testing.assert_allclose(eig.correlations, direct, atol=2e-3)
+
     def test_sharded_matches_single_device(self, rng):
         xs, ys = _files(rng, num_files=8, n=200)
         lambdas = [1e-3, 1.0]
