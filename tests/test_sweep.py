@@ -94,6 +94,46 @@ class TestCcaSweep:
         assert result.correlations.shape == (2, 3)
         assert np.all(result.correlations[0] > 0.8)
 
+    def test_chol_whitening_matches_eig_whitening(self, rng):
+        """Canonical correlations are whitening-invariant: the fast
+        Cholesky program must equal the eig program."""
+        import jax
+        import jax.numpy as jnp
+        from telluride_decoding_tpu.sweep.engine import (
+            _cca_sweep_program, _cca_sweep_program_chol,
+            _stacked_moments, pad_and_stack)
+        xs, ys = _files(rng, num_files=3, dx=6)
+        ys = [np.concatenate([y, rng.randn(y.shape[0], 2).astype(
+            np.float32)], axis=1) for y in ys]
+        xsp, masks = pad_and_stack(xs)
+        ysp, _ = pad_and_stack(ys)
+        stacked = _stacked_moments(xsp, ysp, masks, want_syy=True)
+        total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
+        lambdas = jnp.asarray([1e-3, 0.1, 10.0], jnp.float32)
+        eig = np.asarray(_cca_sweep_program(stacked, total, xsp, ysp,
+                                            masks, lambdas, dims=2))
+        chol = np.asarray(_cca_sweep_program_chol(
+            stacked, total, xsp, ysp, masks, lambdas, dims=2))
+        np.testing.assert_allclose(chol, eig, atol=2e-3)
+
+    def test_chol_nan_falls_back_to_eig(self, rng):
+        """Rank-deficient covariance + lambda=0 breaks Cholesky; the
+        sweep must detect it and return the eig program's finite
+        answer."""
+        n = 300
+        latent = rng.randn(n, 2).astype(np.float32)
+        xs, ys = [], []
+        for _ in range(3):
+            base = rng.randn(n, 3).astype(np.float32)
+            # Duplicated column -> exactly singular covariance.
+            x = np.concatenate([base, base[:, :1]], axis=1)
+            xs.append(x.astype(np.float32))
+            ys.append((x[:, :2] + 0.1 * rng.randn(n, 2)).astype(
+                np.float32))
+        result = cca_jackknife_sweep(xs, ys, [0.0, 0.1], dims=1)
+        assert np.isfinite(result.correlations).all()
+        assert np.all(result.correlations > 0.8)
+
     def test_lambda_grid_shape_and_names(self, rng):
         xs, ys = _files(rng, num_files=2, dx=4)
         ys2 = [np.concatenate([y, rng.randn(y.shape[0], 2).astype(
