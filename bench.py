@@ -223,6 +223,23 @@ def main():
         sync(full_sweep())
         sweep_s = time.perf_counter() - t0
 
+        # Same grid through the CCA program (Cholesky whitening).
+        from telluride_decoding_tpu.sweep.engine import (
+            _cca_sweep_program_chol)
+
+        def full_cca_sweep():
+            xs, masks = pad_and_stack(xs_list)
+            ys, _ = pad_and_stack(ys_list)
+            stacked = _stacked_moments(xs, ys, masks, want_syy=True)
+            total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
+            return _cca_sweep_program_chol(stacked, total, xs, ys,
+                                           masks, lambdas9, dims=1)
+
+        sync(full_cca_sweep())  # Warm-up compile.
+        t0 = time.perf_counter()
+        sync(full_cca_sweep())
+        cca_sweep_s = time.perf_counter() - t0
+
         # Full-cohort sweep at codelab scale: 22 subjects x 40 trials
         # x 9 lambdas (7920 model fits at width 2553 — the codelab's
         # ENTIRE experiment, which the reference runs as days of shell
@@ -260,12 +277,12 @@ def main():
         print('diag: ridge_solve_ms=%.2f streaming_p50_ms=%.2f '
               '(includes dispatch RTT) streaming_p50_device_ms=%.4f '
               '(device-resident loop of %d windows, target <10ms) '
-              'codelab_sweep_s=%.2f '
-              '(40 files x 9 lambdas, width 2553: 360 fits, '
+              'codelab_sweep_s=%.2f codelab_cca_sweep_s=%.2f '
+              '(40 files x 9 lambdas, width 2553: 360 fits each, '
               'target <60s) cohort_sweep_s=%.2f (22 subjects x 40 '
               'trials x 9 lambdas at width 2553: 7920 fits, ragged, '
               'one compile)' % (ridge_ms, p50, p50_device, stream_n,
-                                sweep_s, cohort_s),
+                                sweep_s, cca_sweep_s, cohort_s),
               file=sys.stderr)
         del xs_list, ys_list
     except Exception as e:  # Diagnostics must never break the bench.
