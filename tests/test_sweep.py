@@ -94,6 +94,43 @@ class TestCcaSweep:
         assert result.correlations.shape == (2, 3)
         assert np.all(result.correlations[0] > 0.8)
 
+    def test_ridge_chol_matches_lu(self, rng):
+        """Cholesky solves (default) must equal the LU program."""
+        import jax
+        import jax.numpy as jnp
+        from telluride_decoding_tpu.sweep.engine import (
+            _ridge_sweep_program, _stacked_moments, pad_and_stack)
+        xs, ys = _files(rng)
+        xsp, masks = pad_and_stack(xs)
+        ysp, _ = pad_and_stack([np.asarray(y) for y in ys])
+        stacked = _stacked_moments(xsp, ysp, masks, want_syy=False)
+        total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
+        lambdas = jnp.asarray([1e-4, 0.1, 10.0], jnp.float32)
+        lu = np.asarray(_ridge_sweep_program(stacked, total, xsp, ysp,
+                                             masks, lambdas, chol=False))
+        ch = np.asarray(_ridge_sweep_program(stacked, total, xsp, ysp,
+                                             masks, lambdas, chol=True))
+        np.testing.assert_allclose(ch, lu, atol=2e-3)
+
+    def test_ridge_singular_lambda0_falls_back_to_eig(self, rng):
+        """lamb=0 on an exactly singular covariance has no unique
+        solution (Cholesky and LU both NaN); the sweep retries with the
+        eig program, whose zeroed degenerate directions give the
+        pseudoinverse answer — finite AND predictive (the planted
+        model lives in the covariance's row space)."""
+        n = 300
+        xs, ys = [], []
+        w = rng.randn(4, 1).astype(np.float32)     # One shared model.
+        for _ in range(3):
+            base = rng.randn(n, 3).astype(np.float32)
+            x = np.concatenate([base, base[:, :1]], axis=1)  # Singular.
+            xs.append(x.astype(np.float32))
+            ys.append((x @ w + 0.05 * rng.randn(n, 1)).astype(
+                np.float32))
+        result = ridge_jackknife_sweep(xs, ys, [0.0, 1e-3])
+        assert np.isfinite(result.correlations).all()
+        assert np.all(result.correlations > 0.9)
+
     def test_chol_whitening_matches_eig_whitening(self, rng):
         """Canonical correlations are whitening-invariant: the fast
         Cholesky program must equal the eig program."""
