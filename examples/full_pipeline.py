@@ -19,6 +19,13 @@ import tempfile
 
 import numpy as np
 
+try:
+    import telluride_decoding_tpu  # noqa: F401
+except ModuleNotFoundError:
+    # Running from a source checkout without installation.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
 FRAME_RATE = 100.0
 NUM_CHANNELS = 8
 IR_FRAMES = 25
