@@ -125,6 +125,19 @@ class StreamingAttentionServer:
         in2_post = int(params.get('input2_post_context', 0))
         self._ctx_a1 = ContextBuffer(audio_channels, in2_pre, in2_post)
         self._ctx_a2 = ContextBuffer(audio_channels, in2_pre, in2_post)
+        # Completed-but-not-consumed context rows per stream. The three
+        # ContextBuffers complete rows at DIFFERENT rates when the eeg
+        # and audio post-contexts differ (each is delayed by its own
+        # `post`), so surplus rows must queue here until every stream
+        # has caught up — consuming min() and dropping the rest would
+        # misalign the streams permanently.
+        eeg_pre = int(params.get('pre_context', 0))
+        eeg_post = int(params.get('post_context', 0))
+        self._pend_eeg = np.zeros(
+            (0, (eeg_pre + 1 + eeg_post) * eeg_channels), np.float32)
+        in2_width = (in2_pre + 1 + in2_post) * audio_channels
+        self._pend_a1 = np.zeros((0, in2_width), np.float32)
+        self._pend_a2 = np.zeros((0, in2_width), np.float32)
         # Raw audio queue for the `output` stream (no context, but the
         # eeg path delays emission by post frames — keep aligned).
         self._q1 = np.zeros((0, audio_channels), np.float32)
@@ -142,21 +155,30 @@ class StreamingAttentionServer:
              audio2: np.ndarray) -> List[Dict]:
         """Feeds one acquisition chunk; returns completed decisions."""
         t0 = time.perf_counter()
-        stacked = self._ctx_eeg.push(eeg)
-        a1_ctx = self._ctx_a1.push(audio1)
-        a2_ctx = self._ctx_a2.push(audio2)
+        self._pend_eeg = np.concatenate(
+            [self._pend_eeg, self._ctx_eeg.push(eeg)])
+        self._pend_a1 = np.concatenate(
+            [self._pend_a1, self._ctx_a1.push(audio1)])
+        self._pend_a2 = np.concatenate(
+            [self._pend_a2, self._ctx_a2.push(audio2)])
         self._q1 = np.concatenate(
             [self._q1, np.atleast_2d(np.asarray(audio1, np.float32))])
         self._q2 = np.concatenate(
             [self._q2, np.atleast_2d(np.asarray(audio2, np.float32))])
-        n = min(stacked.shape[0], a1_ctx.shape[0], a2_ctx.shape[0])
+        n = min(self._pend_eeg.shape[0], self._pend_a1.shape[0],
+                self._pend_a2.shape[0], self._q1.shape[0],
+                self._q2.shape[0])
         if n:
+            stacked, self._pend_eeg = (self._pend_eeg[:n],
+                                       self._pend_eeg[n:])
+            a1_ctx, self._pend_a1 = self._pend_a1[:n], self._pend_a1[n:]
+            a2_ctx, self._pend_a2 = self._pend_a2[:n], self._pend_a2[n:]
             y1, self._q1 = self._q1[:n], self._q1[n:]
             y2, self._q2 = self._q2[:n], self._q2[n:]
             s1 = self._decoder.infer_one(
-                {'input_1': stacked[:n], 'input_2': a1_ctx[:n]}, y1)
+                {'input_1': stacked, 'input_2': a1_ctx}, y1)
             s2 = self._decoder.infer_one(
-                {'input_1': stacked[:n], 'input_2': a2_ctx[:n]}, y2)
+                {'input_1': stacked, 'input_2': a2_ctx}, y2)
             self._store.add_data(np.asarray(s1).reshape(-1, 1),
                                  np.asarray(s2).reshape(-1, 1))
         decisions = []

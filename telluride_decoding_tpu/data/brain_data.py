@@ -73,9 +73,11 @@ def _device_file_moments(x_raw, y_raw, n_true, *, pre: int, post: int,
                          pre_y: int, post_y: int, want_syy: bool):
     """One file's MomentStats: on-device lag stack + masked moments.
 
-    Bucket zero-padding beyond n_true reproduces the lag stack's own
-    zero edge semantics exactly, so rows < n_true are value-identical
-    to an unpadded stack; rows >= n_true are masked out of the sums.
+    Rows >= n_true are masked out of the sums; the caller fills the
+    buffer with real frames up to n_true + post (where the stream has
+    them) so post-context windows near the cut match the dense path
+    (which lag-stacks the full stream before zip-truncating), and with
+    zeros past the stream end — the lag stack's own edge semantics.
     Jitted with static (pre, post, bucketed shape) so every
     similar-length file reuses one compilation.
     """
@@ -255,9 +257,15 @@ class BrainData:
 
     # -- raw per-file arrays -----------------------------------------------
 
-    def file_arrays(self, filename: str) -> Tuple[np.ndarray, np.ndarray,
-                                                  np.ndarray, np.ndarray]:
-        """Decodes one file into raw (in1, in2, out, attended) arrays."""
+    def file_arrays(self, filename: str, cache: bool = True
+                    ) -> Tuple[np.ndarray, np.ndarray,
+                               np.ndarray, np.ndarray]:
+        """Decodes one file into raw (in1, in2, out, attended) arrays.
+
+        cache=False reads through any decoded-file cache without
+        populating it — the bounded-memory paths use it so their
+        "peak host memory is one raw file" guarantee holds.
+        """
         raise NotImplementedError
 
     def _select_fields(self, data: Dict[str, np.ndarray]
@@ -346,7 +354,7 @@ class BrainData:
         brain_data.py:725-760). Each file's arrays are free to be
         dropped after use; nothing is concatenated."""
         for filename in self._files_or_raise(mode):
-            streams = self.file_arrays(filename)
+            streams = self.file_arrays(filename, cache=False)
             if temporal_context and self._needs_context():
                 streams = self._add_context(*streams)
             yield filename, streams
@@ -388,14 +396,25 @@ class BrainData:
         pre_y, post_y = ((0, 0) if y_source == 'output' else
                          (self.in2_pre_context, self.in2_post_context))
         for filename in self._files_or_raise(mode):
-            in1, in2, out, _ = self.file_arrays(filename)
+            in1, in2, out, attended = self.file_arrays(filename,
+                                                       cache=False)
             y_raw = out if y_source == 'output' else in2
-            n = min(in1.shape[0], y_raw.shape[0])
-            padded_n = n + ((-n) % frame_bucket)
+            # Match the dense path exactly: _add_context lag-stacks the
+            # FULL streams and only then zip-truncates all four to the
+            # shortest, so (a) n is the four-way min and (b) rows near
+            # the cut see REAL post-context frames from beyond n (the
+            # fill below), not zeros. Rows >= n are masked out of the
+            # moment sums by n_true.
+            n = min(in1.shape[0], in2.shape[0], out.shape[0],
+                    attended.shape[0])
+            x_fill = min(in1.shape[0], n + self.in1_post_context)
+            y_fill = min(y_raw.shape[0], n + post_y)
+            padded_n = max(n, x_fill, y_fill)
+            padded_n += (-padded_n) % frame_bucket
             x_p = np.zeros((padded_n, in1.shape[1]), np.float32)
-            x_p[:n] = in1[:n]
+            x_p[:x_fill] = in1[:x_fill]
             y_p = np.zeros((padded_n, y_raw.shape[1]), np.float32)
-            y_p[:n] = y_raw[:n]
+            y_p[:y_fill] = y_raw[:y_fill]
             stats = _device_file_moments(
                 jnp.asarray(x_p), jnp.asarray(y_p),
                 jnp.asarray(n, jnp.float32),
@@ -644,13 +663,13 @@ class TFExampleData(BrainData):
         self.features = records.discover_feature_shapes(
             self._cached_file_names[0])
 
-    def file_arrays(self, filename: str):
+    def file_arrays(self, filename: str, cache: bool = True):
         mtime = os.path.getmtime(filename)
         cached = TFExampleData._file_cache.get(filename)
         if cached is None or cached[0] != mtime:
             arrays = records.read_tfrecords(filename)
-            if (filename in TFExampleData._file_cache or
-                    len(TFExampleData._file_cache) < 64):
+            if cache and (filename in TFExampleData._file_cache or
+                          len(TFExampleData._file_cache) < 64):
                 TFExampleData._file_cache[filename] = (mtime, arrays)
             cached = (mtime, arrays)
         return self._select_fields(cached[1])

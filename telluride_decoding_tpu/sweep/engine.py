@@ -102,11 +102,16 @@ def _pad_files(per_file_x, per_file_y, pad_files_to: Optional[int]):
     """
     if not pad_files_to or pad_files_to <= len(per_file_x):
         return per_file_x, per_file_y
-    dx = per_file_x[0].shape[1]
-    dy = per_file_y[0].shape[1]
+    dx = _ensure_2d(per_file_x[0]).shape[1]
+    dy = _ensure_2d(per_file_y[0]).shape[1]
     pad = pad_files_to - len(per_file_x)
-    per_file_x = list(per_file_x) + [np.zeros((1, dx), np.float32)] * pad
-    per_file_y = list(per_file_y) + [np.zeros((1, dy), np.float32)] * pad
+    # Dummies match the real arrays' placement: host zeros would demote
+    # an all-device cohort to pad_and_stack's host path, which reads
+    # every real array back through the dispatch link.
+    zeros = (jnp.zeros if isinstance(per_file_x[0], jax.Array)
+             else np.zeros)
+    per_file_x = list(per_file_x) + [zeros((1, dx), np.float32)] * pad
+    per_file_y = list(per_file_y) + [zeros((1, dy), np.float32)] * pad
     return per_file_x, per_file_y
 
 
@@ -383,10 +388,12 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     corr = np.asarray(_ridge_sweep_program(
         stacked, total, xs, ys, masks, lambdas_arr,
         use_ridge=use_ridge))
-    if not np.isfinite(corr[:, :num_real]).all():
+    if use_ridge and not np.isfinite(corr[:, :num_real]).all():
         # No unique solution (rank-deficient covariance with lamb == 0
         # breaks Cholesky and LU alike): the eig program zeroes
-        # degenerate directions instead.
+        # degenerate directions instead. Only the ridge family has an
+        # eig fallback — for shrinkage (use_ridge=False) force_eig is
+        # a no-op, so retrying would recompile the identical program.
         corr = np.asarray(_ridge_sweep_program(
             stacked, total, xs, ys, masks, lambdas_arr,
             use_ridge=use_ridge, force_eig=True))

@@ -97,6 +97,52 @@ class TestServeStream:
             assert d['score1'] == pytest.approx(want, abs=1e-4)
             assert d['attend_speaker1']  # Speaker 1 is attended.
 
+    def test_asymmetric_contexts_keep_streams_aligned(self, rng):
+        """eeg post=3 vs audio post=0: the audio ContextBuffers
+        complete rows 3 frames ahead of the eeg one, so surplus rows
+        must queue until eeg catches up. (Regression: rows beyond
+        min() across the three buffers were dropped, permanently
+        misaligning input_2 for decoders that consume it.)"""
+
+        class RecordingDecoder:
+            decoding_model_params = {'pre_context': 2, 'post_context': 3,
+                                     'input2_pre_context': 1,
+                                     'input2_post_context': 0}
+
+            def __init__(self):
+                self.calls = []
+
+            def infer_one(self, inputs, y):
+                self.calls.append((inputs['input_1'], inputs['input_2'],
+                                   y))
+                return np.zeros((inputs['input_1'].shape[0],),
+                                np.float32)
+
+        dec = RecordingDecoder()
+        server = serve.StreamingAttentionServer(
+            dec, eeg_channels=2, audio_channels=1, window_width=50,
+            window_step=50)
+        n = 200
+        eeg = rng.randn(n, 2).astype(np.float32)
+        a1 = rng.randn(n, 1).astype(np.float32)
+        a2 = rng.randn(n, 1).astype(np.float32)
+        for start in range(0, n, 37):
+            sl = slice(start, start + 37)
+            server.push(eeg[sl], a1[sl], a2[sl])
+        # Calls alternate speaker1/speaker2; both share input_1.
+        got_in1 = np.concatenate([c[0] for c in dec.calls[0::2]])
+        got_in2_s1 = np.concatenate([c[1] for c in dec.calls[0::2]])
+        got_in2_s2 = np.concatenate([c[1] for c in dec.calls[1::2]])
+        got_y1 = np.concatenate([c[2] for c in dec.calls[0::2]])
+        m = n - 3  # The eeg post-context delays emission by 3 frames.
+        np.testing.assert_array_equal(got_in1,
+                                      lag_stack_np(eeg, 2, 3)[:m])
+        np.testing.assert_array_equal(got_in2_s1,
+                                      lag_stack_np(a1, 1, 0)[:m])
+        np.testing.assert_array_equal(got_in2_s2,
+                                      lag_stack_np(a2, 1, 0)[:m])
+        np.testing.assert_array_equal(got_y1, a1[:m])
+
     def test_decisions_track_attention_switch(self, tmp_path, rng):
         model_dir, _, _ = _toy_model_dir(tmp_path, rng)
         n = 4000

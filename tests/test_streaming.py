@@ -74,6 +74,57 @@ class TestStreamingMoments:
                                    rtol=1e-5, atol=1e-3)
         assert float(stream.count) == in1.shape[0]
 
+    def test_ragged_streams_match_dense(self, rng):
+        """A file whose output stream is SHORTER than in1: the dense
+        path lag-stacks the full in1 and only then zip-truncates, so
+        rows near the cut carry real post-context frames from beyond
+        the truncation point. (Regression: the streaming path
+        truncated first and zero-filled those frames, and ignored
+        in2/attended lengths in the row count.)"""
+
+        class RaggedData(brain_data.BrainData):
+            def __init__(self, streams, **kw):
+                self._streams = streams
+                super().__init__('in1', 'out', 100.0, **kw)
+
+            def _get_data_file_names(self):
+                self._cached_file_names = sorted(self._streams)
+
+            def file_arrays(self, filename, cache=True):
+                return self._streams[filename]
+
+        def make_file(n_in1, n_out):
+            return (rng.randn(n_in1, 3).astype(np.float32),
+                    rng.randn(n_out, 1).astype(np.float32),
+                    rng.randn(n_out, 2).astype(np.float32),
+                    np.zeros((n_out, 1), np.float32))
+
+        streams = {'f0': make_file(120, 100), 'f1': make_file(87, 87)}
+        bd = RaggedData(streams, pre_context=2, post_context=3,
+                        train_file_pattern='f')
+        in1, _, out, _ = bd.load_arrays('train')
+        dense = moments_from_arrays(in1, out)
+        stream = bd.streaming_moments('train', y_source='output')
+        assert float(stream.count) == in1.shape[0]
+        for field in dense._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(dense, field)),
+                np.asarray(getattr(stream, field)), rtol=1e-5,
+                atol=1e-3)
+
+    def test_streaming_does_not_populate_file_cache(self, tmp_path,
+                                                    rng):
+        """The bounded-memory guarantee ('peak host memory is one raw
+        file') must not be defeated by the decoded-file cache."""
+        d = _write_files(tmp_path, rng, [64, 80])
+        bd = brain_data.TFExampleData(
+            'eeg', 'env', 100.0, pre_context=1, data_dir=d,
+            train_file_pattern='t')
+        brain_data.TFExampleData._file_cache.clear()
+        bd.streaming_moments('train', y_source='output')
+        list(bd.iter_file_arrays('train'))
+        assert not brain_data.TFExampleData._file_cache
+
     def test_iter_file_arrays_covers_all_frames(self, tmp_path, rng):
         d = _write_files(tmp_path, rng, [100, 150, 120])
         bd = brain_data.TFExampleData(

@@ -324,6 +324,19 @@ class TestMultiSubject:
                 results[name].correlations,
                 unpadded[name].correlations, atol=2e-4)
 
+    def test_ragged_cohort_1d_targets_and_x(self, rng):
+        """1-D per-file arrays (single channel, no lag context) work
+        with file padding. (Regression: _pad_files read .shape[1]
+        before _ensure_2d and crashed with IndexError.)"""
+        from telluride_decoding_tpu.sweep.engine import (
+            ridge_jackknife_sweep)
+        xs = [rng.randn(100).astype(np.float32) for _ in range(3)]
+        ys = [2.0 * x + 0.01 * rng.randn(100).astype(np.float32)
+              for x in xs]
+        res = ridge_jackknife_sweep(xs, ys, [1e-4], pad_files_to=5)
+        assert res.correlations.shape == (1, 3)
+        assert np.all(res.correlations > 0.99)
+
     def test_ragged_cohort_cca(self, rng):
         from telluride_decoding_tpu.sweep import multi_subject_sweep
         subjects = self._ragged_cohort(rng)

@@ -133,8 +133,15 @@ def main():
         finally:
             del _os.environ['TDT_FUSED_FRONTEND']
         ierr = np.abs(fused - plain).max()
+        # If the kernel raised on-device, compute_intensity silently
+        # sticky-falls-back to the cumsum path and fused == plain
+        # trivially — assert the kernel actually ran.
+        from telluride_decoding_tpu.signal import preprocess as _pp
+        kernel_ran = not _pp._FUSED_DISABLED
         results.append(check('fused intensity ingest path',
-                             ierr < 1e-3, 'err %.2g' % ierr))
+                             ierr < 1e-3 and kernel_ran,
+                             'err %.2g%s' % (ierr, '' if kernel_ran else
+                                             ' (kernel DISABLED)')))
     except Exception as error:
         results.append(check('fused intensity ingest path', False,
                              repr(error)[:60]))
