@@ -136,8 +136,9 @@ def define_flags():
     flags.DEFINE_float('dropout', defaults.dropout, 'The dropout rate.')
     flags.DEFINE_integer('epoch_count', defaults.epoch_count,
                          'Number of epochs for SGD models.')
-    flags.DEFINE_float('frame_rate', defaults.frame_rate,
-                       'Number of frames per second in TFRecord data')
+    if 'frame_rate' not in FLAGS:   # cli.infer also defines it.
+        flags.DEFINE_float('frame_rate', defaults.frame_rate,
+                           'Number of frames per second in TFRecord data')
     flags.DEFINE_string('hidden_units', defaults.hidden_units,
                         'Hidden layer sizes, dash separated.')
     flags.DEFINE_string('input_field', defaults.input_field,

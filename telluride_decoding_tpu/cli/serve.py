@@ -6,8 +6,9 @@ calculation can be restarted quickly, e.g. in real-time code"
 code. This driver is it: frames arrive in chunks (replayed from a file
 here; any acquisition loop can call StreamingAttentionServer.push),
 lag context is carried across chunk boundaries, each chunk is ONE
-device dispatch per speaker, and window decisions stream out as JSON
-lines with per-window latency.
+device dispatch (both speakers fused, the shared eeg transform
+computed once), and window decisions stream out as JSON lines with
+per-window latency.
 
   python -m telluride_decoding_tpu.cli.serve \
       --model_dir /model --reduction lda --decoder wta \
@@ -175,10 +176,11 @@ class StreamingAttentionServer:
             a2_ctx, self._pend_a2 = self._pend_a2[:n], self._pend_a2[n:]
             y1, self._q1 = self._q1[:n], self._q1[n:]
             y2, self._q2 = self._q2[:n], self._q2[n:]
-            s1 = self._decoder.infer_one(
-                {'input_1': stacked, 'input_2': a1_ctx}, y1)
-            s2 = self._decoder.infer_one(
-                {'input_1': stacked, 'input_2': a2_ctx}, y2)
+            # Both speakers in ONE device dispatch: the shared eeg
+            # transform computes once and the chunk pays one dispatch
+            # round trip instead of two.
+            s1, s2 = self._decoder.infer_pair(stacked, a1_ctx, a2_ctx,
+                                              y1, y2)
             self._store.add_data(np.asarray(s1).reshape(-1, 1),
                                  np.asarray(s2).reshape(-1, 1))
         decisions = []

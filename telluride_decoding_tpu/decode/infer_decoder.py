@@ -176,6 +176,7 @@ class Decoder:
         self._mean_y = 0.0
         self._power = 1.0
         self._infer_fn = None
+        self._infer_pair_fn = None
 
     # -- persistence (decoder_model.json compatible) --------------------------
 
@@ -191,6 +192,7 @@ class Decoder:
             loaded = json.load(f)
         self.model_params = ModelParamsTuple(**loaded)
         self._infer_fn = None
+        self._infer_pair_fn = None
 
     def load_decoding_model(self, saved_model_dir: str,
                             object_dict: Optional[Dict] = None):
@@ -229,6 +231,7 @@ class Decoder:
             self._model_output = json.loads(
                 self._decoding_model.telluride_output)
         self._infer_fn = None
+        self._infer_pair_fn = None
 
     # -- correlation statistics ------------------------------------------------
 
@@ -248,6 +251,7 @@ class Decoder:
             (self._sum_x2 - self._sum_x ** 2 / self._count) *
             (self._sum_y2 - self._sum_y ** 2 / self._count)) / self._count)
         self._infer_fn = None
+        self._infer_pair_fn = None
 
     def compute_correlation(self, x, y) -> np.ndarray:
         """Normalized cross product per frame, before the time sum."""
@@ -274,14 +278,9 @@ class Decoder:
         return lambda inputs: jnp.asarray(model(
             {k: np.asarray(v) for k, v in inputs.items()}))
 
-    def _build_infer_fn(self):
-        """Compiles the window pipeline into one jitted function.
-
-        When the decoding model is a JAX model (BrainModel: apply +
-        params) the entire decode -> correlate -> reduce pipeline is one
-        program. For arbitrary python callables only the post-decode
-        stage is jitted.
-        """
+    def _build_correlate_reduce(self):
+        """Jitted (r1, r2) -> reduced scores stage, closed over the
+        current correlation statistics and LDA parameters."""
         reduction = self._reduction
         mean_x = jnp.asarray(self._mean_x, jnp.float32)
         mean_y = jnp.asarray(self._mean_y, jnp.float32)
@@ -299,7 +298,17 @@ class Decoder:
             correlations = (r1 - mean_x) * (r2 - mean_y) / power
             return _reduce(correlations, reduction, lda_w, lda_slope,
                            lda_intercept)
+        return correlate_reduce
 
+    def _build_infer_fn(self):
+        """Compiles the window pipeline into one jitted function.
+
+        When the decoding model is a JAX model (BrainModel: apply +
+        params) the entire decode -> correlate -> reduce pipeline is one
+        program. For arbitrary python callables only the post-decode
+        stage is jitted.
+        """
+        correlate_reduce = self._build_correlate_reduce()
         model = self._decoding_model
         if hasattr(model, 'apply') and getattr(model, 'params',
                                                None) is not None:
@@ -330,6 +339,54 @@ class Decoder:
         if self._infer_fn is None:
             self._infer_fn = self._build_infer_fn()
         return self._infer_fn(input_dict, output)
+
+    def infer_pair(self, input_1, input_2a, input_2b, output_a,
+                   output_b) -> Tuple[np.ndarray, np.ndarray]:
+        """Scores BOTH candidate streams against one brain window in a
+        single device dispatch.
+
+        The two-speaker serving loop (reference call sites
+        infer.py:380-384 run one decode per speaker) shares input_1
+        across speakers; fusing the pair into one program halves the
+        dispatch count — the dominant serving cost over a high-latency
+        link — and lets XLA CSE compute the shared input_1 transform
+        (the wide matmul) once. Value-identical to two infer_one calls.
+        """
+        if self._infer_pair_fn is None:
+            self._infer_pair_fn = self._build_infer_pair_fn()
+        return self._infer_pair_fn(input_1, input_2a, input_2b,
+                                   output_a, output_b)
+
+    def _build_infer_pair_fn(self):
+        model = self._decoding_model
+        if not (hasattr(model, 'apply') and getattr(model, 'params',
+                                                    None) is not None):
+            # Arbitrary python callables can't fuse: fall back to two
+            # sequential single-stream dispatches.
+            def run(input_1, input_2a, input_2b, output_a, output_b):
+                sa = self.infer_one(
+                    {'input_1': input_1, 'input_2': input_2a}, output_a)
+                sb = self.infer_one(
+                    {'input_1': input_1, 'input_2': input_2b}, output_b)
+                return sa, sb
+            return run
+        decode = self._decode_arrays
+        correlate_reduce = self._build_correlate_reduce()
+
+        @jax.jit
+        def infer2(x1, in2a, in2b, ya, yb):
+            # x1 is passed ONCE; the duplicate decode of it is
+            # eliminated by XLA common-subexpression elimination.
+            ra = decode({'input_1': x1, 'input_2': in2a}, ya)
+            rb = decode({'input_1': x1, 'input_2': in2b}, yb)
+            return correlate_reduce(*ra), correlate_reduce(*rb)
+
+        def run(input_1, input_2a, input_2b, output_a, output_b):
+            j = lambda v: jnp.asarray(np.asarray(v), jnp.float32)
+            sa, sb = infer2(j(input_1), j(input_2a), j(input_2b),
+                            j(output_a), j(output_b))
+            return np.asarray(sa), np.asarray(sb)
+        return run
 
     # -- training ------------------------------------------------------------------
 
@@ -379,6 +436,7 @@ class Decoder:
         self._lda = scaled_lda.ScaledLinearDiscriminantAnalysis()
         predictions = self._lda.fit_transform(data, labels)
         self._infer_fn = None
+        self._infer_pair_fn = None
         return float(calculate_dprime(predictions[labels == 1, 0],
                                       predictions[labels == 2, 0]))
 

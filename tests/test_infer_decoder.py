@@ -199,6 +199,22 @@ class TestInvertibleToyPipeline:
         assert total > 10
         assert correct / total > 0.9
 
+    def test_infer_pair_callable_fallback_matches(self, rng):
+        """infer_pair on a plain-python model (no jax apply/params)
+        equals two infer_one calls."""
+        attended, unattended = _toy_datasets(rng, n=600, batch=200)
+        dec = LinearRegressionDecoder(invertible_model, reduction='lda')
+        dec.train(unattended, attended, window_size=50)
+        for inputs, y in attended:
+            x1, in2 = inputs['input_1'], inputs['input_2']
+            y_b = np.flip(np.asarray(y), axis=0).copy()
+            want_a = dec.infer_one({'input_1': x1, 'input_2': in2}, y)
+            want_b = dec.infer_one({'input_1': x1, 'input_2': in2}, y_b)
+            got_a, got_b = dec.infer_pair(x1, in2, in2, y, y_b)
+            np.testing.assert_allclose(got_a, want_a, atol=1e-6)
+            np.testing.assert_allclose(got_b, want_b, atol=1e-6)
+            break
+
     def test_save_restore_parameters(self, rng, tmp_path):
         attended, unattended = _toy_datasets(rng, n=800)
         dec = LinearRegressionDecoder(invertible_model, reduction='lda')
@@ -244,6 +260,17 @@ class TestCcaDecoder:
         mixed = bd.create_dataset('test', mixup_batch=True)
         dprime = dec.train(mixed, attended, window_size=100)
         assert dprime > 1.0
+
+        # The fused two-speaker dispatch (the serving path) is
+        # value-identical to two single-speaker infer_one calls.
+        x1, in2a = eeg[:500], audio[:500]
+        in2b = np.flip(audio[:500], axis=0).copy()
+        y = np.ones((500, 1), np.float32)
+        want_a = dec.infer_one({'input_1': x1, 'input_2': in2a}, y)
+        want_b = dec.infer_one({'input_1': x1, 'input_2': in2b}, y)
+        got_a, got_b = dec.infer_pair(x1, in2a, in2b, y, y)
+        np.testing.assert_allclose(got_a, want_a, atol=1e-5)
+        np.testing.assert_allclose(got_b, want_b, atol=1e-5)
 
 
 class TestModelIntegration:

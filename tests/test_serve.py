@@ -118,6 +118,12 @@ class TestServeStream:
                 return np.zeros((inputs['input_1'].shape[0],),
                                 np.float32)
 
+            def infer_pair(self, input_1, in2a, in2b, ya, yb):
+                return (self.infer_one({'input_1': input_1,
+                                        'input_2': in2a}, ya),
+                        self.infer_one({'input_1': input_1,
+                                        'input_2': in2b}, yb))
+
         dec = RecordingDecoder()
         server = serve.StreamingAttentionServer(
             dec, eeg_channels=2, audio_channels=1, window_width=50,
