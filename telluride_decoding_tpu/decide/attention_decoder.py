@@ -54,13 +54,14 @@ class StepAttentionDecoder(AttentionDecoder):
 class SsdState(NamedTuple):
     """Carry state of the state-space decoder between windows."""
 
-    r1_buf: jax.Array       # [k_w] most recent |r1| values
-    r2_buf: jax.Array       # [k_w]
     mu_d: jax.Array         # [2] log-normal means (attended, unattended)
     rho_d: jax.Array        # [2] log-normal precisions
     z_kk: jax.Array         # [k_w+1] Kalman filtered state
     sig_kk: jax.Array       # [k_w+1] Kalman filtered variance
     eta: jax.Array          # [k_w] state-space variances
+    z_smooth: jax.Array     # [k_w] previous window's smoothed z
+    #                         (reference z_smoothed[-k_w:], the next
+    #                         window's E-step initialization)
 
 
 class SsdConstants(NamedTuple):
@@ -84,16 +85,18 @@ def _log_normal_density(r, mu, rho):
 @functools.partial(jax.jit,
                    static_argnames=('outer_iter', 'inner_iter',
                                     'newton_iter', 'k_w'))
-def _ssd_update(state: SsdState, consts: SsdConstants,
+def _ssd_update(state: SsdState, r1: jax.Array, r2: jax.Array,
+                consts: SsdConstants,
                 outer_iter: int, inner_iter: int, newton_iter: int,
                 k_w: int):
     """One window update: outer EM over (E-step, M-step, Kalman smoother).
 
     Faithful to the reference recursion (attention_decoder.py:350-443)
-    with all loops as fixed-trip-count lax loops.
+    with all loops as fixed-trip-count lax loops. r1/r2 are the [k_w]
+    windows of |correlation| values (host ring buffers — keeping them
+    out of the carried device state means the per-call buffer append
+    costs no device dispatch).
     """
-    r1 = state.r1_buf
-    r2 = state.r2_buf
     kf = jnp.float32(k_w)
 
     def outer_body(_, carry):
@@ -194,7 +197,11 @@ def _ssd_update(state: SsdState, consts: SsdConstants,
         z = z_cap[1:]
         return mu_d, rho_d, z_kk, sig_kk, eta, z
 
-    z0 = state.z_kk[1:]
+    # The first E-step starts from the PREVIOUS window's smoothed
+    # trajectory (reference: z = z_smoothed[-k_w:], which was appended
+    # as z_k_k_cap[1:] at the end of that window) — not the filtered
+    # z_k_k values, which only seed the Newton iterations.
+    z0 = state.z_smooth
     mu_d, rho_d, z_kk, sig_kk, eta, z = jax.lax.fori_loop(
         0, outer_iter, outer_body,
         (state.mu_d, state.rho_d, state.z_kk, state.sig_kk, state.eta, z0))
@@ -203,7 +210,7 @@ def _ssd_update(state: SsdState, consts: SsdConstants,
     # (reference: z_k_k[0] = z_k_k_cap[1]).
     new_state = state._replace(mu_d=mu_d, rho_d=rho_d,
                                z_kk=z_kk.at[0].set(z[0]),
-                               sig_kk=sig_kk, eta=eta)
+                               sig_kk=sig_kk, eta=eta, z_smooth=z)
     return new_state, z, eta
 
 
@@ -239,14 +246,18 @@ class StateSpaceAttentionDecoder(AttentionDecoder):
         self.rho_d = [1.7060, 0.64395]
         self.mu_d = [-0.3994, -1.5103]
 
+        # Correlation ring buffers live on the HOST: appending one
+        # scalar per call must not cost device dispatches (every
+        # dispatch is a network round trip on a tunneled backend).
+        self._r1_buf = np.zeros((self.k_w,), np.float32)
+        self._r2_buf = np.zeros((self.k_w,), np.float32)
         self._state = SsdState(
-            r1_buf=jnp.zeros((self.k_w,), jnp.float32),
-            r2_buf=jnp.zeros((self.k_w,), jnp.float32),
             mu_d=jnp.asarray(self.mu_d, jnp.float32),
             rho_d=jnp.asarray(self.rho_d, jnp.float32),
             z_kk=jnp.zeros((self.k_w + 1,), jnp.float32),
             sig_kk=jnp.zeros((self.k_w + 1,), jnp.float32),
-            eta=jnp.full((self.k_w,), 0.3, jnp.float32))
+            eta=jnp.full((self.k_w,), 0.3, jnp.float32),
+            z_smooth=jnp.zeros((self.k_w,), jnp.float32))
         self.z_dyn = []
         self.eta_dyn = []
 
@@ -291,15 +302,16 @@ class StateSpaceAttentionDecoder(AttentionDecoder):
         self.calls += 1
         a1 = float(np.abs(np.mean(r1) + self._offset))
         a2 = float(np.abs(np.mean(r2) + self._offset))
-        state = self._state
-        state = state._replace(
-            r1_buf=jnp.roll(state.r1_buf, -1).at[-1].set(a1),
-            r2_buf=jnp.roll(state.r2_buf, -1).at[-1].set(a2))
-        self._state = state
+        self._r1_buf = np.roll(self._r1_buf, -1)
+        self._r1_buf[-1] = a1
+        self._r2_buf = np.roll(self._r2_buf, -1)
+        self._r2_buf[-1] = a2
         if self.calls < self.k_w:
             return (0.5, 0.5, 0.5)
         new_state, z_window, eta_window = _ssd_update(
-            state, self._constants(), self.outer_iter, self.inner_iter,
+            self._state, jnp.asarray(self._r1_buf),
+            jnp.asarray(self._r2_buf), self._constants(),
+            self.outer_iter, self.inner_iter,
             self.newton_iter, self.k_w)
         self._state = new_state
         # Fixed-lag output: the estimate k_f frames back

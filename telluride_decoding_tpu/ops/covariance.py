@@ -49,19 +49,11 @@ class MomentStats(NamedTuple):
     def mean_y(self) -> jax.Array:
         return self.sum_y / self.count
 
-    def centered(self, ddof: int = 0) -> "MomentStats":
-        """Returns centered covariance sums (still unnormalized by count)."""
-        n = self.count
-        mx = self.sum_x / n
-        my = self.sum_y / n
-        return MomentStats(
-            count=n - ddof,
-            sum_x=jnp.zeros_like(self.sum_x),
-            sum_y=jnp.zeros_like(self.sum_y),
-            sxx=self.sxx - n * jnp.outer(mx, mx),
-            syy=self.syy - n * jnp.outer(my, my),
-            sxy=self.sxy - n * jnp.outer(mx, my),
-        )
+    # NOTE: no centered() helper on purpose. The solvers normalize
+    # their covariances with the reference's exact (quirky) algebra —
+    # e.g. cca.py uses sxx/(n-1) - outer(mean, mean), which is NOT the
+    # textbook centered scatter over n-1 — so a generic helper here
+    # would be a value-parity trap.
 
 
 def zeros_moments(dx: int, dy: int, dtype=jnp.float32) -> MomentStats:

@@ -61,6 +61,17 @@ def pearson_loss(x: jax.Array, y: jax.Array) -> jax.Array:
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
+    if x.ndim == 1:
+        x = x[:, None]
+    if y.ndim == 1:
+        y = y[:, None]
+    if x.shape != y.shape:
+        # Mismatched shapes would silently broadcast x_m * y_m to an
+        # [N, N] outer product (the reference raises here too,
+        # brain_model.py:115-117).
+        raise ValueError('x and y must have the same shape for the '
+                         'Pearson loss, not %s vs %s.' %
+                         (x.shape, y.shape))
     x_m = x - jnp.mean(x, axis=0)
     y_m = y - jnp.mean(y, axis=0)
     x_p = jnp.sum(jnp.square(x_m), axis=0)

@@ -96,7 +96,10 @@ def solve_ridge_from_moments(stats: MomentStats,
             # to *unnormalized* scatter sums, which degenerates for
             # large N; here all quantities are normalized per the paper
             # (and sklearn), and the result is clipped to [0, 1].
-            czc = cov_x_zc / n
+            # NOT cov_x_zc / n: that would subtract outer(mean, mean)/n
+            # instead of outer(mean, mean) — the reference's scatter
+            # quirk is reproduced above only for the Blankertz mu.
+            czc = szz / n - jnp.outer(mean_aug, mean_aug)
             mu_n = jnp.trace(czc) / n_col
             delta = jnp.sum((czc - mu_n * eye) ** 2) / n_col
             # Ledoit-Wolf (sklearn form): beta_ =
@@ -154,7 +157,10 @@ def calculate_linear_regressor_parameters(x, y, lamb=0.1,
         stats = moments_from_arrays(x, y)
 
     sum_x2tx2 = None
-    if not use_ridge:
+    # The O(N D^2) centered-squares pass only feeds the Ledoit-Wolf
+    # automatic shrinkage; a fixed scalar lamb never selects it.
+    if not use_ridge and (not isinstance(lamb, (int, float)) or
+                          lamb == -1):
         mean_x = stats.sum_x / stats.count
         xc2 = (x - mean_x[None, :]) ** 2
         if use_offset:

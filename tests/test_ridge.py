@@ -4,6 +4,7 @@ quality gates, test/brain_model_test.py:129-243)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from telluride_decoding_tpu.ops import moments_from_arrays, blocked_moments
 from telluride_decoding_tpu.solvers import (
@@ -102,6 +103,22 @@ def test_ledoit_wolf_auto_shrinkage(rng):
     s = float(sol.shrinkage)
     assert 0.0 <= s <= 1.0
     assert np.all(np.isfinite(np.asarray(sol.w)))
+
+
+def test_ledoit_wolf_nonzero_mean_matches_sklearn(rng):
+    """LW shrinkage on data with a large offset. (Regression: the
+    covariance fed to the LW formula subtracted outer(mean, mean)/n
+    instead of outer(mean, mean), so any nonzero mean blew up the
+    dispersion term and shrinkage clipped to 0.)"""
+    from sklearn.covariance import ledoit_wolf_shrinkage
+    x = (rng.randn(1500, 10) @ rng.randn(10, 10) * 0.3 +
+         10.0 * rng.randn(10)).astype(np.float32)
+    y = rng.randn(1500, 1).astype(np.float32)
+    want = ledoit_wolf_shrinkage(x)   # Centers internally.
+    sol = calculate_linear_regressor_parameters(
+        x, y, lamb=-1, use_ridge=False, use_offset=False)
+    assert float(sol.shrinkage) == pytest.approx(want, abs=1e-3)
+    assert float(sol.shrinkage) > 1e-4   # The bug clipped this to 0.
 
 
 def test_no_offset_mode(rng):
