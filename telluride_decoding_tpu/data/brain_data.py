@@ -621,19 +621,8 @@ class TestBrainData(BrainData):
             streams = self._add_context(*streams)
         return streams
 
-    def create_dataset(self, mode: str = 'train',
-                       temporal_context: bool = True,
-                       mixup_batch: bool = False,
-                       mismatch_batch: bool = False) -> BrainDataset:
-        in1, in2, out, attended = self.load_arrays(mode, temporal_context)
-        return BrainDataset(in1, in2, out, attended,
-                            batch_size=self.final_batch_size,
-                            mode=mode,
-                            repeat_count=self.repeat_count,
-                            shuffle=self.shuffle_buffer_size > 0,
-                            mixup_batch=mixup_batch,
-                            mismatch_batch=mismatch_batch,
-                            rng=self._rng)
+    # create_dataset is inherited: load_arrays above is the only
+    # polymorphic piece.
 
 
 class TFExampleData(BrainData):

@@ -17,8 +17,9 @@ float features are decoded into one [num_frames, width] numpy array per
 field — the natural TPU-first representation (the array goes straight to
 device) instead of a record-at-a-time stream.
 
-CRC32C is computed with a numpy slice-by-one table implementation; file
-reads skip validation by default (set validate=True to check).
+CRC32C goes through the native codec when available (pure-Python table
+loop as last resort); file reads skip validation by default (set
+validate=True to check).
 """
 
 from __future__ import annotations
@@ -47,7 +48,21 @@ _CRC_TABLE = _make_crc_table()
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:
-    """CRC-32C of ``data`` (table-driven, numpy-backed)."""
+    """CRC-32C of ``data``.
+
+    Prefers the native codec (bulk C loop); the pure-Python table loop
+    is the last-resort fallback (it is O(len) in interpreter time, so
+    only whole-file validation of corrupt files and the non-float
+    writer fallback ever lean on it when the native build is missing).
+    """
+    if crc == 0:
+        try:
+            from telluride_decoding_tpu import _native
+            lib = _native.lib()
+            if lib is not None:
+                return int(lib.tdt_crc32c(_data_ptr(data), len(data)))
+        except Exception:
+            pass
     crc = crc ^ 0xFFFFFFFF
     buf = np.frombuffer(data, dtype=np.uint8)
     table = _CRC_TABLE

@@ -157,6 +157,10 @@ class Decoder:
     def _set_parameters(self, values: ModelParamsTuple):
         self._set_correlation_params(values.correlation_params)
         self._set_lda_params(values.lda_params)
+        # The jitted pipelines close over the statistics and LDA
+        # parameters; new values must recompile them.
+        self._infer_fn = None
+        self._infer_pair_fn = None
 
     @property
     def model_inputs(self) -> Dict[str, Any]:
@@ -505,6 +509,14 @@ class Decoder:
                     np.asarray(input_dict['attended_speaker']))
             scores = np.concatenate(scores_parts)
             labels = np.concatenate(label_parts)
+        scores = np.asarray(scores)
+        if scores.ndim > 1 and scores.shape[-1] > 1:
+            # reduction='all' yields [N, D] correlation vectors; the
+            # per-window decision statistic is the mean over frames AND
+            # dims (np.mean of the window, as the iterator path's
+            # consumers compute), so averaging dims first is exact —
+            # flattening would interleave dims into the frame axis.
+            scores = scores.mean(axis=-1)
         scores = np.reshape(scores, (-1,))
         labels = np.reshape(np.asarray(labels)[:, 0] if labels.ndim > 1
                             else labels, (-1,))
@@ -589,7 +601,7 @@ def create_decoder(model_tag: str, reduction: str = 'lda',
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             model_class = json.load(f).get('model_class', '')
-        if 'CCA' in model_class or 'DCCA' in model_class.upper():
+        if 'CCA' in model_class.upper():   # Covers CCA and DCCA.
             return CCADecoder(model, reduction=reduction)
         if model_class:
             return LinearRegressionDecoder(model, reduction=reduction)

@@ -209,11 +209,15 @@ class BrainModel:
                           [None, spec_in['attended_speaker'][0]]}
             output = [None, spec_out[0]]
         else:
+            inputs = output = None
             for input_dict, y in dataset:
                 inputs = {k: [None, int(np.asarray(v).shape[-1])]
                           for k, v in input_dict.items()}
                 output = [None, int(np.asarray(y).shape[-1])]
                 break
+            if inputs is None:
+                raise ValueError('add_metadata dataset produced no '
+                                 'batches; cannot infer I/O shapes.')
         self.telluride_inputs = json.dumps(inputs)
         self.telluride_output = json.dumps(output)
 

@@ -272,6 +272,38 @@ class TestCcaDecoder:
         np.testing.assert_allclose(got_a, want_a, atol=1e-5)
         np.testing.assert_allclose(got_b, want_b, atol=1e-5)
 
+        # reduction='all' yields [N, D] correlation vectors; the
+        # batched window evaluator must match the iterator path's
+        # per-window np.mean. (Regression: flattening interleaved the
+        # dims into the frame axis.)
+        dec_all = CCADecoder(model, reduction='all')
+        dec_all.model_params = dec.model_params
+        ds = bd.create_dataset('program_test')
+        means, _ = dec_all.test_by_window_means(ds, 100)
+        want = [float(np.mean(w)) for w, _ in
+                dec_all.test_by_window(bd.create_dataset('program_test'),
+                                       100)]
+        np.testing.assert_allclose(means[:len(want)], want, atol=1e-4)
+
+    def test_model_params_setter_invalidates_compiled_fns(self, rng):
+        """Assigning model_params must recompile the jitted pipeline.
+        (Regression: infer_one kept serving with the OLD correlation
+        statistics closed over at first compile.)"""
+        attended, unattended = _toy_datasets(rng, n=600, batch=200)
+        dec = LinearRegressionDecoder(invertible_model,
+                                      reduction='mean')
+        dec.train(unattended, attended, window_size=50)
+        inputs, y = next(iter(attended))
+        before = dec.infer_one(inputs, y)
+        params = dec.model_params
+        scaled = params._replace(
+            correlation_params=params.correlation_params._replace(
+                power=np.asarray(params.correlation_params.power) * 2.0))
+        dec.model_params = scaled
+        after = dec.infer_one(inputs, y)
+        np.testing.assert_allclose(after, np.asarray(before) / 2.0,
+                                   atol=1e-5)
+
 
 class TestModelIntegration:
 

@@ -65,6 +65,12 @@ class TestLinearModel:
         np.testing.assert_allclose(loaded(inputs), model(inputs), atol=1e-6)
         assert loaded.telluride_inputs is not None
 
+    def test_add_metadata_empty_dataset_raises(self, rng):
+        bd, _, _ = _linear_test_data(rng)
+        model = BrainModelLinearRegression(bd.create_dataset('train'))
+        with pytest.raises(ValueError, match='no batches'):
+            model.add_metadata({}, dataset=iter(()))
+
     def test_call_predicts(self, rng):
         bd, w, b = _linear_test_data(rng)
         model = BrainModelLinearRegression(bd.create_dataset('train'))

@@ -84,3 +84,10 @@ class TestTimeShardedLagStack:
                                       want[boundary_row])
         # And it genuinely contains the previous shard's values.
         assert want[boundary_row][0] == boundary_row - 2
+
+    def test_context_wider_than_shard_raises(self, rng, mesh):
+        """A single-hop halo can only reach the adjacent neighbor;
+        context spanning two shards must raise, not silently clamp."""
+        x = rng.randn(8 * 2, 3).astype(np.float32)  # 2 frames/shard.
+        with pytest.raises(ValueError, match='per-shard frame count'):
+            time_sharded_lag_stack(shard_frames(x, mesh), 3, 0, mesh)
