@@ -40,24 +40,16 @@ except Exception:
 import jax.numpy as jnp
 import numpy as np
 
-IN1, IN2, DIMS = 2553, 31, 10
+# The flagship model definition is shared with the driver entry point
+# (one source of truth for the codelab-scale shapes and parameters).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from __graft_entry__ import CCA_DIMS as DIMS  # noqa: E402
+from __graft_entry__ import IN1_WIDTH as IN1  # noqa: E402
+from __graft_entry__ import IN2_WIDTH as IN2  # noqa: E402
+from __graft_entry__ import flagship_params as _params  # noqa: E402
+
 WINDOW = 100
 BASELINE_WINDOWS_PER_SEC = 2000.0
-
-
-def _params(rng):
-    return {
-        'mean1': jnp.asarray(rng.randn(1, IN1), jnp.float32),
-        'mean2': jnp.asarray(rng.randn(1, IN2), jnp.float32),
-        'rot1': jnp.asarray(rng.randn(IN1, DIMS) * 0.02, jnp.float32),
-        'rot2': jnp.asarray(rng.randn(IN2, DIMS) * 0.2, jnp.float32),
-        'corr_mean_x': jnp.zeros((DIMS,), jnp.float32),
-        'corr_mean_y': jnp.zeros((DIMS,), jnp.float32),
-        'corr_power': jnp.ones((DIMS,), jnp.float32),
-        'lda_w': jnp.asarray(rng.randn(DIMS, 2), jnp.float32),
-        'lda_slope': jnp.float32(1.0),
-        'lda_intercept': jnp.float32(0.0),
-    }
 
 
 def _decode_windows(params, x1, x2):
@@ -141,8 +133,9 @@ def main():
 
         @jax.jit
         def ridge_program(key):
-            x = jax.random.normal(key, (20000, 256), jnp.float32)
-            y = jax.random.normal(key, (20000, 4), jnp.float32)
+            kx, ky = jax.random.split(key)
+            x = jax.random.normal(kx, (20000, 256), jnp.float32)
+            y = jax.random.normal(ky, (20000, 4), jnp.float32)
             stats = moments_from_arrays(x, y)
             return solve_ridge_from_moments(stats, 0.1).w
 
@@ -197,9 +190,10 @@ def main():
 
         @jax.jit
         def make_file(k):
-            x = jax.random.normal(k, (frames, width), jnp.float32)
+            kx, kn = jax.random.split(k)
+            x = jax.random.normal(kx, (frames, width), jnp.float32)
             y = (x[:, :1] * 0.5 +
-                 0.1 * jax.random.normal(k, (frames, 1), jnp.float32))
+                 0.1 * jax.random.normal(kn, (frames, 1), jnp.float32))
             return x, y
 
         xs_list, ys_list = [], []
@@ -260,10 +254,11 @@ def main():
                     jax.random.PRNGKey(100 + s), num_files)
                 xs_s, ys_s = [], []
                 for k in keys:
-                    x = jax.random.normal(k, (frames_s, width),
+                    kx, kn = jax.random.split(k)
+                    x = jax.random.normal(kx, (frames_s, width),
                                           jnp.float32)
                     y = (x[:, :1] * 0.5 + 0.1 * jax.random.normal(
-                        k, (frames_s, 1), jnp.float32))
+                        kn, (frames_s, 1), jnp.float32))
                     xs_s.append(x)
                     ys_s.append(y)
                 # Synthetic-data generation (1.3 GB of Threefry

@@ -3,8 +3,10 @@
 Capability parity with the reference add_trigger.py (random event times
 with minimum-interval rejection :57-100, pulse/tone injection :103-151,
 wav I/O :154-177). The reference's broken google3.pyglib.gfile import
-(:44) is replaced with plain local file I/O. The rejection sampler is
-rewritten as a simple draw-and-check loop with a seedable RNG.
+(:44) is replaced with plain local file I/O. The sampler uses the
+exact spacing construction with a seedable RNG (one draw, succeeds
+whenever the constraint is feasible; the reference's prune-and-retry
+loop can return None at high event densities).
 """
 
 from __future__ import annotations
@@ -38,21 +40,31 @@ def random_times(duration: float, number: int,
                  minimum_interval: float = 0.5,
                  include_zero: bool = True,
                  rng: Optional[np.random.RandomState] = None):
-    """Sorted random event times with a guaranteed minimum spacing."""
+    """Sorted random event times with a guaranteed minimum spacing.
+
+    Exact spacing construction: subtracting i * minimum_interval from
+    the i-th sorted event maps the constrained space onto plain sorted
+    uniforms, so one draw always succeeds when the constraint is
+    feasible. (The reference's retry sampler — and a naive
+    draw-and-check — fail outright at the default 1-event/s density,
+    where the probability of all gaps clearing 0.5 s is vanishing.)
+    """
     if (number - 1) * minimum_interval > duration:
         raise ValueError('Not enough time for %d events with %gs between '
                          'them in %gs.' % (number, minimum_interval,
                                            duration))
     number = int(number)
     rng = rng or np.random.RandomState()
-    for _ in range(1000):
-        times = rng.uniform(low=0, high=duration, size=number)
-        if include_zero:
-            times[0] = 0.0
-        times = np.sort(times)
-        if number < 2 or np.min(np.diff(times)) >= minimum_interval:
-            return times
-    return None
+    if number <= 0:
+        return np.zeros((0,), np.float64)
+    free = duration - (number - 1) * minimum_interval
+    if include_zero:
+        u = (np.sort(rng.uniform(0, free, size=number - 1))
+             if number > 1 else np.zeros((0,)))
+        return np.concatenate(
+            [[0.0], u + minimum_interval * np.arange(1, number)])
+    u = np.sort(rng.uniform(0, free, size=number))
+    return u + minimum_interval * np.arange(number)
 
 
 def add_events_to_audio(audio_signal: np.ndarray, event_times,

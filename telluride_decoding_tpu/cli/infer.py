@@ -272,7 +272,8 @@ def run_comparison_test(model_dir: str, tf_dir: str, train_files,
                         plot_dir: Optional[str],
                         reduction_list: List[str],
                         decoder_list: Optional[List[str]] = None,
-                        window_list: Optional[List[int]] = None
+                        window_list: Optional[List[int]] = None,
+                        frame_rate: float = 100.0
                         ) -> Dict:
     """Sweeps (reduction x decoder) pairs through run_reduction_test."""
     all_results = collections.OrderedDict()
@@ -281,7 +282,7 @@ def run_comparison_test(model_dir: str, tf_dir: str, train_files,
             results = run_reduction_test(
                 model_dir, tf_dir, train_files, test_files, reduction,
                 decoder, audio_label, audio_label_2, plot_dir,
-                window_list=window_list)
+                frame_rate=frame_rate, window_list=window_list)
             all_results[(reduction, decoder)] = results
     if plot_dir:
         import matplotlib
@@ -311,7 +312,8 @@ def main(argv):
         run_comparison_test(FLAGS.model_dir, FLAGS.tf_dir,
                             FLAGS.train_files, FLAGS.test_files,
                             FLAGS.audio_label, FLAGS.audio_label + '2',
-                            FLAGS.plot_dir, reduction_list=['first', 'lda'])
+                            FLAGS.plot_dir, reduction_list=['first', 'lda'],
+                            frame_rate=FLAGS.frame_rate)
     else:
         run_reduction_test(FLAGS.model_dir, FLAGS.tf_dir,
                            FLAGS.train_files, FLAGS.test_files,

@@ -15,6 +15,7 @@ from __future__ import annotations
 import collections
 import os
 import sys
+import urllib.parse
 import urllib.request
 from typing import List, Optional
 
@@ -75,23 +76,75 @@ def loadmat(filename: str):
     return data
 
 
+def _fetch_to_file(opener, url: str, path: str):
+    with opener.open(url, timeout=60) as response, open(path, 'wb') as f:
+        while True:
+            chunk = response.read(512 * 1024)
+            if not chunk:
+                break
+            f.write(chunk)
+
+
+def _looks_like_html(path: str) -> bool:
+    with open(path, 'rb') as f:
+        head = f.read(2048).lstrip()
+    return head[:1] == b'<' or b'<html' in head.lower()
+
+
 def download_from_gdrive(url: str, output: str,
                          debug: bool = False) -> Optional[str]:
-    """Plain-HTTP download (gdown-style confirmation handling omitted:
-    large gdrive files need a manual download in restricted
-    environments; the caller prints instructions on failure)."""
+    """HTTP download with Google-Drive interstitial handling.
+
+    Large gdrive files return an HTTP-200 HTML confirmation page
+    ("can't scan for viruses") instead of the payload; writing that
+    page to the cache would poison it permanently (is_data_local()
+    would skip re-downloading forever). The download goes to a .part
+    file first; if the body looks like HTML the confirm-token retry is
+    attempted once (cookies preserved), and on failure NOTHING is
+    written to the cache path and None is returned with manual
+    instructions."""
     del debug
+    import http.cookiejar
+    import re as _re
+    part = output + '.part'
     try:
         os.makedirs(os.path.dirname(os.path.abspath(output)), exist_ok=True)
-        with urllib.request.urlopen(url, timeout=60) as response, \
-                open(output, 'wb') as f:
-            while True:
-                chunk = response.read(512 * 1024)
-                if not chunk:
-                    break
-                f.write(chunk)
+        opener = urllib.request.build_opener(
+            urllib.request.HTTPCookieProcessor(http.cookiejar.CookieJar()))
+        _fetch_to_file(opener, url, part)
+        wants_html = output.lower().endswith(('.htm', '.html'))
+        if not wants_html and _looks_like_html(part):
+            with open(part, 'rb') as f:
+                page = f.read(65536).decode('utf-8', 'replace')
+            params = dict(_re.findall(
+                r'name="(id|export|confirm|uuid)" value="([^"]*)"', page))
+            action = _re.search(r'action="([^"]+)"', page)
+            if action and 'confirm' in params:
+                retry_url = action.group(1) + '?' + urllib.parse.urlencode(
+                    params)
+                _fetch_to_file(opener, retry_url, part)
+            else:
+                token = _re.search(r'confirm=([0-9A-Za-z_-]+)', page)
+                if token:
+                    sep = '&' if '?' in url else '?'
+                    _fetch_to_file(opener,
+                                   url + sep + 'confirm=' + token.group(1),
+                                   part)
+        if not wants_html and _looks_like_html(part):
+            os.remove(part)
+            print('Download of %s returned an HTML page, not the file '
+                  '(Google Drive confirmation could not be completed). '
+                  'Fetch it manually to %s.' % (url, output),
+                  file=regression_data_print)
+            return None
+        os.replace(part, output)
         return output
     except Exception as error:
+        try:
+            if os.path.exists(part):
+                os.remove(part)
+        except Exception:
+            pass
         print('Download of %s failed (%s). Fetch it manually to %s.' %
               (url, error, output), file=regression_data_print)
         return None

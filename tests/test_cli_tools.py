@@ -24,6 +24,25 @@ class TestAddTrigger:
         with pytest.raises(ValueError):
             add_trigger.random_times(1.0, 100, minimum_interval=0.5)
 
+    def test_random_times_high_density(self, rng):
+        """The CLI default is 1 event/s with a 0.5 s minimum gap — the
+        spacing budget is half the duration. (Regression: a
+        draw-and-check sampler practically never succeeds here and
+        returned None, crashing main().)"""
+        times = add_trigger.random_times(59.8, 60, minimum_interval=0.5,
+                                         rng=rng)
+        assert times is not None and len(times) == 60
+        assert times[0] == 0.0
+        assert np.min(np.diff(times)) >= 0.5
+        assert times[-1] <= 59.8
+
+    def test_random_times_without_zero(self, rng):
+        times = add_trigger.random_times(10.0, 15, minimum_interval=0.5,
+                                         include_zero=False, rng=rng)
+        assert len(times) == 15
+        assert np.min(np.diff(times)) >= 0.5
+        assert times[-1] <= 10.0
+
     def test_add_events_pulses(self, rng):
         fs = 16000
         audio = (1000 * rng.randn(fs * 5)).astype(np.int16)
@@ -139,3 +158,30 @@ class TestRegressionData:
         out = regression_data.download_from_gdrive(
             'https://invalid.invalid/file', str(tmp_path / 'out.bin'))
         assert out is None
+        assert not (tmp_path / 'out.bin').exists()
+        assert not (tmp_path / 'out.bin.part').exists()
+
+    def test_download_rejects_html_interstitial(self, tmp_path):
+        """A gdrive 'can't scan for viruses' HTML page must NOT be
+        cached as the payload (it would poison is_data_local forever):
+        the download reports failure and leaves no file."""
+        page = tmp_path / 'interstitial.html'
+        page.write_text('<!DOCTYPE html><html><body>'
+                        'Google Drive - Virus scan warning'
+                        '</body></html>')
+        target = tmp_path / 'data.mat'
+        out = regression_data.download_from_gdrive(page.as_uri(),
+                                                   str(target))
+        assert out is None
+        assert not target.exists()
+        assert not (tmp_path / 'data.mat.part').exists()
+
+    def test_download_binary_payload_ok(self, tmp_path, rng):
+        blob = tmp_path / 'payload.bin'
+        payload = rng.bytes(4096)
+        blob.write_bytes(payload)
+        target = tmp_path / 'fetched.bin'
+        out = regression_data.download_from_gdrive(blob.as_uri(),
+                                                   str(target))
+        assert out == str(target)
+        assert target.read_bytes() == payload

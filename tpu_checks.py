@@ -121,22 +121,34 @@ def main():
     try:
         import os as _os
         from telluride_decoding_tpu.signal import AudioFeatures
+        from telluride_decoding_tpu.signal import preprocess as _pp
+        # Guard against the two trivially-equal false-pass modes: the
+        # kernel was never selected (non-TPU backend or a pre-set
+        # TDT_FUSED_FRONTEND=0), or it raised and sticky-disabled
+        # itself; either way fused == plain compares the fallback
+        # against itself.
+        if _pp._fused_frontend_kernel() is None:
+            raise RuntimeError('fused kernel not selected on this '
+                               'backend (platform %s, '
+                               'TDT_FUSED_FRONTEND=%r)' %
+                               (jax.devices()[0].platform,
+                                _os.environ.get('TDT_FUSED_FRONTEND')))
         audio = rng.randn(30000).astype(np.float32)
         af = AudioFeatures('loud', 16000, 64, window=1.0,
                            exponent=float(np.log10(2)))
         fused = np.asarray(af.compute_intensity(audio))
+        saved_mode = _os.environ.get('TDT_FUSED_FRONTEND')
         _os.environ['TDT_FUSED_FRONTEND'] = '0'
         try:
             af2 = AudioFeatures('loud', 16000, 64, window=1.0,
                                 exponent=float(np.log10(2)))
             plain = np.asarray(af2.compute_intensity(audio))
         finally:
-            del _os.environ['TDT_FUSED_FRONTEND']
+            if saved_mode is None:
+                del _os.environ['TDT_FUSED_FRONTEND']
+            else:
+                _os.environ['TDT_FUSED_FRONTEND'] = saved_mode
         ierr = np.abs(fused - plain).max()
-        # If the kernel raised on-device, compute_intensity silently
-        # sticky-falls-back to the cumsum path and fused == plain
-        # trivially — assert the kernel actually ran.
-        from telluride_decoding_tpu.signal import preprocess as _pp
         kernel_ran = not _pp._FUSED_DISABLED
         results.append(check('fused intensity ingest path',
                              ierr < 1e-3 and kernel_ran,
