@@ -9,15 +9,20 @@ of magnitude. This kernel performs the WHOLE pipeline per window block
 inside VMEM so x1 is read from HBM exactly once.
 
 MEASURED RESULT (v5e, 512 windows x 100 frames x 2553, bf16,
-interleaved A/B medians over 5 runs): XLA einsum path 0.59 ms/batch
-(869k windows/s) vs this kernel 0.97 ms/batch (525k windows/s). XLA's
-fusion already keeps the [W, T, D] intermediates out of HBM here (D=10
-is tiny), and its einsum schedule overlaps the x1 DMA better than this
-grid does — so the einsum path REMAINS the production decode
-(bench.py, decode/infer_decoder.py). The kernel stays because (a) the
-negative result is load-bearing engineering documentation, and (b) at
-larger D (where [W, T, D] no longer fits XLA's fusion budget) the
-one-pass structure wins; revisit if the model family grows.
+interleaved A/B medians over 5 runs): XLA einsum path 0.51 ms/batch
+(~1.0M windows/s) vs this kernel 0.89-0.97 ms/batch (525-576k
+windows/s; window_block >= 16 fails to compile on the remote
+toolchain). The question is SETTLED by a roofline control: a pure
+jnp.sum reduction over the same [512, 100, 2553] bf16 operands takes
+0.505 ms/batch = 524 GB/s effective — bit-for-bit the decode's wall
+time. The einsum path is already AT this chip's realized HBM
+bandwidth (spec peak 819 GB/s; ~525 GB/s achieved for streaming
+reads), so no kernel can be faster and the einsum path REMAINS the
+production decode (bench.py, decode/infer_decoder.py). The kernel
+stays because (a) the negative result plus the roofline control is
+load-bearing engineering documentation, and (b) at larger D (where
+[W, T, D] no longer fits XLA's fusion budget) the one-pass structure
+wins; revisit if the model family grows.
 
 Pipeline per window block:
 

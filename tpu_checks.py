@@ -201,6 +201,39 @@ def main():
     results.append(check('SSD switch tracking', frac < 0.15,
                          'err %.1f%%' % (100 * frac)))
 
+    # 10. Fused two-speaker serving dispatch (infer_pair) equals two
+    # single-stream decodes on this device.
+    try:
+        from telluride_decoding_tpu.decode import (
+            LinearRegressionDecoder)
+        from telluride_decoding_tpu.models.brain_model import (
+            BrainModelLinearRegression)
+        from telluride_decoding_tpu.data.brain_data import TestBrainData
+        n = 1200
+        eegp = rng.randn(n, 6).astype(np.float32)
+        outp = (eegp[:, :1] * 0.5 + 0.3 +
+                0.05 * rng.randn(n, 1)).astype(np.float32)
+        mdl = BrainModelLinearRegression(input_width=6, output_width=1,
+                                         regularization_lambda=1e-4)
+        tbd = TestBrainData('input_1', 'output', 100.0,
+                            final_batch_size=400)
+        tbd.preserve_test_data(eegp, outp)
+        mdl.fit(tbd.create_dataset('train'))
+        decp = LinearRegressionDecoder(mdl, reduction='mean')
+        decp.add_data_correlator(outp, outp)
+        in2 = outp[:400]
+        ya = outp[:400]
+        yb = np.flip(outp[:400], axis=0).copy()
+        sa = decp.infer_one({'input_1': eegp[:400], 'input_2': in2}, ya)
+        sb = decp.infer_one({'input_1': eegp[:400], 'input_2': in2}, yb)
+        pa, pb = decp.infer_pair(eegp[:400], in2, in2, ya, yb)
+        perr = max(np.abs(pa - sa).max(), np.abs(pb - sb).max())
+        results.append(check('infer_pair fused serving dispatch',
+                             perr < 1e-4, 'err %.2g' % perr))
+    except Exception as error:
+        results.append(check('infer_pair fused serving dispatch',
+                             False, repr(error)[:60]))
+
     print()
     if all(results):
         print('ALL %d GATES PASS on %s' % (len(results), platform))
