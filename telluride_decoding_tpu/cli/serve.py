@@ -15,9 +15,12 @@ per-window latency.
       --input stream.npz --chunk_size 32 --window_width 100
 
 stream.npz holds eeg [N, C], audio1 [N, 1], audio2 [N, 1] (field names
-configurable). --selftest builds a toy invertible model + stream in a
-temp dir, serves it, and asserts the decisions track the planted
-attention switch — an executable end-to-end smoke test.
+configurable). --serve_input - switches to a live line protocol: each
+stdin line is a JSON chunk ({"eeg": [[...]], "audio1": ..., "audio2":
+...}) from any acquisition process, and decisions flush out per chunk.
+--selftest builds a toy invertible model + stream in a temp dir,
+serves it, and asserts the decisions track the planted attention
+switch — an executable end-to-end smoke test.
 """
 
 from __future__ import annotations
@@ -47,7 +50,10 @@ def define_flags():
     flags.DEFINE_string('serve_model_dir', None, 'Trained model dir '
                         '(model.json + weights.npz + decoder_model.json).')
     flags.DEFINE_string('serve_input', None,
-                        '.npz with eeg/audio1/audio2 arrays to replay.')
+                        '.npz with eeg/audio1/audio2 arrays to replay, '
+                        'or "-" to read JSON chunk lines from stdin '
+                        '({"eeg": [[...]], "audio1": ..., "audio2": '
+                        '...} per line).')
     flags.DEFINE_string('serve_output', None,
                         'Where to write JSON-line decisions (default '
                         'stdout).')
@@ -240,6 +246,49 @@ def serve_stream(model_dir: str, eeg: np.ndarray, audio1: np.ndarray,
     return all_decisions
 
 
+def serve_lines(model_dir: str, in_stream, *,
+                reduction: str = 'lda', decision: str = 'wta',
+                window_width: int = 100, window_step: int = 50,
+                frame_rate: float = 100.0,
+                out_stream=None) -> List[Dict]:
+    """Line-protocol serving: JSON chunks in, JSON decisions out.
+
+    Each input line is one acquisition chunk:
+      {"eeg": [[ch...], ...], "audio1": [[a], ...], "audio2": [[a], ...]}
+    (audio may also be a flat list). Decisions stream to out_stream as
+    they complete, one JSON object per line, flushed per chunk — so an
+    external acquisition process can drive the decoder with
+      acquisition | tdt-serve --serve_model_dir M --serve_input -
+    EOF ends the stream; returns all decisions.
+    """
+    from telluride_decoding_tpu.cli.infer import load_model
+    decoder = load_model(model_dir, reduction)
+    server = None
+    decisions: List[Dict] = []
+    for line in in_stream:
+        line = line.strip()
+        if not line:
+            continue
+        chunk = json.loads(line)
+        eeg = np.atleast_2d(np.asarray(chunk['eeg'], np.float32))
+        a1 = np.atleast_2d(np.asarray(chunk['audio1'], np.float32))
+        a2 = np.atleast_2d(np.asarray(chunk['audio2'], np.float32))
+        if a1.shape[0] == 1 and eeg.shape[0] != 1:
+            a1, a2 = a1.T, a2.T
+        if server is None:
+            server = StreamingAttentionServer(
+                decoder, eeg_channels=eeg.shape[1],
+                audio_channels=a1.shape[1],
+                window_width=window_width, window_step=window_step,
+                decision=decision, frame_rate=frame_rate)
+        for record in server.push(eeg, a1, a2):
+            decisions.append(record)
+            if out_stream is not None:
+                out_stream.write(json.dumps(record) + '\n')
+                out_stream.flush()
+    return decisions
+
+
 def _selftest(out_stream) -> None:
     """Toy invertible model end to end: decisions must track the
     planted attention switch (>90% of unambiguous windows)."""
@@ -298,6 +347,16 @@ def main(argv):
     if not FLAGS.serve_model_dir or not FLAGS.serve_input:
         raise app.UsageError('Need --serve_model_dir and --serve_input '
                              '(or --selftest).')
+    if FLAGS.serve_input == '-':
+        # Live line protocol: an external acquisition loop pipes JSON
+        # chunks in; decisions stream out per chunk.
+        serve_lines(FLAGS.serve_model_dir, sys.stdin,
+                    reduction=FLAGS.serve_reduction,
+                    decision=FLAGS.serve_decoder,
+                    window_width=FLAGS.serve_window_width,
+                    window_step=FLAGS.serve_window_step,
+                    frame_rate=FLAGS.serve_frame_rate, out_stream=out)
+        return
     data = np.load(FLAGS.serve_input)
     serve_stream(FLAGS.serve_model_dir, data['eeg'], data['audio1'],
                  data['audio2'], chunk_size=FLAGS.chunk_size,

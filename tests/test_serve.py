@@ -173,3 +173,30 @@ class TestServeStream:
     def test_selftest_main(self, capsys):
         serve._selftest(io.StringIO())
         assert 'correct' in capsys.readouterr().err
+
+    def test_serve_lines_matches_serve_stream(self, tmp_path, rng):
+        """The stdin line protocol produces the same decisions as the
+        npz replay path on identical data."""
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng, pre=1,
+                                            post=2)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        want = serve.serve_stream(
+            model_dir, eeg, a1, a2, chunk_size=41, reduction='first',
+            decision='wta', window_width=100, window_step=100)
+        lines = []
+        for start in range(0, eeg.shape[0], 41):
+            sl = slice(start, start + 41)
+            lines.append(json.dumps({'eeg': eeg[sl].tolist(),
+                                     'audio1': a1[sl].tolist(),
+                                     'audio2': a2[sl].tolist()}))
+        out = io.StringIO()
+        got = serve.serve_lines(
+            model_dir, io.StringIO('\n'.join(lines) + '\n'),
+            reduction='first', decision='wta', window_width=100,
+            window_step=100, out_stream=out)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g['score1'] == w['score1']
+            assert g['attend_speaker1'] == w['attend_speaker1']
+        emitted = [json.loads(l) for l in out.getvalue().splitlines()]
+        assert len(emitted) == len(want)
