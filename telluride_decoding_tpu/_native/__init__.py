@@ -4,6 +4,10 @@
 compiled from tdt_records.cc on first use (g++ -O3, cached next to the
 source); any build/load failure silently degrades to the pure-Python
 implementations in data.records.
+
+The accelerated surface is the TFRecord/tf.train.Example codec the
+reference delegates to TensorFlow (reference ingest.py:1118-1172
+frame-per-record layout; brain_data.py:756-760 TFRecordDataset reads).
 """
 
 from __future__ import annotations
@@ -57,11 +61,21 @@ def lib() -> Optional[ctypes.CDLL]:
         try:
             if not os.path.exists(_SO) or (
                     os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                subprocess.run(
-                    ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                     _SRC, '-o', _SO + '.tmp'],
-                    check=True, capture_output=True, timeout=120)
-                os.replace(_SO + '.tmp', _SO)
+                # Per-process tmp name: concurrent first-use builds
+                # (parallel test workers / CLI jobs) must not write the
+                # same path — a shared '.tmp' could be os.replace()d by
+                # one process while another's g++ is still writing the
+                # inode, installing a half-written library.
+                tmp = '%s.%d.tmp' % (_SO, os.getpid())
+                try:
+                    subprocess.run(
+                        ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+                         _SRC, '-o', tmp],
+                        check=True, capture_output=True, timeout=120)
+                    os.replace(tmp, _SO)
+                finally:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
             _LIB = _configure(ctypes.CDLL(_SO))
         except Exception:
             _LIB = None

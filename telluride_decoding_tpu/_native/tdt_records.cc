@@ -104,8 +104,12 @@ bool SkipField(const uint8_t* buf, int64_t size, int64_t* pos,
     case 1: *pos += 8; return *pos <= size;
     case 2:
       if (!ReadVarint(buf, size, pos, &tmp)) return false;
+      // Overflow-safe: a huge corrupt length must not wrap *pos
+      // negative (which would pass the <= size check and read out of
+      // bounds later).
+      if (tmp > static_cast<uint64_t>(size - *pos)) return false;
       *pos += static_cast<int64_t>(tmp);
-      return *pos <= size;
+      return true;
     case 5: *pos += 4; return *pos <= size;
     default: return false;
   }
@@ -122,6 +126,11 @@ int64_t FindFloatFeature(const uint8_t* buf, int64_t size,
     if (!ReadVarint(buf, size, &pos, &tag)) return -1;
     if ((tag >> 3) == 1 && (tag & 7) == 2) {  // Example.features
       if (!ReadVarint(buf, size, &pos, &len)) return -1;
+      // Every embedded length must stay inside its enclosing bound:
+      // this buffer is one record's payload, and trusting a corrupt
+      // length would walk past the heap allocation (the scan layer
+      // only validates FRAMING, and the read path skips even that).
+      if (len > static_cast<uint64_t>(size - pos)) return -1;
       int64_t fend = pos + static_cast<int64_t>(len);
       while (pos < fend) {                    // Features.feature entries
         uint64_t etag, elen;
@@ -131,6 +140,7 @@ int64_t FindFloatFeature(const uint8_t* buf, int64_t size,
           continue;
         }
         if (!ReadVarint(buf, fend, &pos, &elen)) return -1;
+        if (elen > static_cast<uint64_t>(fend - pos)) return -1;
         int64_t eend = pos + static_cast<int64_t>(elen);
         // Map entry: key (field 1), value Feature (field 2).
         bool key_matches = false;
@@ -143,6 +153,7 @@ int64_t FindFloatFeature(const uint8_t* buf, int64_t size,
             continue;
           }
           if (!ReadVarint(buf, eend, &pos, &mlen)) return -1;
+          if (mlen > static_cast<uint64_t>(eend - pos)) return -1;
           if ((mtag >> 3) == 1) {
             key_matches = (static_cast<int64_t>(mlen) == name_len &&
                            std::memcmp(buf + pos, name, name_len) == 0);
@@ -161,6 +172,7 @@ int64_t FindFloatFeature(const uint8_t* buf, int64_t size,
             if (!ReadVarint(buf, vend, &vp, &vtag)) return -1;
             if ((vtag >> 3) == 2 && (vtag & 7) == 2) {  // float_list
               if (!ReadVarint(buf, vend, &vp, &vlen)) return -1;
+              if (vlen > static_cast<uint64_t>(vend - vp)) return -1;
               int64_t lp = vp;
               int64_t lend = vp + static_cast<int64_t>(vlen);
               uint64_t ltag, llen;
@@ -168,6 +180,7 @@ int64_t FindFloatFeature(const uint8_t* buf, int64_t size,
                 if (!ReadVarint(buf, lend, &lp, &ltag)) return -1;
                 if ((ltag >> 3) == 1 && (ltag & 7) == 2) {  // packed
                   if (!ReadVarint(buf, lend, &lp, &llen)) return -1;
+                  if (llen > static_cast<uint64_t>(lend - lp)) return -1;
                   *out = reinterpret_cast<const float*>(buf + lp);
                   return static_cast<int64_t>(llen / 4);
                 }

@@ -383,9 +383,20 @@ def count_tfrecords(path: str) -> Tuple[int, bool]:
         return 0, True
     native = _native_scan(data, validate=True)
     if native is not None:
-        status, offsets, _ = native
+        status, offsets, lengths = native
         if status == 'ok':
-            return len(offsets), False
+            # Framing CRCs are validated natively; each payload must
+            # also parse as an Example (the reference parses every
+            # record, brain_data.py:947-953 Example.FromString).
+            mv = memoryview(data)
+            count = 0
+            try:
+                for off, length in zip(offsets, lengths):
+                    parse_example(mv[off:off + length])
+                    count += 1
+            except Exception:
+                return count, True
+            return count, False
         # Fall through to the python path to report the partial count.
     count = 0
     try:
@@ -438,7 +449,19 @@ def read_tfrecords(path: str,
             all_float = all(v.dtype == np.float32 for v in first.values())
             for name, value in first.items():
                 specs[name] = value.shape[0]
-            if all_float:
+            # The native reader takes its schema from record 0; a file
+            # whose later records carry extra/different features would
+            # silently lose them. Spot-check the last record and punt
+            # to the python path (which raises the detailed
+            # inconsistent-records error) on any mismatch.
+            schema_ok = True
+            if len(offsets) > 1:
+                last = parse_example(
+                    memoryview(data)[offsets[-1]:
+                                     offsets[-1] + lengths[-1]])
+                schema_ok = ({n: v.shape[0] for n, v in last.items()}
+                             == specs)
+            if all_float and schema_ok:
                 from telluride_decoding_tpu import _native
                 import ctypes
                 lib = _native.lib()
@@ -470,10 +493,16 @@ def read_tfrecords(path: str,
             if fields is not None and name not in fields:
                 continue
             rows.setdefault(name, []).append(value)
+    counts = {name: len(values) for name, values in rows.items()}
+    if len(set(counts.values())) > 1:
+        # A feature present in only SOME records stacks fine per
+        # feature but misaligns the streams — reject loudly.
+        raise ValueError(
+            '%s: inconsistent records (per-feature counts %s; a feature '
+            'is missing from some records).' % (path, counts))
     try:
         return {name: np.stack(values) for name, values in rows.items()}
     except ValueError as error:
-        counts = {name: len(values) for name, values in rows.items()}
         raise ValueError(
             '%s: inconsistent records (per-feature counts %s; a feature '
             'is missing from some records or changes width): %s' %

@@ -95,8 +95,14 @@ def read_edf(path: str) -> Dict[str, Any]:
         data = np.where(data >= (1 << 23), data - (1 << 24), data)
     else:
         data = np.frombuffer(raw, dtype='<i2', offset=header_bytes)
+    if record_len <= 0:
+        raise ValueError('%s: zero samples per record.' % path)
     if num_records < 0:  # Unknown length: infer from the file size.
         num_records = data.shape[0] // record_len
+    # Truncated recordings (interrupted acquisition) are common: read
+    # the complete records actually present rather than crashing on a
+    # header that promises more.
+    num_records = min(num_records, data.shape[0] // record_len)
     data = data[:num_records * record_len].reshape(num_records, record_len)
 
     signals: List[np.ndarray] = []
@@ -150,6 +156,39 @@ def _pad_ascii(text: str, width: int) -> bytes:
     return encoded + b' ' * (width - len(encoded))
 
 
+def _format_num8(v: float, direction: int = 0) -> str:
+    """<= 8-char decimal rendering for EDF numeric header fields.
+
+    '%g' can exceed 8 chars (e.g. -1.23457e+06 is 12); blindly
+    truncating such a rendering corrupts the value by orders of
+    magnitude on read-back, so precision is reduced until the string
+    fits. direction=-1 forces the result <= v and +1 forces >= v —
+    physical minima round DOWN and maxima UP so the written range
+    always CONTAINS the data (an inward-rounded bound silently clips
+    the signal's extremes).
+    """
+    if v == 0 or not math.isfinite(v):
+        if v == 0:
+            return '0'
+        raise ValueError('Cannot represent %r in an 8-char EDF field.'
+                         % v)
+    for prec in range(8, 0, -1):
+        if direction == 0:
+            cand = v
+        else:
+            scale = 10.0 ** (math.floor(math.log10(abs(v))) - prec + 1)
+            cand = (math.floor(v / scale) if direction < 0
+                    else math.ceil(v / scale)) * scale
+        s = '%.*g' % (prec, cand)
+        if len(s) > 8:
+            continue
+        f = float(s)
+        if direction == 0 or (direction < 0 and f <= v) or \
+                (direction > 0 and f >= v):
+            return s
+    raise ValueError('Cannot represent %r in an 8-char EDF field.' % v)
+
+
 def write_edf(path: str, signals: Sequence[np.ndarray],
               labels: Sequence[str], sample_rates: Sequence[float],
               record_duration: float = 1.0,
@@ -191,6 +230,16 @@ def write_edf(path: str, signals: Sequence[np.ndarray],
             hi = float(np.max(padded))
             if hi <= lo:
                 hi = lo + 1.0
+        # Quantize the bounds to their 8-char header rendering FIRST:
+        # the reader reconstructs with the parsed header values, so the
+        # digital scaling must use exactly what the header will say.
+        # Directed rounding (min down, max up) keeps the data inside
+        # the written range — nothing clips.
+        lo = float(_format_num8(lo, direction=-1)) if lo else 0.0
+        hi = float(_format_num8(hi, direction=1)) if hi else 0.0
+        if hi <= lo:
+            hi = float(_format_num8(lo + max(1.0, abs(lo) * 1e-3),
+                                    direction=1))
         gain = (hi - lo) / dig_range
         digital = np.round((padded - lo) / gain + dig_min)
         digital = np.clip(digital, dig_min, dig_max).astype(np.int32)
@@ -229,8 +278,8 @@ def write_edf(path: str, signals: Sequence[np.ndarray],
     out += column(labels, 16)
     out += column([''] * ns, 80)                      # transducer
     out += column(['uV'] * ns, 8)                     # dimension
-    out += column(['%g' % v for v in phys_mins], 8)
-    out += column(['%g' % v for v in phys_maxs], 8)
+    out += column([_format_num8(v) for v in phys_mins], 8)
+    out += column([_format_num8(v) for v in phys_maxs], 8)
     out += column([str(dig_min)] * ns, 8)
     out += column([str(dig_max)] * ns, 8)
     out += column([''] * ns, 80)                      # prefilter

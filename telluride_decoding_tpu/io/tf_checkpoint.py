@@ -58,8 +58,12 @@ def snappy_decompress(data: bytes) -> bytes:
             length = (tag >> 2) + 1
             offset = int.from_bytes(buf[pos:pos + 4], 'little')
             pos += 4
-        if offset == 0:
-            raise ValueError('snappy: zero copy offset')
+        if offset == 0 or offset > len(out):
+            # offset > len(out) would wrap negative under Python
+            # indexing and silently copy bytes from near the END of
+            # the output — corrupt data with no error.
+            raise ValueError('snappy: bad copy offset %d (have %d '
+                             'bytes)' % (offset, len(out)))
         start = len(out) - offset
         for i in range(length):                      # May self-overlap.
             out.append(out[start + i])
@@ -166,13 +170,24 @@ def _parse_bundle_entry(value: bytes) -> Dict:
                         dbuf = payload[spos:spos + dlen]
                         spos += dlen
                         dpos = 0
+                        dim_size = 0
                         while dpos < dlen:
                             dtag, dpos = _read_varint(dbuf, dpos)
                             if dtag >> 3 == 1 and dtag & 7 == 0:
-                                dval, dpos = _read_varint(dbuf, dpos)
-                                dims.append(dval)
+                                dim_size, dpos = _read_varint(dbuf,
+                                                              dpos)
+                            elif dtag & 7 == 2:
+                                # Skip other Dim fields (e.g. name,
+                                # field 2) instead of breaking — a
+                                # named Dim serialized before size
+                                # would otherwise drop the dimension.
+                                dskip, dpos = _read_varint(dbuf, dpos)
+                                dpos += dskip
+                            elif dtag & 7 == 0:
+                                _, dpos = _read_varint(dbuf, dpos)
                             else:
                                 break
+                        dims.append(dim_size)
                     else:
                         slen, spos = _read_varint(payload, spos)
                         spos += slen
