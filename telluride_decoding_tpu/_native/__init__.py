@@ -41,6 +41,9 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.tdt_read_feature.restype = i64
     lib.tdt_read_feature.argtypes = [u8p, i64p, i64p, i64,
                                      ctypes.c_char_p, f32p, i64]
+    lib.tdt_validate_examples.restype = i64
+    lib.tdt_validate_examples.argtypes = [u8p, i64p, i64p, i64, i64p,
+                                          i64p]
     lib.tdt_encoded_size.restype = i64
     lib.tdt_encoded_size.argtypes = [i64p, i64p, i64, i64]
     lib.tdt_encode_file.restype = i64

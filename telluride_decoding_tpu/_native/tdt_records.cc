@@ -201,6 +201,75 @@ int64_t FindFloatFeature(const uint8_t* buf, int64_t size,
   return 0;
 }
 
+// Validates one record's wire structure to the depth that
+// tf.train.Example.FromString parses (Example -> Features -> map
+// entry -> Feature -> value list), and summarizes its schema:
+// *nfeat = number of map entries, *keyhash = order-independent hash
+// of the entry keys (so renamed/extra/missing features change it).
+bool ValidateExample(const uint8_t* buf, int64_t size, int64_t* nfeat,
+                     int64_t* keyhash) {
+  *nfeat = 0;
+  *keyhash = 0;
+  int64_t pos = 0;
+  uint64_t tag, len;
+  while (pos < size) {
+    if (!ReadVarint(buf, size, &pos, &tag)) return false;
+    if ((tag >> 3) != 1 || (tag & 7) != 2) {
+      if (!SkipField(buf, size, &pos, tag)) return false;
+      continue;
+    }
+    if (!ReadVarint(buf, size, &pos, &len)) return false;
+    if (len > static_cast<uint64_t>(size - pos)) return false;
+    int64_t fend = pos + static_cast<int64_t>(len);
+    while (pos < fend) {                     // Features.feature
+      uint64_t etag, elen;
+      if (!ReadVarint(buf, fend, &pos, &etag)) return false;
+      if ((etag >> 3) != 1 || (etag & 7) != 2) {
+        if (!SkipField(buf, fend, &pos, etag)) return false;
+        continue;
+      }
+      if (!ReadVarint(buf, fend, &pos, &elen)) return false;
+      if (elen > static_cast<uint64_t>(fend - pos)) return false;
+      int64_t eend = pos + static_cast<int64_t>(elen);
+      ++*nfeat;
+      while (pos < eend) {                   // map entry fields
+        uint64_t mtag, mlen;
+        if (!ReadVarint(buf, eend, &pos, &mtag)) return false;
+        if ((mtag & 7) != 2) {
+          if (!SkipField(buf, eend, &pos, mtag)) return false;
+          continue;
+        }
+        if (!ReadVarint(buf, eend, &pos, &mlen)) return false;
+        if (mlen > static_cast<uint64_t>(eend - pos)) return false;
+        if ((mtag >> 3) == 1) {              // key: hash the bytes.
+          uint64_t h = 1469598103934665603ull;
+          for (uint64_t i = 0; i < mlen; ++i)
+            h = (h ^ buf[pos + i]) * 1099511628211ull;
+          *keyhash += static_cast<int64_t>(h & 0x7FFFFFFFFFFFFFFFull);
+        } else if ((mtag >> 3) == 2) {       // value: Feature message.
+          int64_t vp = pos;
+          int64_t vend = pos + static_cast<int64_t>(mlen);
+          while (vp < vend) {
+            uint64_t vtag, vlen;
+            if (!ReadVarint(buf, vend, &vp, &vtag)) return false;
+            if ((vtag & 7) == 2) {           // one of the value lists
+              if (!ReadVarint(buf, vend, &vp, &vlen)) return false;
+              if (vlen > static_cast<uint64_t>(vend - vp))
+                return false;
+              vp += static_cast<int64_t>(vlen);
+            } else if (!SkipField(buf, vend, &vp, vtag)) {
+              return false;
+            }
+          }
+        }
+        pos += static_cast<int64_t>(mlen);
+      }
+    }
+    pos = fend;
+  }
+  return true;
+}
+
 void AppendVarint(std::string* out, uint64_t value) {
   while (true) {
     uint8_t bits = value & 0x7F;
@@ -262,6 +331,20 @@ int64_t tdt_scan_records(const uint8_t* data, int64_t size, int validate,
     pos = payload + static_cast<int64_t>(len) + 4;
   }
   return count;
+}
+
+// Validates `num` records as parseable Examples and summarizes each
+// record's schema (feature count + key hash). Returns num on success
+// or the index of the first malformed record.
+int64_t tdt_validate_examples(const uint8_t* data, const int64_t* offsets,
+                              const int64_t* lengths, int64_t num,
+                              int64_t* nfeat, int64_t* keyhash) {
+  for (int64_t r = 0; r < num; ++r) {
+    if (!ValidateExample(data + offsets[r], lengths[r], &nfeat[r],
+                         &keyhash[r]))
+      return r;
+  }
+  return num;
 }
 
 // Decodes feature `name` from `num` records into out [num, width].

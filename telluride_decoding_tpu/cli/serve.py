@@ -269,10 +269,17 @@ def serve_lines(model_dir: str, in_stream, *,
         line = line.strip()
         if not line:
             continue
-        chunk = json.loads(line)
-        eeg = np.atleast_2d(np.asarray(chunk['eeg'], np.float32))
-        a1 = np.atleast_2d(np.asarray(chunk['audio1'], np.float32))
-        a2 = np.atleast_2d(np.asarray(chunk['audio2'], np.float32))
+        try:
+            chunk = json.loads(line)
+            eeg = np.atleast_2d(np.asarray(chunk['eeg'], np.float32))
+            a1 = np.atleast_2d(np.asarray(chunk['audio1'], np.float32))
+            a2 = np.atleast_2d(np.asarray(chunk['audio2'], np.float32))
+        except Exception as error:
+            # A live session must survive stray log lines / truncated
+            # chunks from the acquisition process: report and skip.
+            print('serve: skipping bad input line (%s): %.80s' %
+                  (error, line), file=sys.stderr)
+            continue
         if a1.shape[0] == 1 and eeg.shape[0] != 1:
             a1, a2 = a1.T, a2.T
         if server is None:

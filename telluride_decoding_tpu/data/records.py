@@ -373,6 +373,28 @@ def _native_scan(data: bytes, validate: bool = True):
     return 'ok', offsets, lengths
 
 
+def _native_validate(data: bytes, offsets: np.ndarray,
+                     lengths: np.ndarray
+                     ) -> Tuple[int, np.ndarray, np.ndarray]:
+    """C-side Example validation + per-record schema summary.
+
+    Returns (num_valid, feature_counts, key_hashes); num_valid equals
+    len(offsets) iff every record parses as an Example.
+    """
+    from telluride_decoding_tpu import _native
+    import ctypes
+    lib = _native.lib()
+    n = len(offsets)
+    nfeat = np.zeros(n, np.int64)
+    keyhash = np.zeros(n, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    ok = lib.tdt_validate_examples(
+        _data_ptr(data), offsets.ctypes.data_as(i64p),
+        lengths.ctypes.data_as(i64p), n,
+        nfeat.ctypes.data_as(i64p), keyhash.ctypes.data_as(i64p))
+    return int(ok), nfeat, keyhash
+
+
 def count_tfrecords(path: str) -> Tuple[int, bool]:
     """Counts records and reports corruption (reference
     brain_data.py:930-956 semantics: returns (count, error_found))."""
@@ -387,16 +409,12 @@ def count_tfrecords(path: str) -> Tuple[int, bool]:
         if status == 'ok':
             # Framing CRCs are validated natively; each payload must
             # also parse as an Example (the reference parses every
-            # record, brain_data.py:947-953 Example.FromString).
-            mv = memoryview(data)
-            count = 0
-            try:
-                for off, length in zip(offsets, lengths):
-                    parse_example(mv[off:off + length])
-                    count += 1
-            except Exception:
-                return count, True
-            return count, False
+            # record, brain_data.py:947-953 Example.FromString) —
+            # validated in C too, so a multimillion-record corpus
+            # never walks a Python per-record loop.
+            ok, _, _ = _native_validate(data, offsets, lengths)
+            return (int(ok), False) if ok == len(offsets) else \
+                (int(ok), True)
         # Fall through to the python path to report the partial count.
     count = 0
     try:
@@ -450,17 +468,16 @@ def read_tfrecords(path: str,
             for name, value in first.items():
                 specs[name] = value.shape[0]
             # The native reader takes its schema from record 0; a file
-            # whose later records carry extra/different features would
-            # silently lose them. Spot-check the last record and punt
-            # to the python path (which raises the detailed
-            # inconsistent-records error) on any mismatch.
-            schema_ok = True
-            if len(offsets) > 1:
-                last = parse_example(
-                    memoryview(data)[offsets[-1]:
-                                     offsets[-1] + lengths[-1]])
-                schema_ok = ({n: v.shape[0] for n, v in last.items()}
-                             == specs)
+            # whose OTHER records carry extra/renamed features would
+            # silently lose them. The C validator summarizes every
+            # record's schema (feature count + key hash); any record
+            # differing from record 0 punts to the python path, which
+            # raises the detailed inconsistent-records error.
+            ok, nfeat, keyhash = _native_validate(data, offsets,
+                                                  lengths)
+            schema_ok = (ok == len(offsets) and
+                         bool(np.all(nfeat == nfeat[0])) and
+                         bool(np.all(keyhash == keyhash[0])))
             if all_float and schema_ok:
                 from telluride_decoding_tpu import _native
                 import ctypes
@@ -494,13 +511,11 @@ def read_tfrecords(path: str,
                 continue
             rows.setdefault(name, []).append(value)
     counts = {name: len(values) for name, values in rows.items()}
-    if len(set(counts.values())) > 1:
-        # A feature present in only SOME records stacks fine per
-        # feature but misaligns the streams — reject loudly.
-        raise ValueError(
-            '%s: inconsistent records (per-feature counts %s; a feature '
-            'is missing from some records).' % (path, counts))
     try:
+        if len(set(counts.values())) > 1:
+            # A feature present in only SOME records stacks fine per
+            # feature but misaligns the streams — reject loudly.
+            raise ValueError('ragged per-feature row counts')
         return {name: np.stack(values) for name, values in rows.items()}
     except ValueError as error:
         raise ValueError(

@@ -113,15 +113,17 @@ def _time_sharded_lag_stack_fn(mesh: Mesh, axis: str, pre: int,
     def local(x_shard):
         idx = jax.lax.axis_index(axis)
         c = x_shard.shape[1]
-        if pre >= x_shard.shape[0] or post >= x_shard.shape[0]:
-            # Context wider than a shard would need frames from beyond
-            # the adjacent neighbor — a single-hop halo exchange cannot
-            # provide them, and the clamped slices below would silently
-            # repeat frames instead.
+        if pre > x_shard.shape[0] or post > x_shard.shape[0]:
+            # Context wider than one FULL neighbor shard would need
+            # frames from two hops away — a single-hop halo exchange
+            # cannot provide them, and the clamped slices below would
+            # silently repeat frames instead. (Context exactly equal
+            # to the shard size is fine: the whole neighbor IS the
+            # halo.)
             raise ValueError(
-                'pre/post context (%d/%d) must be smaller than the '
-                'per-shard frame count (%d); use fewer shards or '
-                'shorter context.' % (pre, post, x_shard.shape[0]))
+                'pre/post context (%d/%d) cannot exceed the per-shard '
+                'frame count (%d); use fewer shards or shorter '
+                'context.' % (pre, post, x_shard.shape[0]))
         # Halo from the left neighbor (its last `pre` frames).
         if pre:
             tail = x_shard[-pre:, :]

@@ -91,3 +91,12 @@ class TestTimeShardedLagStack:
         x = rng.randn(8 * 2, 3).astype(np.float32)  # 2 frames/shard.
         with pytest.raises(ValueError, match='per-shard frame count'):
             time_sharded_lag_stack(shard_frames(x, mesh), 3, 0, mesh)
+
+    def test_context_equal_to_shard_is_exact(self, rng, mesh):
+        """Context exactly one shard wide is reachable (the whole
+        neighbor IS the halo) and must stay bit-exact, not raise."""
+        x = rng.randn(8 * 3, 2).astype(np.float32)  # 3 frames/shard.
+        got = np.asarray(time_sharded_lag_stack(shard_frames(x, mesh),
+                                                3, 3, mesh))
+        np.testing.assert_allclose(got, lag_stack_np(x, 3, 3),
+                                   atol=1e-6)

@@ -87,6 +87,20 @@ class TestRecordsHardening:
         with pytest.raises(ValueError, match='inconsistent records'):
             records.read_tfrecords(path)
 
+    def test_read_extra_feature_in_middle_record_raises(self, rng,
+                                                        tmp_path):
+        """An extra feature present ONLY in middle records (first and
+        last agree) must still be caught — the C validator summarizes
+        every record's schema, not just the endpoints."""
+        a = records.encode_example({'x': rng.randn(3).astype(np.float32)})
+        mid = records.encode_example(
+            {'x': rng.randn(3).astype(np.float32),
+             'attend': rng.randn(1).astype(np.float32)})
+        path = str(tmp_path / 'middle.tfrecords')
+        _write_framed(path, [a, mid, mid, a])
+        with pytest.raises(ValueError, match='inconsistent records'):
+            records.read_tfrecords(path)
+
     def test_corrupt_embedded_lengths_do_not_crash(self, rng,
                                                    tmp_path):
         """Fuzz the native parser: corrupted payload bytes (framing

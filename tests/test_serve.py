@@ -200,3 +200,23 @@ class TestServeStream:
             assert g['attend_speaker1'] == w['attend_speaker1']
         emitted = [json.loads(l) for l in out.getvalue().splitlines()]
         assert len(emitted) == len(want)
+
+    def test_serve_lines_skips_bad_lines(self, tmp_path, rng, capsys):
+        """Stray log lines / truncated JSON from the acquisition
+        process must be skipped with a stderr note, not crash the
+        live session."""
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        n = 200
+        good = json.dumps({'eeg': eeg[:n].tolist(),
+                           'audio1': a1[:n].tolist(),
+                           'audio2': a2[:n].tolist()})
+        stream = io.StringIO('starting up...\n'
+                             '{"eeg": [[0.1,\n'      # Truncated JSON.
+                             '{"audio1": [1.0]}\n'   # Missing fields.
+                             + good + '\n')
+        got = serve.serve_lines(model_dir, stream, reduction='first',
+                                window_width=100, window_step=100)
+        assert len(got) == 2                  # 200 frames / 100.
+        err = capsys.readouterr().err
+        assert err.count('skipping bad input line') == 3
