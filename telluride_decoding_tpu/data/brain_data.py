@@ -531,6 +531,20 @@ class BrainDataset:
     def all_arrays(self):
         return self._in1, self._in2, self._out, self._attended
 
+    def iter_one_epoch(self):
+        """One epoch of minibatches regardless of repeat_count.
+
+        Consumers that materialize the stream (model fits) want the
+        corpus ONCE; iterating __iter__ directly would concatenate
+        repeat_count independently-shuffled copies.
+        """
+        saved = self._repeat_count
+        self._repeat_count = 1
+        try:
+            yield from self
+        finally:
+            self._repeat_count = saved
+
     @property
     def element_spec(self):
         return ({'input_1': self._in1.shape[1:],

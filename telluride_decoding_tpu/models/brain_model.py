@@ -43,9 +43,12 @@ def _dataset_arrays(dataset) -> Tuple[np.ndarray, np.ndarray,
     Accepts a BrainDataset (fast path: preassembled arrays) or any
     iterable of (input_dict, output) minibatches.
     """
-    if isinstance(dataset, BrainDataset) and \
-            not dataset.has_batch_transforms:
-        return dataset.all_arrays()
+    if isinstance(dataset, BrainDataset):
+        if not dataset.has_batch_transforms:
+            return dataset.all_arrays()
+        # Transforms must run, but only over ONE epoch — __iter__
+        # would concatenate repeat_count shuffled copies.
+        dataset = dataset.iter_one_epoch()
     xs, x2s, ys, ats = [], [], [], []
     for inputs, y in dataset:
         xs.append(np.asarray(inputs['input_1']))
@@ -57,6 +60,13 @@ def _dataset_arrays(dataset) -> Tuple[np.ndarray, np.ndarray,
         raise ValueError('Dataset produced no batches.')
     return (np.concatenate(xs), np.concatenate(x2s),
             np.concatenate(ys), np.concatenate(ats))
+
+
+def _flat_key(path) -> str:
+    """weights.npz key for one pytree leaf path (the serialization
+    scheme; save, restore, and summary must all agree on it)."""
+    return '/'.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
+                    for p in path)
 
 
 # Registry for load_model dispatch.
@@ -240,7 +250,7 @@ class BrainModel:
         if self.params is not None:
             for path, leaf in jax.tree_util.tree_leaves_with_path(
                     self.params):
-                name = '/'.join(str(p) for p in path)
+                name = _flat_key(path)  # Same names as weights.npz.
                 lines.append('  %s: %s' % (name, tuple(leaf.shape)))
                 total += int(np.prod(leaf.shape))
         lines.append('Total params: %d' % total)
@@ -257,9 +267,7 @@ class BrainModel:
         if self.params is not None:
             leaves = jax.tree_util.tree_leaves_with_path(self.params)
             for path, leaf in leaves:
-                key = '/'.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
-                               for p in path)
-                flat[key] = np.asarray(leaf)
+                flat[_flat_key(path)] = np.asarray(leaf)
         np.savez(os.path.join(model_dir, 'weights.npz'), **flat)
         meta = {
             'model_class': type(self).__name__,
@@ -281,8 +289,18 @@ class BrainModel:
         treedef = jax.tree_util.tree_structure(template)
         new_leaves = []
         for path, _ in leaves_with_path:
-            key = '/'.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
-                           for p in path)
+            key = _flat_key(path)
+            if key not in flat and key.startswith('layers/'):
+                # Pre-batchnorm DNN checkpoints stored the bare layer
+                # list ('0/w') before params grew the 'layers' dict.
+                legacy = key[len('layers/'):]
+                if legacy in flat:
+                    key = legacy
+            if key not in flat:
+                raise ValueError(
+                    'Checkpoint is missing weight %r (has %s); was it '
+                    'saved by an incompatible model config?' %
+                    (key, sorted(flat)))
             new_leaves.append(jnp.asarray(flat[key]))
         self.params = jax.tree_util.tree_unflatten(treedef, new_leaves)
 
@@ -415,9 +433,20 @@ class _SgdModel(BrainModel):
         raise NotImplementedError
 
     def fit(self, dataset, epochs: int = 1, batch_size: int = 512,
-            seed: int = 0, **kwargs) -> Dict[str, Any]:
+            seed: int = 0, _keep_arrays: bool = False,
+            **kwargs) -> Dict[str, Any]:
         in1, in2, out, _ = _dataset_arrays(dataset)
         n = in1.shape[0]
+        if n == 0:
+            raise ValueError('Dataset produced no batches.')
+        if _keep_arrays:
+            # Subclasses reuse the assembled arrays (e.g. the
+            # batchnorm population-stats pass, DCCA's final CCA solve)
+            # instead of re-materializing — and, for transform
+            # datasets, instead of drawing a DIFFERENT random
+            # realization than the one trained on. The consumer clears
+            # the attribute.
+            self._fit_arrays = (in1, in2, out)
         batch_size = min(batch_size, n)
         num_batches = max(n // batch_size, 1)
         lr = self._compiled.get('learning_rate', 1e-3)
@@ -429,32 +458,45 @@ class _SgdModel(BrainModel):
         x2 = jnp.asarray(in2)
         y = jnp.asarray(out)
 
-        def epoch_step(carry, key):
-            params, opt_state = carry
-            perm_key, drop_key = jax.random.split(key)
-            perm = jax.random.permutation(
-                perm_key, n)[:num_batches * batch_size]
-            perm = perm.reshape(num_batches, batch_size)
-            drop_keys = jax.random.split(drop_key, num_batches)
-
-            def batch_step(carry, batch):
-                idx, bkey = batch
+        def train_program(carry, keys, x1, x2, y):
+            def epoch_step(carry, key):
                 params, opt_state = carry
-                bi = {'input_1': x1[idx], 'input_2': x2[idx]}
-                loss, grads = jax.value_and_grad(self._loss_fn)(
-                    params, bi, y[idx], bkey)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
+                perm_key, drop_key = jax.random.split(key)
+                perm = jax.random.permutation(
+                    perm_key, n)[:num_batches * batch_size]
+                perm = perm.reshape(num_batches, batch_size)
+                drop_keys = jax.random.split(drop_key, num_batches)
 
-            (params, opt_state), losses = jax.lax.scan(
-                batch_step, (params, opt_state), (perm, drop_keys))
-            return (params, opt_state), jnp.mean(losses)
+                def batch_step(carry, batch):
+                    idx, bkey = batch
+                    params, opt_state = carry
+                    bi = {'input_1': x1[idx], 'input_2': x2[idx]}
+                    loss, grads = jax.value_and_grad(self._loss_fn)(
+                        params, bi, y[idx], bkey)
+                    updates, opt_state = opt.update(grads, opt_state,
+                                                    params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
 
+                (params, opt_state), losses = jax.lax.scan(
+                    batch_step, (params, opt_state), (perm, drop_keys))
+                return (params, opt_state), jnp.mean(losses)
+
+            return jax.lax.scan(epoch_step, carry, keys)
+
+        # Cache the compiled trainer per static configuration so a
+        # refit of the same instance/shapes does not recompile the
+        # whole multi-epoch program (remote compiles are seconds).
+        cache_key = ('trainer', n, batch_size, num_batches, lr,
+                     x1.shape, x2.shape, y.shape,
+                     self._compiled.get('loss'))
+        trainer = self._compiled.get(cache_key)
+        if trainer is None:
+            trainer = jax.jit(train_program)
+            self._compiled[cache_key] = trainer
         keys = jax.random.split(jax.random.PRNGKey(seed + 1), epochs)
-        (self.params, _), losses = jax.jit(
-            lambda c, k: jax.lax.scan(epoch_step, c, k))(
-                (self.params, opt_state), keys)
+        (self.params, _), losses = trainer(
+            (self.params, opt_state), keys, x1, x2, y)
         history = {'loss': [float(l) for l in np.asarray(losses)]}
         return history
 
@@ -562,8 +604,9 @@ class BrainModelDNN(_SgdModel):
         return (x, stats) if collect_stats else x
 
     def apply(self, params, input_dict):
-        if isinstance(params, list):  # Pre-batchnorm checkpoints.
-            params = {'layers': params}
+        # Pre-batchnorm checkpoints are remapped into the 'layers' dict
+        # at restore time (_restore_params), so params is always a dict
+        # here.
         return self._forward(params, input_dict['input_1'],
                              training=False)
 
@@ -577,11 +620,15 @@ class BrainModelDNN(_SgdModel):
     def fit(self, dataset, epochs: int = 1, batch_size: int = 512,
             seed: int = 0, **kwargs):
         history = super().fit(dataset, epochs=epochs,
-                              batch_size=batch_size, seed=seed, **kwargs)
+                              batch_size=batch_size, seed=seed,
+                              _keep_arrays=self._batch_norm, **kwargs)
         if self._batch_norm:
             # Population statistics for inference: one pass over the
-            # whole training set through the pre-activation taps.
-            in1, _, _, _ = _dataset_arrays(dataset)
+            # SAME assembled training arrays (no second
+            # materialization, and for transform datasets no second
+            # random realization).
+            in1, _, _ = self._fit_arrays
+            self._fit_arrays = None
 
             @jax.jit
             def population_stats(params, x):

@@ -84,9 +84,16 @@ class BrainModelCCA(BrainModel):
     def apply(self, params, input_dict):
         # Bias-folded rotations: (x - m) @ R = x @ R - m @ R keeps the
         # (large) input streaming through the MXU in its storage dtype
-        # instead of materializing a centered copy.
-        x1 = input_dict['input_1']
-        x2 = input_dict['input_2']
+        # instead of materializing a centered copy. "Storage dtype"
+        # means a FLOAT storage dtype (bf16/f32); integer inputs (raw
+        # int16 EDF samples) must promote — casting the rotation to an
+        # int dtype would truncate its coefficients to zero.
+        def prep(x):
+            x = jnp.asarray(x)
+            return x if jnp.issubdtype(x.dtype, jnp.floating) else \
+                x.astype(jnp.float32)
+        x1 = prep(input_dict['input_1'])
+        x2 = prep(input_dict['input_2'])
         r1 = jnp.dot(x1, params['rot1'].astype(x1.dtype),
                      preferred_element_type=jnp.float32) - \
             jnp.dot(params['mean1'], params['rot1'])
@@ -124,7 +131,6 @@ class BrainModelCCA(BrainModel):
         self.rot_y = np.asarray(solution.rot_y)
         self.mean_x = np.asarray(solution.mean_x)
         self.mean_y = np.asarray(solution.mean_y)
-        return {}
 
 
 @register_model
@@ -209,10 +215,12 @@ class BrainModelDCCA(_SgdModel):
     def fit(self, dataset, epochs: int = 20, batch_size: int = 1024,
             seed: int = 0, **kwargs):
         history = super().fit(dataset, epochs=epochs, batch_size=batch_size,
-                              seed=seed, **kwargs)
+                              seed=seed, _keep_arrays=True, **kwargs)
         # Solve the closed-form CCA on the trained tower outputs so the
-        # model emits canonical (whitened, ordered) dimensions.
-        in1, in2, _, _ = _dataset_arrays(dataset)
+        # model emits canonical (whitened, ordered) dimensions — on the
+        # SAME assembled arrays the towers trained on.
+        in1, in2, _ = self._fit_arrays
+        self._fit_arrays = None
         h1, h2 = jax.jit(self._towers)(
             self.params, {'input_1': jnp.asarray(in1),
                           'input_2': jnp.asarray(in2)})

@@ -70,6 +70,19 @@ def load_reference_saved_model(saved_model_dir: str) -> BrainModel:
                         'mean2': mean2.reshape(1, -1),
                         'rot1': rot1, 'rot2': rot2}
     elif kernel_key is not None:
+        # Exactly ONE dense kernel = the linear model. Multiple
+        # kernels means a DNN/classifier SavedModel — constructing a
+        # linear model from whichever kernel sorts first would serve
+        # silently wrong predictions, so refuse loudly.
+        kernels = [k for k in tensors
+                   if 'kernel' in k and 'OPTIMIZER_SLOT' not in k]
+        if len(kernels) > 1:
+            raise ValueError(
+                'Reference SavedModel has %d dense kernels (%s) — a '
+                'DNN/classifier model. Only the deterministic families '
+                '(linear regression, CCA) migrate; retrain DNNs '
+                'natively with cli.decoding.' %
+                (len(kernels), sorted(kernels)))
         kernel = tensors[kernel_key].astype(np.float32)
         bias_key = _find(tensors, ['bias'])
         bias = (tensors[bias_key].astype(np.float32).reshape(-1)
