@@ -11,15 +11,23 @@ yet, and avoids the ~50 s/compile remote-TPU round trips during tests.
 """
 
 import os
+import re
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+# Force the 8-device count even when the environment already carries a
+# different value (e.g. a developer's =1 debugging setting): the mesh
+# tests hard-require 8 and would otherwise fail confusingly.
+_flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                os.environ.get("XLA_FLAGS", ""))
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 8, (
+    "conftest expected 8 virtual CPU devices, got %d (platform %s) — "
+    "was JAX initialized before conftest ran?" %
+    (jax.device_count(), jax.devices()[0].platform))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -155,8 +155,12 @@ class TestRegressionData:
         assert data['top']['arr'].shape == (3,)
 
     def test_download_failure_is_graceful(self, tmp_path):
+        # file:// to a missing path exercises the same error handling
+        # hermetically (no DNS — hijacking resolvers can make bogus
+        # https hosts resolve, or hang without a timeout).
         out = regression_data.download_from_gdrive(
-            'https://invalid.invalid/file', str(tmp_path / 'out.bin'))
+            (tmp_path / 'does-not-exist.bin').as_uri(),
+            str(tmp_path / 'out.bin'))
         assert out is None
         assert not (tmp_path / 'out.bin').exists()
         assert not (tmp_path / 'out.bin.part').exists()

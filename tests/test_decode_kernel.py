@@ -34,8 +34,10 @@ class TestReferenceSemantics:
 
     def test_matches_bench_decode(self, rng):
         """The folded-params reference equals the unfolded bench math."""
+        import os
         import sys
-        sys.path.insert(0, '/root/repo')
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
         from bench import _decode_windows
         params = _params(rng)
         x1 = jnp.asarray(rng.randn(4, 50, 256), jnp.float32)

@@ -108,11 +108,5 @@ def test_dprime_known_values():
     assert abs(calculate_dprime(d1, d2) - 1.0) < 0.02
 
 
-def test_average_data():
-    from telluride_decoding_tpu.decode import average_data
-    data = np.arange(12, dtype=np.float32).reshape(6, 2)
-    out = average_data(data, 2)
-    np.testing.assert_allclose(out, [[1, 2], [5, 6], [9, 10]])
-    # window <= 1 is a passthrough
-    np.testing.assert_array_equal(average_data(data, 1), data)
-    np.testing.assert_array_equal(average_data(data, 0), data)
+# average_data is pinned in tests/test_infer_decoder.py (TestMetrics),
+# where the helper lives.

@@ -199,7 +199,7 @@ class TestManualFallbacks:
             self, tmp_path, monkeypatch):
         buf = self._capture(monkeypatch)
         obj = regression_data.RegressionDataJensImpaired()
-        ok = obj.download_data('https://invalid.invalid/x.tar',
+        ok = obj.download_data((tmp_path / 'missing-x.tar').as_uri(),
                                str(tmp_path / 'cache'))
         assert not ok
         assert 'tar xvf' in buf.getvalue()

@@ -27,9 +27,9 @@ def test_pearson_perfect_and_anticorrelated(rng):
     np.testing.assert_allclose(got, [1.0, -1.0], atol=1e-5)
 
 
-def test_pearson_zero_power_guard():
+def test_pearson_zero_power_guard(rng):
     x = np.zeros((100, 3), np.float32)
-    y = np.random.randn(100, 3).astype(np.float32)
+    y = rng.randn(100, 3).astype(np.float32)
     got = np.asarray(pearson_correlation(x, y))
     np.testing.assert_array_equal(got, np.zeros(3))
 

@@ -30,7 +30,6 @@ def test_single_test_file_sweep_not_nan(rng, tmp_path):
         output_field='intensity', post_context=0,
         test_metric='pearson_correlation_first'))
     obj = reg.RegressionLinear(my_flags)
-    obj.my_flags.post_context = 0
     bd = reg.get_brain_data_object(my_flags)
     test_file = bd.all_files()[0]
     results = obj.jackknife_over_regularizations(
@@ -72,11 +71,11 @@ def test_shuffle_seed_none_passes_through(rng, tmp_path):
     assert len(firsts) > 1  # Fresh randomness per instance.
 
 
-def test_shrinkage_lambda_validated():
+def test_shrinkage_lambda_validated(rng):
     from telluride_decoding_tpu.solvers.ridge import (
         calculate_linear_regressor_parameters)
-    x = np.random.randn(100, 3).astype(np.float32)
-    y = np.random.randn(100, 1).astype(np.float32)
+    x = rng.randn(100, 3).astype(np.float32)
+    y = rng.randn(100, 1).astype(np.float32)
     with pytest.raises(ValueError):
         calculate_linear_regressor_parameters(x, y, lamb=5.0,
                                               use_ridge=False)

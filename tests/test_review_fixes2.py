@@ -21,7 +21,8 @@ def test_bdf_roundtrip(rng, tmp_path):
 
 
 def test_ledoit_wolf_matches_sklearn(rng):
-    from sklearn.covariance import ledoit_wolf_shrinkage
+    ledoit_wolf_shrinkage = pytest.importorskip(
+        'sklearn.covariance').ledoit_wolf_shrinkage
     from telluride_decoding_tpu.solvers.ridge import (
         calculate_linear_regressor_parameters)
     x = (rng.randn(1500, 10) @ rng.randn(10, 10) * 0.3).astype(np.float32)

@@ -110,7 +110,8 @@ def test_ledoit_wolf_nonzero_mean_matches_sklearn(rng):
     covariance fed to the LW formula subtracted outer(mean, mean)/n
     instead of outer(mean, mean), so any nonzero mean blew up the
     dispersion term and shrinkage clipped to 0.)"""
-    from sklearn.covariance import ledoit_wolf_shrinkage
+    ledoit_wolf_shrinkage = pytest.importorskip(
+        'sklearn.covariance').ledoit_wolf_shrinkage
     x = (rng.randn(1500, 10) @ rng.randn(10, 10) * 0.3 +
          10.0 * rng.randn(10)).astype(np.float32)
     y = rng.randn(1500, 1).astype(np.float32)

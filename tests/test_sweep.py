@@ -206,7 +206,6 @@ class TestRegressionCli:
             output_field='intensity',
             test_metric='pearson_correlation_first'))
         obj = reg.RegressionLinear(my_flags)
-        obj.my_flags.post_context = 10
         results = obj.jackknife_over_regularizations(
             my_flags, [1e-4, 1e-1], summary_base_dir=str(tmp_path / 's'))
         assert len(results) == 2
