@@ -245,7 +245,12 @@ bool ValidateExample(const uint8_t* buf, int64_t size, int64_t* nfeat,
           uint64_t h = 1469598103934665603ull;
           for (uint64_t i = 0; i < mlen; ++i)
             h = (h ^ buf[pos + i]) * 1099511628211ull;
-          *keyhash += static_cast<int64_t>(h & 0x7FFFFFFFFFFFFFFFull);
+          // Accumulate in unsigned space: summing several 63-bit
+          // terms overflows int64_t (UB); uint64_t wrap is defined
+          // and the schema comparison only needs consistency.
+          *keyhash = static_cast<int64_t>(
+              static_cast<uint64_t>(*keyhash) +
+              (h & 0x7FFFFFFFFFFFFFFFull));
         } else if ((mtag >> 3) == 2) {       // value: Feature message.
           int64_t vp = pos;
           int64_t vend = pos + static_cast<int64_t>(mlen);

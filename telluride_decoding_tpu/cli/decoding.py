@@ -270,7 +270,31 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
     streaming_ok = (hasattr(test_brain_model, 'fit_streaming') and
                     not mismatch and
                     isinstance(test_brain_data, brain_data.TFExampleData))
-    if getattr(my_flags, 'streaming_fit', False) and streaming_ok:
+    want_streaming = getattr(my_flags, 'streaming_fit', False)
+    if streaming_ok and not want_streaming:
+        # Auto-select bounded memory: covariance-based fits never need
+        # the dense host concatenation (a pre+1+post blow-up, 37x at
+        # codelab width), so when the estimated lag-stacked corpus is
+        # large, stream it even without --streaming_fit. The result is
+        # value-identical (tests/test_streaming.py). Threshold
+        # override: TDT_STREAMING_AUTO_BYTES (0 disables).
+        auto_bytes = int(os.environ.get('TDT_STREAMING_AUTO_BYTES',
+                                        1 << 30))
+        if auto_bytes > 0:
+            try:
+                estimated = test_brain_data.estimated_stacked_bytes(
+                    'train')
+            except (OSError, ValueError, TypeError, KeyError):
+                estimated = 0
+            if estimated > auto_bytes:
+                logging.info(
+                    'Estimated lag-stacked train corpus ~%.1f GB > '
+                    '%.1f GB: auto-selecting the bounded-memory '
+                    'streaming fit (pass TDT_STREAMING_AUTO_BYTES=0 '
+                    'to disable).', estimated / 2**30,
+                    auto_bytes / 2**30)
+                want_streaming = True
+    if want_streaming and streaming_ok:
         # Bounded-memory path: per-file streamed covariance (the train
         # split is never concatenated on the host).
         train_results = test_brain_model.fit_streaming(test_brain_data,

@@ -124,6 +124,7 @@ class StreamingAttentionServer:
                  window_width: int = 100, window_step: int = 50,
                  decision: str = 'wta', frame_rate: float = 100.0):
         self._decoder = decoder
+        self.audio_channels = audio_channels
         params = decoder.decoding_model_params
         self._ctx_eeg = ContextBuffer(eeg_channels,
                                       int(params.get('pre_context', 0)),
@@ -255,9 +256,13 @@ def serve_lines(model_dir: str, in_stream, *,
 
     Each input line is one acquisition chunk:
       {"eeg": [[ch...], ...], "audio1": [[a], ...], "audio2": [[a], ...]}
-    (audio may also be a flat list). Decisions stream to out_stream as
-    they complete, one JSON object per line, flushed per chunk — so an
-    external acquisition process can drive the decoder with
+    A FLAT audio list is always mono frames ([N] -> [N, 1], never N
+    channels); 2-D audio is [frames, channels], transposed when only
+    the transpose matches the chunk's eeg frame count (and, after the
+    first chunk, the server's established channel count). Decisions
+    stream to out_stream as they complete, one JSON object per line,
+    flushed per chunk — so an external acquisition process can drive
+    the decoder with
       acquisition | tdt-serve --serve_model_dir M --serve_input -
     EOF ends the stream; returns all decisions.
     """
@@ -265,6 +270,23 @@ def serve_lines(model_dir: str, in_stream, *,
     decoder = load_model(model_dir, reduction)
     server = None
     decisions: List[Dict] = []
+
+    def orient_audio(raw, eeg_frames, known_channels):
+        a = np.asarray(raw, np.float32)
+        if a.ndim <= 1:
+            # Flat list = mono frames. (Previously a flat multi-sample
+            # list in a single-eeg-frame FIRST chunk was kept as [1, N]
+            # — N bogus channels — wedging every later chunk.)
+            return a.reshape(-1, 1)
+        if known_channels is not None:
+            if a.shape[1] != known_channels and \
+                    a.shape[0] == known_channels:
+                return a.T
+            return a
+        if a.shape[0] != eeg_frames and a.shape[1] == eeg_frames:
+            return a.T
+        return a
+
     for line in in_stream:
         line = line.strip()
         if not line:
@@ -272,16 +294,15 @@ def serve_lines(model_dir: str, in_stream, *,
         try:
             chunk = json.loads(line)
             eeg = np.atleast_2d(np.asarray(chunk['eeg'], np.float32))
-            a1 = np.atleast_2d(np.asarray(chunk['audio1'], np.float32))
-            a2 = np.atleast_2d(np.asarray(chunk['audio2'], np.float32))
+            known = None if server is None else server.audio_channels
+            a1 = orient_audio(chunk['audio1'], eeg.shape[0], known)
+            a2 = orient_audio(chunk['audio2'], eeg.shape[0], known)
         except Exception as error:
             # A live session must survive stray log lines / truncated
             # chunks from the acquisition process: report and skip.
             print('serve: skipping bad input line (%s): %.80s' %
                   (error, line), file=sys.stderr)
             continue
-        if a1.shape[0] == 1 and eeg.shape[0] != 1:
-            a1, a2 = a1.T, a2.T
         if server is None:
             server = StreamingAttentionServer(
                 decoder, eeg_channels=eeg.shape[1],

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import os
 import re
+from collections import OrderedDict
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -643,8 +644,30 @@ class TFExampleData(BrainData):
     """TFRecord-file dataset (reference TFExampleData,
     brain_data.py:645-927), decoded with the TF-free records module."""
 
-    # {filename: (mtime, arrays)} — invalidated when the file changes.
-    _file_cache: Dict[str, tuple] = {}
+    # {filename: (mtime, arrays, nbytes)} LRU, most-recent last —
+    # invalidated when the file changes, evicted by BYTE budget (a
+    # fixed entry count let 64 jens-scale decoded files pin multiple
+    # GB of host RAM per process forever). Budget override:
+    # TDT_FILE_CACHE_BYTES.
+    _file_cache: 'OrderedDict[str, tuple]' = OrderedDict()
+    _file_cache_bytes: int = 0
+    _FILE_CACHE_BUDGET = int(os.environ.get('TDT_FILE_CACHE_BYTES',
+                                            512 * 1024 * 1024))
+
+    @classmethod
+    def _cache_put(cls, filename: str, mtime: float, arrays) -> None:
+        nbytes = sum(a.nbytes for a in arrays.values())
+        if nbytes > cls._FILE_CACHE_BUDGET:
+            return   # One entry over budget would just thrash.
+        old = cls._file_cache.pop(filename, None)
+        if old is not None:
+            cls._file_cache_bytes -= old[2]
+        while (cls._file_cache and
+               cls._file_cache_bytes + nbytes > cls._FILE_CACHE_BUDGET):
+            _, (_, _, evicted) = cls._file_cache.popitem(last=False)
+            cls._file_cache_bytes -= evicted
+        cls._file_cache[filename] = (mtime, arrays, nbytes)
+        cls._file_cache_bytes += nbytes
 
     def _get_data_file_names(self):
         if not self.data_dir:
@@ -669,13 +692,34 @@ class TFExampleData(BrainData):
     def file_arrays(self, filename: str, cache: bool = True):
         mtime = os.path.getmtime(filename)
         cached = TFExampleData._file_cache.get(filename)
-        if cached is None or cached[0] != mtime:
-            arrays = records.read_tfrecords(filename)
-            if cache and (filename in TFExampleData._file_cache or
-                          len(TFExampleData._file_cache) < 64):
-                TFExampleData._file_cache[filename] = (mtime, arrays)
-            cached = (mtime, arrays)
-        return self._select_fields(cached[1])
+        if cached is not None and cached[0] == mtime:
+            TFExampleData._file_cache.move_to_end(filename)
+            return self._select_fields(cached[1])
+        arrays = records.read_tfrecords(filename)
+        if cache:
+            TFExampleData._cache_put(filename, mtime, arrays)
+        return self._select_fields(arrays)
+
+    def estimated_stacked_bytes(self, mode: str = 'train') -> int:
+        """Rough float32 size of this mode's lag-stacked corpus.
+
+        Frame counts come from file sizes alone (bytes / raw record
+        width — no decode, one stat per file); proto overhead makes
+        this a slight overestimate, which is the safe direction for
+        the caller's decision to stream instead of materializing. Used
+        to auto-route covariance fits through streaming_moments when
+        the dense host concatenation (a pre+1+post blow-up of the raw
+        data, 37x at codelab width) would strain host RAM.
+        """
+        raw_width = sum(int(np.prod(s.shape)) or 1
+                        for s in self.features.values())
+        stacked_width = (self.input_fields_width(1) +
+                         self.input_fields_width(2) +
+                         self.output_field_width() + 1)
+        total_bytes = sum(os.path.getsize(f)
+                          for f in self.filter_file_names(mode))
+        est_frames = total_bytes // max(raw_width * 4, 1)
+        return int(est_frames * stacked_width * 4)
 
 
 def create_brain_dataset(data_type: str, in_fields, out_field: str,

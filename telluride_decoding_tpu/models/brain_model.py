@@ -626,17 +626,21 @@ class BrainModelDNN(_SgdModel):
             # Population statistics for inference: one pass over the
             # SAME assembled training arrays (no second
             # materialization, and for transform datasets no second
-            # random realization).
-            in1, _, _ = self._fit_arrays
-            self._fit_arrays = None
+            # random realization). try/finally: a raise anywhere in
+            # the pass must not leave the full training corpus pinned
+            # on the instance.
+            try:
+                in1, _, _ = self._fit_arrays
 
-            @jax.jit
-            def population_stats(params, x):
-                _, stats = self._forward(params, x, training=True,
-                                         collect_stats=True)
-                return stats
+                @jax.jit
+                def population_stats(params, x):
+                    _, stats = self._forward(params, x, training=True,
+                                             collect_stats=True)
+                    return stats
 
-            stats = population_stats(self.params, jnp.asarray(in1))
+                stats = population_stats(self.params, jnp.asarray(in1))
+            finally:
+                self._fit_arrays = None
             bn = [dict(entry, mean=mean, var=var)
                   for entry, (mean, var) in zip(self.params['bn'], stats)]
             self.params = dict(self.params, bn=bn)

@@ -218,12 +218,16 @@ class BrainModelDCCA(_SgdModel):
                               seed=seed, _keep_arrays=True, **kwargs)
         # Solve the closed-form CCA on the trained tower outputs so the
         # model emits canonical (whitened, ordered) dimensions — on the
-        # SAME assembled arrays the towers trained on.
-        in1, in2, _ = self._fit_arrays
-        self._fit_arrays = None
-        h1, h2 = jax.jit(self._towers)(
-            self.params, {'input_1': jnp.asarray(in1),
-                          'input_2': jnp.asarray(in2)})
+        # SAME assembled arrays the towers trained on. try/finally: a
+        # raise in the tower pass must not leave the corpus pinned on
+        # the instance.
+        try:
+            in1, in2, _ = self._fit_arrays
+            h1, h2 = jax.jit(self._towers)(
+                self.params, {'input_1': jnp.asarray(in1),
+                              'input_2': jnp.asarray(in2)})
+        finally:
+            self._fit_arrays = None
         solution = cca_solver.calculate_cca_parameters(
             h1, h2, dim=self._cca_dims, regularization=self._reg)
         self.params = dict(self.params,

@@ -336,8 +336,33 @@ def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
             jnp.arange(num_files)), lambdas)
 
 
+def _mesh_file_padding(num_real: int, pad_files_to: Optional[int],
+                       mesh: Optional['jax.sharding.Mesh']
+                       ) -> Optional[int]:
+    """File-axis padding target that is shardable over the mesh.
+
+    Rounds the requested (or natural) file count up to a multiple of
+    the mesh's first-axis size so NON-DIVISIBLE cohorts still shard
+    (e.g. 22 files on 8 devices pad to 24 and run 3-per-device instead
+    of silently falling back to one device). Padding files are masked
+    to zero, contribute exact-zero statistics, and are sliced away
+    from the result.
+    """
+    target = max(num_real, pad_files_to or 0)
+    if mesh is not None:
+        shards = mesh.devices.shape[0]
+        target = -(-target // shards) * shards
+    return target if target > num_real else pad_files_to
+
+
 def _shard_over_mesh(arrays, mesh: Optional['jax.sharding.Mesh']):
-    """Shards padded per-file arrays over the mesh's first axis."""
+    """Shards padded per-file arrays over the mesh's first axis.
+
+    Callers pad the file axis to a mesh multiple via
+    _mesh_file_padding, so the divisibility fallback below should be
+    unreachable from the public sweep API; it stays as a loud safety
+    net rather than a silent single-device demotion.
+    """
     if mesh is None:
         return arrays
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -349,6 +374,12 @@ def _shard_over_mesh(arrays, mesh: Optional['jax.sharding.Mesh']):
                                                          (a.ndim - 1)))
             out.append(jax.device_put(a, NamedSharding(mesh, spec)))
         else:
+            import warnings
+            warnings.warn(
+                'sweep: file axis %d not divisible by mesh size %d; '
+                'running UNSHARDED (callers should pad via '
+                '_mesh_file_padding)' % (a.shape[0],
+                                         mesh.devices.shape[0]))
             out.append(a)
     return out
 
@@ -376,6 +407,7 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     """
     num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
+    pad_files_to = _mesh_file_padding(num_real, pad_files_to, mesh)
     per_file_x, per_file_y = _pad_files(per_file_x, per_file_y,
                                         pad_files_to)
     xs, masks = pad_and_stack(per_file_x, pad_frames_to)
@@ -416,6 +448,7 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     pair on the held-out file) over a regularization grid."""
     num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
+    pad_files_to = _mesh_file_padding(num_real, pad_files_to, mesh)
     per_file_x, per_file_y = _pad_files(per_file_x, per_file_y,
                                         pad_files_to)
     xs, masks = pad_and_stack(per_file_x, pad_frames_to)
@@ -439,11 +472,117 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                                       for i in range(num_real)])
 
 
+@functools.partial(jax.jit, static_argnames=('mesh', 'model', 'dims',
+                                             'use_ridge', 'force_eig'))
+def _subject_sweep_sharded(xs: jax.Array, ys: jax.Array,
+                           masks: jax.Array, lambdas: jax.Array,
+                           mesh: 'jax.sharding.Mesh', model: str,
+                           dims: int, use_ridge: bool,
+                           force_eig: bool) -> jax.Array:
+    """[S, L, F] correlations with the SUBJECT axis sharded over the
+    mesh.
+
+    Subjects share nothing (files never mix across subjects), so each
+    device runs its local subjects' whole jackknife x lambda grid with
+    zero collectives — the ICI cost is one result gather. shard_map
+    (not plain jit-with-sharded-inputs) pins this layout: the
+    per-subject programs run device-local instead of XLA speculating
+    cross-device gathers for the dynamic file indexing inside.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    axis = mesh.axis_names[0]
+
+    def per_shard(xs, ys, masks, lambdas):
+        def one(x, y, m):
+            stacked = _stacked_moments(x, y, m,
+                                       want_syy=(model == 'cca'))
+            total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
+            if model == 'cca':
+                if force_eig:
+                    return _cca_sweep_program(stacked, total, x, y, m,
+                                              lambdas, dims=dims)
+                return _cca_sweep_program_chol(stacked, total, x, y, m,
+                                               lambdas, dims=dims)
+            return _ridge_sweep_program(stacked, total, x, y, m,
+                                        lambdas, use_ridge=use_ridge,
+                                        force_eig=force_eig)
+        return jax.vmap(one)(xs, ys, masks)
+
+    return shard_map(per_shard, mesh=mesh,
+                     in_specs=(P(axis), P(axis), P(axis), P()),
+                     out_specs=P(axis))(xs, ys, masks, lambdas)
+
+
+def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
+                            use_ridge, pad_files_to, pad_frames_to):
+    """Runs the cohort in subject-sharded groups of mesh-size chunks.
+
+    Each group stacks ndev subjects' padded [F, N, D] data into a
+    [S, F, N, D] batch sharded over the mesh's first axis (device_put
+    of a host batch transfers only each device's shard). Groups reuse
+    ONE compiled program; the final group pads with zero dummy
+    subjects whose masks are zero and whose rows are sliced away.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ndev = mesh.devices.shape[0]
+    axis = mesh.axis_names[0]
+    lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
+    num_l = lambdas_arr.shape[0]
+
+    def subject_batch(group):
+        """[S, F, N, D] x2 + [S, F, N] masks for one group of subjects."""
+        bx, by, bm = [], [], []
+        for _, (xs_i, ys_i) in group:
+            ys_i = [_ensure_2d(y) for y in ys_i]
+            num_real = len(xs_i)
+            xs_i, ys_i = _pad_files(xs_i, ys_i, pad_files_to)
+            x_st, m_st = pad_and_stack(xs_i, pad_frames_to)
+            y_st, _ = pad_and_stack(ys_i, pad_frames_to)
+            m_st = m_st.at[num_real:].set(0.0)
+            bx.append(np.asarray(x_st))
+            by.append(np.asarray(y_st))
+            bm.append(np.asarray(m_st))
+        while len(bx) < ndev:   # Dummy subjects for the final group.
+            bx.append(np.zeros_like(bx[0]))
+            by.append(np.zeros_like(by[0]))
+            bm.append(np.zeros_like(bm[0]))
+        spec4 = NamedSharding(mesh, P(axis, None, None, None))
+        spec3 = NamedSharding(mesh, P(axis, None, None))
+        return (jax.device_put(np.stack(bx), spec4),
+                jax.device_put(np.stack(by), spec4),
+                jax.device_put(np.stack(bm), spec3))
+
+    results = {}
+    for start in range(0, len(items), ndev):
+        group = items[start:start + ndev]
+        xs, ys, masks = subject_batch(group)
+        corr = np.asarray(_subject_sweep_sharded(
+            xs, ys, masks, lambdas_arr, mesh, model, dims, use_ridge,
+            False))
+        finite = all(np.isfinite(corr[i, :, :len(g[1][0])]).all()
+                     for i, g in enumerate(group))
+        if not finite and (use_ridge or model == 'cca'):
+            # Rank-deficient covariance with lamb == 0 broke Cholesky;
+            # the eig programs zero degenerate directions instead.
+            corr = np.asarray(_subject_sweep_sharded(
+                xs, ys, masks, lambdas_arr, mesh, model, dims,
+                use_ridge, True))
+        for i, (name, (xs_i, _)) in enumerate(group):
+            num_real = len(xs_i)
+            results[name] = SweepResult(
+                corr[i, :num_l, :num_real],
+                np.asarray(lambdas),
+                ['file%d' % f for f in range(num_real)])
+    return results
+
+
 def multi_subject_sweep(subjects, lambdas: Sequence[float],
                         model: str = 'ridge', dims: int = 5,
                         mesh: Optional['jax.sharding.Mesh'] = None,
                         use_ridge: bool = True,
-                        shared_shapes: bool = True):
+                        shared_shapes: bool = True,
+                        subject_parallel: bool = False):
     """Per-subject jackknife x lambda grids for a whole cohort.
 
     ``subjects`` maps subject name -> (per_file_x, per_file_y). Each
@@ -454,6 +593,13 @@ def multi_subject_sweep(subjects, lambdas: Sequence[float],
     sweep program exactly ONCE; a 22-subject x 40-trial x 9-lambda
     cohort (the codelab's full experiment, ~8k model fits) runs in
     seconds. Returns {subject: SweepResult} (padding sliced away).
+
+    With subject_parallel and a multi-device mesh, the SUBJECT axis is
+    sharded over the mesh (groups of ndev subjects run concurrently,
+    one per device, zero collectives) — the right layout when HBM fits
+    ndev subjects at once. Without it, subjects run serially and the
+    mesh (if any) shards each subject's FILE axis instead — the right
+    layout when one subject's data strains HBM.
     """
     items = (list(subjects.items()) if hasattr(subjects, 'items')
              else list(subjects))
@@ -462,6 +608,16 @@ def multi_subject_sweep(subjects, lambdas: Sequence[float],
         pad_files_to = max(len(xs) for _, (xs, _) in items)
         pad_frames_to = max(x.shape[0] for _, (xs, _) in items
                             for x in xs)
+    if (subject_parallel and mesh is not None
+            and mesh.devices.shape[0] > 1):
+        pad_files_to = pad_files_to or max(len(xs)
+                                           for _, (xs, _) in items)
+        pad_frames_to = pad_frames_to or max(x.shape[0]
+                                             for _, (xs, _) in items
+                                             for x in xs)
+        return _subject_parallel_sweep(items, lambdas, model, dims,
+                                       mesh, use_ridge, pad_files_to,
+                                       pad_frames_to)
     results = {}
     for name, (xs, ys) in items:
         if model == 'cca':

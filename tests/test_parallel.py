@@ -100,3 +100,118 @@ class TestTimeShardedLagStack:
                                                 3, 3, mesh))
         np.testing.assert_allclose(got, lag_stack_np(x, 3, 3),
                                    atol=1e-6)
+
+
+class TestNonDivisibleFileSharding:
+    """22 files on 8 devices must PAD to 24 and shard — not silently
+    fall back to one device (round-2 review finding)."""
+
+    def test_pad_target_rounds_up_to_mesh_multiple(self, mesh):
+        from telluride_decoding_tpu.sweep.engine import _mesh_file_padding
+        assert _mesh_file_padding(22, None, mesh) == 24
+        assert _mesh_file_padding(16, None, mesh) is None  # Divisible.
+        assert _mesh_file_padding(22, 30, mesh) == 32      # Respects floor.
+        assert _mesh_file_padding(22, None, None) is None  # No mesh.
+
+    def test_arrays_carry_named_sharding_over_file_axis(self, rng, mesh):
+        from jax.sharding import NamedSharding
+        from telluride_decoding_tpu.sweep.engine import (
+            _mesh_file_padding, _pad_files, _shard_over_mesh,
+            pad_and_stack)
+        from telluride_decoding_tpu.parallel import create_mesh
+        file_mesh = create_mesh(('file',))
+        xs = [rng.randn(40, 3).astype(np.float32) for _ in range(22)]
+        ys = [x @ rng.randn(3, 1).astype(np.float32) for x in xs]
+        pad_to = _mesh_file_padding(len(xs), None, file_mesh)
+        xs_p, ys_p = _pad_files(xs, ys, pad_to)
+        stacked, masks = pad_and_stack(xs_p)
+        arrays = _shard_over_mesh([stacked, masks], file_mesh)
+        for a in arrays:
+            assert a.shape[0] == 24
+            assert isinstance(a.sharding, NamedSharding)
+            assert a.sharding.spec[0] == 'file'
+
+    def test_22_files_sharded_equals_unsharded(self, rng, mesh):
+        import warnings
+        from telluride_decoding_tpu.parallel import create_mesh
+        from telluride_decoding_tpu.sweep.engine import (
+            ridge_jackknife_sweep)
+        file_mesh = create_mesh(('file',))
+        w = rng.randn(4, 1).astype(np.float32)
+        xs = [rng.randn(60 + 3 * i, 4).astype(np.float32)
+              for i in range(22)]
+        ys = [x @ w + 0.1 * rng.randn(x.shape[0], 1).astype(np.float32)
+              for x in xs]
+        single = ridge_jackknife_sweep(xs, ys, [1e-4, 1.0], mesh=None)
+        with warnings.catch_warnings():
+            # The unsharded-fallback warning firing here would mean the
+            # padding did NOT make the file axis divisible.
+            warnings.simplefilter('error')
+            sharded = ridge_jackknife_sweep(xs, ys, [1e-4, 1.0],
+                                            mesh=file_mesh)
+        assert sharded.correlations.shape == (2, 22)
+        np.testing.assert_allclose(sharded.correlations,
+                                   single.correlations, atol=1e-4)
+
+
+class TestSubjectParallelCohort:
+    """The cohort's subject axis sharded over the mesh (zero
+    collectives; each device runs its local subjects' full grid)."""
+
+    def _cohort(self, rng, num_subjects):
+        subjects = {}
+        for s in range(num_subjects):
+            w = rng.randn(4, 1).astype(np.float32)
+            xs = [rng.randn(50 + 5 * (s % 3), 4).astype(np.float32)
+                  for _ in range(3 + s % 2)]   # Ragged files too.
+            ys = [x @ w + 0.1 * rng.randn(x.shape[0], 1)
+                  .astype(np.float32) for x in xs]
+            subjects['subj%02d' % s] = (xs, ys)
+        return subjects
+
+    @pytest.mark.parametrize('num_subjects', [8, 11])
+    def test_matches_serial(self, rng, num_subjects):
+        from telluride_decoding_tpu.parallel import create_mesh
+        from telluride_decoding_tpu.sweep.engine import multi_subject_sweep
+        subj_mesh = create_mesh(('subject',))
+        subjects = self._cohort(rng, num_subjects)
+        serial = multi_subject_sweep(subjects, [1e-4, 1e-1])
+        par = multi_subject_sweep(subjects, [1e-4, 1e-1],
+                                  mesh=subj_mesh, subject_parallel=True)
+        assert set(par) == set(serial)
+        for name in subjects:
+            assert par[name].correlations.shape == \
+                serial[name].correlations.shape
+            np.testing.assert_allclose(par[name].correlations,
+                                       serial[name].correlations,
+                                       atol=2e-4)
+
+    def test_cca_matches_serial(self, rng):
+        from telluride_decoding_tpu.parallel import create_mesh
+        from telluride_decoding_tpu.sweep.engine import multi_subject_sweep
+        subj_mesh = create_mesh(('subject',))
+        subjects = {}
+        latent_w = rng.randn(2, 2).astype(np.float32)
+        for s in range(5):
+            xs, ys = [], []
+            for i in range(3):
+                n = 200 + 11 * i + 7 * s
+                latent = rng.randn(n, 2).astype(np.float32)
+                x = np.concatenate(
+                    [latent + 0.2 * rng.randn(n, 2), rng.randn(n, 3)],
+                    axis=1).astype(np.float32)
+                y = np.concatenate(
+                    [latent @ latent_w + 0.2 * rng.randn(n, 2),
+                     rng.randn(n, 1)], axis=1).astype(np.float32)
+                xs.append(x)
+                ys.append(y)
+            subjects['subj%d' % s] = (xs, ys)
+        serial = multi_subject_sweep(subjects, [1e-2, 1.0], model='cca',
+                                     dims=2)
+        par = multi_subject_sweep(subjects, [1e-2, 1.0], model='cca',
+                                  dims=2, mesh=subj_mesh,
+                                  subject_parallel=True)
+        for name in subjects:
+            np.testing.assert_allclose(par[name].correlations,
+                                       serial[name].correlations,
+                                       atol=2e-4)
