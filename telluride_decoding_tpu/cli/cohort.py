@@ -1,0 +1,183 @@
+"""Whole-cohort jackknife x regularization sweeps in one command.
+
+The reference codelab runs its cross-subject analysis as DAYS of
+shell-fanned per-subject jobs and joins results.txt files afterwards
+(reference doc/DecodingCodelab.md:353-521; regression.py:327-420 is
+one subject's sweep). This driver is the TPU-native replacement: every
+subject's leave-one-trial-out x lambda grid runs through the sweep
+engine (sweep/engine.py) — per-trial sufficient statistics computed
+once, leave-one-out by subtraction, the whole grid one compiled
+program — and, on a multi-device mesh, the SUBJECT axis shards across
+devices (groups of n-devices subjects run concurrently, zero
+collectives).
+
+Usage:
+  tdt-cohort --cohort_dir /data/ingested \
+      --input_field eeg --output_field intensity --post_context 24 \
+      --regularization_list 1e-6,1e-4,1e-2,1,10 \
+      --cohort_csv_file /tmp/cohort.csv
+
+``--cohort_dir`` holds one subdirectory of TFRecords per subject
+(exactly what cli.regression_data produces for the multi-subject
+corpora). Per-subject CSVs (reference csv_util format), a cohort
+summary CSV (lambda, mean, std over all held-out trials), and an
+optional mean+/-std plot are written.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+from absl import app
+from absl import flags
+from absl import logging
+import numpy as np
+
+from telluride_decoding_tpu.cli import decoding
+from telluride_decoding_tpu.cli import regression
+from telluride_decoding_tpu.data import brain_data
+from telluride_decoding_tpu.sweep import engine
+
+FLAGS = flags.FLAGS
+
+
+def define_flags():
+    if 'cohort_dir' in FLAGS:
+        return
+    flags.DEFINE_string('cohort_dir', None,
+                        'Directory with one subdirectory of TFRecord '
+                        'files per subject.')
+    flags.DEFINE_multi_string('subject_dir', [],
+                              'Explicit per-subject TFRecord dirs '
+                              '(alternative to --cohort_dir).')
+    flags.DEFINE_string('cohort_csv_file', None,
+                        'Where to write the cohort summary CSV '
+                        '(lambda, mean, std over all held-out trials).')
+    flags.DEFINE_string('cohort_plot_file', None,
+                        'Optional mean+/-std png of the cohort curve.')
+    flags.DEFINE_bool('subject_parallel', True,
+                      'Shard the subject axis over the device mesh '
+                      '(falls back to serial on one device).')
+
+
+def discover_subjects(cohort_dir: Optional[str],
+                      subject_dirs: List[str]) -> Dict[str, str]:
+    """{subject_name: tfrecord_dir} from either flag."""
+    found = {}
+    for d in subject_dirs:
+        found[os.path.basename(os.path.normpath(d))] = d
+    if cohort_dir:
+        for name in sorted(os.listdir(cohort_dir)):
+            path = os.path.join(cohort_dir, name)
+            if os.path.isdir(path):
+                found.setdefault(name, path)
+    if not found:
+        raise ValueError('No subjects: pass --cohort_dir with per-'
+                         'subject subdirectories or --subject_dir.')
+    return found
+
+
+def load_cohort(subjects: Dict[str, str], my_flags
+                ) -> Dict[str, Tuple[list, list]]:
+    """Loads every subject's per-trial lag-stacked (x, y) arrays.
+
+    Reuses the regression driver's data path (same fields, contexts,
+    and CCA-vs-ridge stream selection as a single-subject sweep).
+    """
+    import dataclasses
+    cohort = {}
+    for name, data_dir in subjects.items():
+        sub_flags = dataclasses.replace(my_flags,
+                                        tfexample_dir=data_dir)
+        bd = regression.get_brain_data_object(sub_flags)
+        files = sorted(bd.all_files())
+        helper = regression.Regression(sub_flags)
+        xs, ys = helper._per_file_arrays(bd, files)
+        cohort[name] = (xs, ys)
+        logging.info('subject %s: %d trials from %s', name, len(files),
+                     data_dir)
+    return cohort
+
+
+def write_cohort_csv(path: str, lambdas, mean, std):
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    with open(path, 'w') as f:
+        f.write('lambda,mean,std\n')
+        for lamb, m, s in zip(lambdas, mean, std):
+            f.write('%g,%g,%g\n' % (lamb, m, s))
+
+
+def run_cohort_sweep(my_flags, subjects: Dict[str, str],
+                     regularization_list,
+                     subject_parallel: bool = True,
+                     cohort_csv_file: Optional[str] = None,
+                     cohort_plot_file: Optional[str] = None,
+                     results_csv_file: Optional[str] = None):
+    """The whole cohort's sweep; returns ({subject: SweepResult},
+    (mean, std) per lambda)."""
+    cohort = load_cohort(subjects, my_flags)
+    mesh = engine.default_mesh('subject')
+    model = ('cca' if my_flags.dnn_regressor == 'cca' else 'ridge')
+    results = engine.multi_subject_sweep(
+        cohort, regularization_list, model=model,
+        dims=my_flags.cca_dimensions, mesh=mesh,
+        subject_parallel=subject_parallel)
+    mean, std = engine.cohort_summary(results)
+    if results_csv_file:
+        # Per-subject rows in the reference csv_util layout
+        # (lambda, then per-held-out-trial correlations).
+        from telluride_decoding_tpu.utils import csv_util
+        for name, res in results.items():
+            base, ext = os.path.splitext(results_csv_file)
+            csv_util.write_results(
+                '%s_%s%s' % (base, name, ext or '.csv'),
+                list(res.lambdas), res.correlations)
+    if cohort_csv_file:
+        write_cohort_csv(cohort_csv_file,
+                         np.asarray(regularization_list, np.float64),
+                         mean, std)
+    if cohort_plot_file:
+        from telluride_decoding_tpu.utils import plot_util
+        os.makedirs(os.path.dirname(cohort_plot_file) or '.',
+                    exist_ok=True)
+        plot_util.plot_mean_std(
+            'cohort (%d subjects)' % len(results),
+            np.asarray(regularization_list, np.float64), mean, std,
+            png_file_name=cohort_plot_file)
+    return results, (mean, std)
+
+
+def main(argv):
+    if len(argv) > 1:
+        logging.warning('WARNING: Non-flag arguments: %s', argv)
+    my_flags = decoding.DecodingOptions().set_flags(FLAGS)
+    subjects = discover_subjects(FLAGS.cohort_dir, FLAGS.subject_dir)
+    regularization_list = regression.parse_regularization_values(
+        FLAGS.regularization_list)
+    results, (mean, std) = run_cohort_sweep(
+        my_flags, subjects, regularization_list,
+        subject_parallel=FLAGS.subject_parallel,
+        cohort_csv_file=FLAGS.cohort_csv_file,
+        cohort_plot_file=FLAGS.cohort_plot_file,
+        results_csv_file=FLAGS.results_csv_file)
+    best = int(np.argmax(mean))
+    print('Cohort sweep over %d subjects, %d lambdas:' %
+          (len(results), len(mean)))
+    for lamb, m, s in zip(regularization_list, mean, std):
+        marker = '  <-- best' if float(
+            np.asarray(regularization_list)[best]) == float(lamb) else ''
+        print('  lambda %10.4g  r = %.4f +/- %.4f%s' %
+              (float(lamb), float(m), float(s), marker))
+
+
+regression.define_flags()
+define_flags()
+
+
+def app_main():
+    app.run(main)
+
+
+if __name__ == '__main__':
+    app_main()

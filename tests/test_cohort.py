@@ -1,0 +1,112 @@
+"""Cohort driver: whole-cohort jackknife x lambda sweeps in one
+command, subject axis sharded over the mesh (the reference runs this
+as days of per-subject shell jobs, doc/DecodingCodelab.md:353-521)."""
+
+import csv
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from telluride_decoding_tpu.data import records
+
+
+def _write_cohort(tmp_path, rng, num_subjects=3, trials=3, n=400,
+                  channels=4):
+    root = tmp_path / 'cohort'
+    w = rng.randn(channels * 5, 1).astype(np.float32)  # post_context=4.
+    for s in range(num_subjects):
+        d = root / ('subject%02d' % s)
+        d.mkdir(parents=True)
+        for t in range(trials):
+            frames = n + 13 * t + 7 * s   # Ragged.
+            eeg = rng.randn(frames, channels).astype(np.float32)
+            from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+            intensity = (lag_stack_np(eeg, 0, 4) @ w +
+                         0.05 * rng.randn(frames, 1).astype(np.float32))
+            records.convert_data_to_tfrecords(
+                {'eeg': eeg, 'intensity': intensity.astype(np.float32)},
+                str(d / ('trial%02d.tfrecords' % t)))
+    return str(root)
+
+
+class TestCohortDriver:
+
+    def test_discover_subjects(self, tmp_path, rng):
+        from telluride_decoding_tpu.cli import cohort
+        root = _write_cohort(tmp_path, rng)
+        found = cohort.discover_subjects(root, [])
+        assert sorted(found) == ['subject00', 'subject01', 'subject02']
+        explicit = cohort.discover_subjects(
+            None, [os.path.join(root, 'subject01')])
+        assert list(explicit) == ['subject01']
+        with pytest.raises(ValueError):
+            cohort.discover_subjects(None, [])
+
+    def test_cohort_sweep_api(self, tmp_path, rng):
+        from telluride_decoding_tpu.cli import cohort, decoding
+        root = _write_cohort(tmp_path, rng)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4, dnn_regressor='linear',
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        lambdas = [1e-5, 1e-2, 10.0]
+        results, (mean, std) = cohort.run_cohort_sweep(
+            my_flags, cohort.discover_subjects(root, []), lambdas,
+            cohort_csv_file=str(tmp_path / 'cohort.csv'),
+            results_csv_file=str(tmp_path / 'per_subject.csv'))
+        assert len(results) == 3
+        for res in results.values():
+            assert res.correlations.shape == (3, 3)
+        # Planted model: small lambdas recover it on every subject.
+        assert np.all(mean[:2] > 0.97), mean
+        assert mean[2] < mean[0]          # Over-regularized tail.
+        rows = list(csv.reader(open(tmp_path / 'cohort.csv')))
+        assert rows[0] == ['lambda', 'mean', 'std']
+        assert len(rows) == 4
+        per_subj = [f for f in os.listdir(tmp_path)
+                    if f.startswith('per_subject_')]
+        assert len(per_subj) == 3
+
+    def test_subject_parallel_matches_serial(self, tmp_path, rng):
+        from telluride_decoding_tpu.cli import cohort, decoding
+        root = _write_cohort(tmp_path, rng, num_subjects=5)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4, dnn_regressor='linear',
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        subjects = cohort.discover_subjects(root, [])
+        serial, (mean_s, _) = cohort.run_cohort_sweep(
+            my_flags, subjects, [1e-4, 1.0], subject_parallel=False)
+        par, (mean_p, _) = cohort.run_cohort_sweep(
+            my_flags, subjects, [1e-4, 1.0], subject_parallel=True)
+        for name in serial:
+            np.testing.assert_allclose(par[name].correlations,
+                                       serial[name].correlations,
+                                       atol=2e-4)
+        np.testing.assert_allclose(mean_p, mean_s, atol=2e-4)
+
+    def test_cli_main(self, tmp_path, rng):
+        """The installed entry point end to end (flags -> summary)."""
+        root = _write_cohort(tmp_path, rng, num_subjects=2)
+        repo = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS='',
+                   JAX_PLATFORMS='cpu',
+                   PYTHONPATH=repo + os.pathsep + os.environ.get(
+                       'PYTHONPATH', ''))
+        env.pop('XLA_FLAGS', None)
+        proc = subprocess.run(
+            [sys.executable, '-m', 'telluride_decoding_tpu.cli.cohort',
+             '--cohort_dir', root,
+             '--input_field', 'eeg', '--output_field', 'intensity',
+             '--post_context', '4',
+             '--regularization_list', '1e-5,1e-2',
+             '--cohort_csv_file', str(tmp_path / 'c.csv')],
+            env=env, capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert 'Cohort sweep over 2 subjects' in proc.stdout
+        assert 'best' in proc.stdout
+        assert os.path.exists(tmp_path / 'c.csv')

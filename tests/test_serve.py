@@ -220,3 +220,57 @@ class TestServeStream:
         assert len(got) == 2                  # 200 frames / 100.
         err = capsys.readouterr().err
         assert err.count('skipping bad input line') == 3
+
+    def test_serve_lines_flat_audio_single_frame_first_chunk(
+            self, tmp_path, rng):
+        """A FIRST chunk with one eeg frame and flat audio lists must
+        not mint bogus audio channels (review finding: [1, N] flat
+        audio used to set audio_channels=N and wedge the session).
+        Flat lists are mono frames by protocol."""
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng, pre=0,
+                                            post=0)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        want = serve.serve_stream(
+            model_dir, eeg, a1, a2, chunk_size=50, reduction='first',
+            decision='wta', window_width=100, window_step=100)
+        # Single-frame first chunk, then flat-list chunks of 50.
+        lines = [json.dumps({'eeg': eeg[:1].tolist(),
+                             'audio1': a1[:1, 0].tolist(),   # Flat [1]
+                             'audio2': a2[:1, 0].tolist()})]
+        for start in range(1, eeg.shape[0], 50):
+            sl = slice(start, start + 50)
+            lines.append(json.dumps({'eeg': eeg[sl].tolist(),
+                                     'audio1': a1[sl, 0].tolist(),
+                                     'audio2': a2[sl, 0].tolist()}))
+        got = serve.serve_lines(
+            model_dir, io.StringIO('\n'.join(lines) + '\n'),
+            reduction='first', decision='wta', window_width=100,
+            window_step=100)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g['score1'] == pytest.approx(w['score1'], abs=1e-5)
+
+    def test_serve_lines_channel_major_audio_reoriented(
+            self, tmp_path, rng):
+        """2-D audio arriving [channels, frames] (channel-major) is
+        transposed to match the chunk's eeg frame count."""
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng, pre=0,
+                                            post=0)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        want = serve.serve_stream(
+            model_dir, eeg, a1, a2, chunk_size=40, reduction='first',
+            decision='wta', window_width=100, window_step=100)
+        lines = []
+        for start in range(0, eeg.shape[0], 40):
+            sl = slice(start, start + 40)
+            lines.append(json.dumps({
+                'eeg': eeg[sl].tolist(),
+                'audio1': a1[sl].T.tolist(),     # [1, frames].
+                'audio2': a2[sl].T.tolist()}))
+        got = serve.serve_lines(
+            model_dir, io.StringIO('\n'.join(lines) + '\n'),
+            reduction='first', decision='wta', window_width=100,
+            window_step=100)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g['score1'] == pytest.approx(w['score1'], abs=1e-5)
