@@ -151,6 +151,9 @@ def run_cohort_sweep(my_flags, subjects: Dict[str, str],
 def main(argv):
     if len(argv) > 1:
         logging.warning('WARNING: Non-flag arguments: %s', argv)
+    from telluride_decoding_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
     my_flags = decoding.DecodingOptions().set_flags(FLAGS)
     subjects = discover_subjects(FLAGS.cohort_dir, FLAGS.subject_dir)
     regularization_list = regression.parse_regularization_values(

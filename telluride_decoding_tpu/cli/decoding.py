@@ -495,6 +495,9 @@ def run_decoding_experiment(my_flags: DecodingOptions
 def main(argv):
     if len(argv) > 1:
         raise app.UsageError('Too many command-line arguments: %s.' % argv)
+    from telluride_decoding_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
     my_flags = DecodingOptions().set_flags(FLAGS)
     run_decoding_experiment(my_flags)
 

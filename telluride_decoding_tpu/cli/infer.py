@@ -304,6 +304,9 @@ def run_comparison_test(model_dir: str, tf_dir: str, train_files,
 def main(argv):
     if len(argv) > 1:
         raise app.UsageError('Too many command-line arguments: %s.' % argv)
+    from telluride_decoding_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
     if FLAGS.tf_dir and not os.path.exists(FLAGS.tf_dir):
         raise app.UsageError('Can not find tf_dir: %s' % FLAGS.tf_dir)
     if not FLAGS.model_dir or not os.path.exists(FLAGS.model_dir):

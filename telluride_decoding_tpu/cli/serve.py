@@ -367,6 +367,9 @@ def _selftest(out_stream) -> None:
 def main(argv):
     if len(argv) > 1:
         raise app.UsageError('Too many command-line arguments: %s.' % argv)
+    from telluride_decoding_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
     out = (open(FLAGS.serve_output, 'w') if FLAGS.serve_output
            else sys.stdout)
     if FLAGS.selftest:

@@ -592,6 +592,8 @@ class TestBrainData(BrainData):
     """In-memory dataset fixture (reference TestBrainData,
     brain_data.py:550-642)."""
 
+    __test__ = False   # Library class, not a pytest test class.
+
     def preserve_test_data(self, input_data, output_data,
                            input2_data=None, attention_data=None):
         input_data = np.asarray(input_data, np.float32)

@@ -321,9 +321,11 @@ class TestRecordsIO:
         path = str(tmp_path / 'c.tfrecords')
         ex = {'f': np.zeros(4, np.float32)}
         records.write_tfrecords(path, iter([records.encode_example(ex)] * 3))
-        raw = bytearray(open(path, 'rb').read())
+        with open(path, 'rb') as f:
+            raw = bytearray(f.read())
         raw[20] ^= 0xFF  # Flip a payload byte.
-        open(path, 'wb').write(bytes(raw))
+        with open(path, 'wb') as f:
+            f.write(bytes(raw))
         count, bad = records.count_tfrecords(path)
         assert bad
 

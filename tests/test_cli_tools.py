@@ -189,3 +189,16 @@ class TestRegressionData:
                                                    str(target))
         assert out == str(target)
         assert target.read_bytes() == payload
+
+
+class TestCompileCache:
+
+    def test_disabled_on_cpu_backend(self):
+        from telluride_decoding_tpu.utils import compile_cache
+        # Tests run on the CPU mesh: TPU-only cache must decline.
+        assert not compile_cache.enable_persistent_compilation_cache()
+
+    def test_empty_dir_disables(self, monkeypatch):
+        from telluride_decoding_tpu.utils import compile_cache
+        monkeypatch.setenv('TDT_COMPILE_CACHE_DIR', '')
+        assert not compile_cache.enable_persistent_compilation_cache()
