@@ -44,16 +44,12 @@ _diag('bench start (importing jax)')
 import jax  # noqa: E402
 
 # Persistent compilation cache: repeated bench runs skip the remote
-# TPU compile round trips. TPU only — CPU AOT artifacts embed host
-# machine features and can SIGILL when replayed on a different host.
-try:
-    if jax.devices()[0].platform == 'tpu':
-        jax.config.update('jax_compilation_cache_dir',
-                          os.path.expanduser('~/.cache/jax_compilation'))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs',
-                          1.0)
-except Exception:
-    pass
+# TPU compile round trips (TPU-only; see utils/compile_cache.py).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from telluride_decoding_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compilation_cache)
+
+enable_persistent_compilation_cache()
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -349,7 +345,9 @@ def run_diagnostics(params, x1, x2):
         if done % 4 == 0:
             _diag('cohort progress: %d/%d subjects, %.2fs compute so far'
                   % (done, num_subjects, cohort_s))
-    assert corr_peak > 0.9, corr_peak
+    # done == 0 is a budget skip before the first subject, not a
+    # correctness failure — only assert when something actually ran.
+    assert done == 0 or corr_peak > 0.9, corr_peak
     _diag('cohort_sweep_s=%.2f (%d/%d subjects x 40 trials x 9 lambdas '
           'at width 2553: %d fits, ragged, one compile)'
           % (cohort_s, done, num_subjects, done * 360))

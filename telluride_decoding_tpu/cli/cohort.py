@@ -66,7 +66,15 @@ def discover_subjects(cohort_dir: Optional[str],
     """{subject_name: tfrecord_dir} from either flag."""
     found = {}
     for d in subject_dirs:
-        found[os.path.basename(os.path.normpath(d))] = d
+        name = os.path.basename(os.path.normpath(d))
+        if name in found and found[name] != d:
+            # Silently keeping one of the two would compute the cohort
+            # statistics over the wrong population.
+            raise ValueError(
+                'Two --subject_dir paths share the subject name %r '
+                '(%s and %s); rename one directory.' %
+                (name, found[name], d))
+        found[name] = d
     if cohort_dir:
         for name in sorted(os.listdir(cohort_dir)):
             path = os.path.join(cohort_dir, name)

@@ -278,8 +278,15 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
         # large, stream it even without --streaming_fit. The result is
         # value-identical (tests/test_streaming.py). Threshold
         # override: TDT_STREAMING_AUTO_BYTES (0 disables).
-        auto_bytes = int(os.environ.get('TDT_STREAMING_AUTO_BYTES',
-                                        1 << 30))
+        try:
+            # float() first so '1e9'-style values parse too.
+            auto_bytes = int(float(
+                os.environ.get('TDT_STREAMING_AUTO_BYTES', 1 << 30)))
+        except ValueError:
+            logging.warning('Unparseable TDT_STREAMING_AUTO_BYTES=%r; '
+                            'using the 1 GB default.',
+                            os.environ['TDT_STREAMING_AUTO_BYTES'])
+            auto_bytes = 1 << 30
         if auto_bytes > 0:
             try:
                 estimated = test_brain_data.estimated_stacked_bytes(

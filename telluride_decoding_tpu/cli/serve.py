@@ -125,6 +125,7 @@ class StreamingAttentionServer:
                  decision: str = 'wta', frame_rate: float = 100.0):
         self._decoder = decoder
         self.audio_channels = audio_channels
+        self.eeg_channels = eeg_channels
         params = decoder.decoding_model_params
         self._ctx_eeg = ContextBuffer(eeg_channels,
                                       int(params.get('pre_context', 0)),
@@ -277,14 +278,20 @@ def serve_lines(model_dir: str, in_stream, *,
             # Flat list = mono frames. (Previously a flat multi-sample
             # list in a single-eeg-frame FIRST chunk was kept as [1, N]
             # — N bogus channels — wedging every later chunk.)
-            return a.reshape(-1, 1)
-        if known_channels is not None:
+            a = a.reshape(-1, 1)
+        elif known_channels is not None:
             if a.shape[1] != known_channels and \
                     a.shape[0] == known_channels:
-                return a.T
-            return a
-        if a.shape[0] != eeg_frames and a.shape[1] == eeg_frames:
-            return a.T
+                a = a.T
+        elif a.shape[0] != eeg_frames and a.shape[1] == eeg_frames:
+            a = a.T
+        if known_channels is not None and a.shape[1] != known_channels:
+            # Raised inside the caller's try block -> skip the line. A
+            # shape that matches neither orientation must not reach
+            # push(), where a concatenate error would kill the session.
+            raise ValueError('audio shape %s does not match the '
+                             'established %d channel(s)' %
+                             (a.shape, known_channels))
         return a
 
     for line in in_stream:
@@ -295,6 +302,11 @@ def serve_lines(model_dir: str, in_stream, *,
             chunk = json.loads(line)
             eeg = np.atleast_2d(np.asarray(chunk['eeg'], np.float32))
             known = None if server is None else server.audio_channels
+            if server is not None and \
+                    eeg.shape[1] != server.eeg_channels:
+                raise ValueError('eeg has %d channels, server expects '
+                                 '%d' % (eeg.shape[1],
+                                         server.eeg_channels))
             a1 = orient_audio(chunk['audio1'], eeg.shape[0], known)
             a2 = orient_audio(chunk['audio2'], eeg.shape[0], known)
         except Exception as error:

@@ -531,27 +531,33 @@ def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
     num_l = lambdas_arr.shape[0]
 
     def subject_batch(group):
-        """[S, F, N, D] x2 + [S, F, N] masks for one group of subjects."""
-        bx, by, bm = [], [], []
-        for _, (xs_i, ys_i) in group:
-            ys_i = [_ensure_2d(y) for y in ys_i]
-            num_real = len(xs_i)
-            xs_i, ys_i = _pad_files(xs_i, ys_i, pad_files_to)
-            x_st, m_st = pad_and_stack(xs_i, pad_frames_to)
-            y_st, _ = pad_and_stack(ys_i, pad_frames_to)
-            m_st = m_st.at[num_real:].set(0.0)
-            bx.append(np.asarray(x_st))
-            by.append(np.asarray(y_st))
-            bm.append(np.asarray(m_st))
-        while len(bx) < ndev:   # Dummy subjects for the final group.
-            bx.append(np.zeros_like(bx[0]))
-            by.append(np.zeros_like(by[0]))
-            bm.append(np.zeros_like(bm[0]))
+        """[S, F, N, D] x2 + [S, F, N] masks for one group of subjects.
+
+        Built as ONE host buffer filled in place, then ONE sharded
+        device_put (which transfers only each device's shard) —
+        a pad_and_stack round trip per subject would move the padded
+        data host->device->host->device. np.asarray on a device-array
+        file is that file's single D2H read; host files copy in RAM.
+        """
+        dx = _ensure_2d(group[0][1][0][0]).shape[1]
+        dy = _ensure_2d(group[0][1][1][0]).shape[1]
+        bx = np.zeros((ndev, pad_files_to, pad_frames_to, dx),
+                      np.float32)
+        by = np.zeros((ndev, pad_files_to, pad_frames_to, dy),
+                      np.float32)
+        bm = np.zeros((ndev, pad_files_to, pad_frames_to), np.float32)
+        for i, (_, (xs_i, ys_i)) in enumerate(group):
+            for f, (x, y) in enumerate(zip(xs_i, ys_i)):
+                x = _ensure_2d(x)
+                y = _ensure_2d(y)
+                n = x.shape[0]
+                bx[i, f, :n] = np.asarray(x, np.float32)
+                by[i, f, :y.shape[0]] = np.asarray(y, np.float32)
+                bm[i, f, :n] = 1.0
         spec4 = NamedSharding(mesh, P(axis, None, None, None))
         spec3 = NamedSharding(mesh, P(axis, None, None))
-        return (jax.device_put(np.stack(bx), spec4),
-                jax.device_put(np.stack(by), spec4),
-                jax.device_put(np.stack(bm), spec3))
+        return (jax.device_put(bx, spec4), jax.device_put(by, spec4),
+                jax.device_put(bm, spec3))
 
     results = {}
     for start in range(0, len(items), ndev):
@@ -560,19 +566,30 @@ def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
         corr = np.asarray(_subject_sweep_sharded(
             xs, ys, masks, lambdas_arr, mesh, model, dims, use_ridge,
             False))
-        finite = all(np.isfinite(corr[i, :, :len(g[1][0])]).all()
-                     for i, g in enumerate(group))
-        if not finite and (use_ridge or model == 'cca'):
-            # Rank-deficient covariance with lamb == 0 broke Cholesky;
-            # the eig programs zero degenerate directions instead.
-            corr = np.asarray(_subject_sweep_sharded(
-                xs, ys, masks, lambdas_arr, mesh, model, dims,
-                use_ridge, True))
-        for i, (name, (xs_i, _)) in enumerate(group):
+        for i, (name, (xs_i, ys_i)) in enumerate(group):
             num_real = len(xs_i)
+            sub_corr = corr[i, :num_l, :num_real]
+            if (not np.isfinite(sub_corr).all()
+                    and (use_ridge or model == 'cca')):
+                # Rank-deficient covariance with lamb == 0 broke
+                # Cholesky for THIS subject; rerun only it through the
+                # serial path, whose internal eig fallback zeroes
+                # degenerate directions — healthy groupmates keep
+                # their Cholesky results (identical to the serial
+                # engine's behavior).
+                if model == 'cca':
+                    retry = cca_jackknife_sweep(
+                        xs_i, ys_i, lambdas, dims=dims,
+                        pad_files_to=pad_files_to,
+                        pad_frames_to=pad_frames_to)
+                else:
+                    retry = ridge_jackknife_sweep(
+                        xs_i, ys_i, lambdas, use_ridge=use_ridge,
+                        pad_files_to=pad_files_to,
+                        pad_frames_to=pad_frames_to)
+                sub_corr = retry.correlations
             results[name] = SweepResult(
-                corr[i, :num_l, :num_real],
-                np.asarray(lambdas),
+                sub_corr, np.asarray(lambdas),
                 ['file%d' % f for f in range(num_real)])
     return results
 

@@ -110,3 +110,45 @@ class TestCohortDriver:
         assert 'Cohort sweep over 2 subjects' in proc.stdout
         assert 'best' in proc.stdout
         assert os.path.exists(tmp_path / 'c.csv')
+
+
+class TestCohortReviewFixes:
+
+    def test_duplicate_subject_basenames_raise(self, tmp_path):
+        from telluride_decoding_tpu.cli import cohort
+        a = tmp_path / 'sessA' / 's01'
+        b = tmp_path / 'sessB' / 's01'
+        a.mkdir(parents=True)
+        b.mkdir(parents=True)
+        with pytest.raises(ValueError, match='share the subject name'):
+            cohort.discover_subjects(None, [str(a), str(b)])
+        # The same path twice is NOT a collision.
+        assert cohort.discover_subjects(None, [str(a), str(a)])
+
+    def test_streaming_auto_bytes_scientific_notation(self, tmp_path,
+                                                      rng,
+                                                      monkeypatch):
+        """'1e9'-style TDT_STREAMING_AUTO_BYTES must parse, not crash
+        train_and_test (review fix)."""
+        from telluride_decoding_tpu.cli import decoding
+        from telluride_decoding_tpu.data import brain_data
+        from telluride_decoding_tpu.models.brain_model import (
+            BrainModelLinearRegression)
+        d = tmp_path / 'r'
+        d.mkdir()
+        eeg = rng.randn(300, 4).astype(np.float32)
+        records.convert_data_to_tfrecords(
+            {'eeg': eeg, 'intensity': eeg[:, :1] * 2.0},
+            str(d / 't00.tfrecords'))
+        bd = brain_data.TFExampleData(
+            'eeg', 'intensity', 100.0, data_dir=str(d),
+            train_file_pattern='t', test_file_pattern='t',
+            shuffle_buffer_size=0)
+        model = BrainModelLinearRegression(input_width=4,
+                                           output_width=1,
+                                           regularization_lambda=1e-6)
+        for value in ('1e9', 'banana', ''):
+            monkeypatch.setenv('TDT_STREAMING_AUTO_BYTES', value)
+            _, res = decoding.train_and_test(
+                decoding.DecodingOptions(), bd, model)
+            assert res['pearson_correlation_first'] > 0.99

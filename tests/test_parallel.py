@@ -215,3 +215,27 @@ class TestSubjectParallelCohort:
             np.testing.assert_allclose(par[name].correlations,
                                        serial[name].correlations,
                                        atol=2e-4)
+
+    def test_rank_deficient_subject_retries_alone(self, rng):
+        """Lambda 0 on ONE collinear subject: that subject falls back
+        to the eig path per-subject; healthy groupmates keep their
+        Cholesky results (review fix: the retry used to rerun the
+        whole group)."""
+        from telluride_decoding_tpu.parallel import create_mesh
+        from telluride_decoding_tpu.sweep.engine import multi_subject_sweep
+        subj_mesh = create_mesh(('subject',))
+        subjects = self._cohort(rng, 4)
+        # Make subject 2 rank-deficient: duplicate a column.
+        xs2, ys2 = subjects['subj02']
+        xs2 = [np.concatenate([x[:, :3], x[:, 2:3]], axis=1)
+               for x in xs2]
+        subjects['subj02'] = (xs2, ys2)
+        lambdas = [0.0, 1e-2]
+        serial = multi_subject_sweep(subjects, lambdas)
+        par = multi_subject_sweep(subjects, lambdas, mesh=subj_mesh,
+                                  subject_parallel=True)
+        for name in subjects:
+            assert np.isfinite(par[name].correlations).all(), name
+            np.testing.assert_allclose(par[name].correlations,
+                                       serial[name].correlations,
+                                       atol=5e-3)

@@ -274,3 +274,30 @@ class TestServeStream:
         assert len(got) == len(want)
         for g, w in zip(got, want):
             assert g['score1'] == pytest.approx(w['score1'], abs=1e-5)
+
+    def test_serve_lines_survives_mismatched_audio_line(
+            self, tmp_path, rng, capsys):
+        """A 2-D audio chunk matching NEITHER orientation must be
+        skipped (stderr note), not crash the live session inside
+        push() (review fix)."""
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng, pre=0,
+                                            post=0)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        n = 200
+        good = lambda sl: json.dumps({'eeg': eeg[sl].tolist(),
+                                      'audio1': a1[sl].tolist(),
+                                      'audio2': a2[sl].tolist()})
+        bad = json.dumps({'eeg': eeg[:50].tolist(),
+                          'audio1': np.ones((3, 2)).tolist(),  # 2ch!?
+                          'audio2': a2[:50].tolist()})
+        bad_eeg = json.dumps({'eeg': np.ones((10, 7)).tolist(),  # 7ch
+                              'audio1': a1[:10].tolist(),
+                              'audio2': a2[:10].tolist()})
+        stream = io.StringIO('\n'.join(
+            [good(slice(0, n)), bad, bad_eeg, good(slice(n, 2 * n))])
+            + '\n')
+        got = serve.serve_lines(model_dir, stream, reduction='first',
+                                window_width=100, window_step=100)
+        assert len(got) == 4                  # 400 good frames / 100.
+        err = capsys.readouterr().err
+        assert err.count('skipping bad input line') == 2
