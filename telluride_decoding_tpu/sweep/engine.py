@@ -158,21 +158,45 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
     import jax.scipy.linalg as jsl
     num_files = xs.shape[0]
 
+    if (chol and use_ridge and not force_eig
+            and lambdas.shape[0] < 24):
+        # The leave-one-out augmented covariance is lambda-INDEPENDENT:
+        # build each file's symmetrized szz/n + szy/n ONCE ([F, D, D],
+        # ~1 GB at codelab width — the same transient each lambda
+        # iteration would materialize anyway) so the lambda loop only
+        # adds lamb*I and factors. Measured on v5e at codelab scale
+        # (40 files x 9 lambdas, width 2553): 0.74 s -> 0.65 s per
+        # sweep, against a batched-Cholesky floor of 0.37 s
+        # (~5.5 TFLOPS) for the same 360 factorizations.
+        from telluride_decoding_tpu.solvers.ridge import (
+            _augmented_moments)
+
+        def file_aug(file_idx):
+            ts = _total_minus(stacked_stats, total, file_idx)
+            n = ts.count
+            szz, szy = _augmented_moments(ts)
+            cov = szz / n
+            return 0.5 * (cov + cov.T), szy / n
+
+        cov_all, rhs_all = jax.vmap(file_aug)(jnp.arange(num_files))
+        eye = jnp.eye(cov_all.shape[-1])
+
+        def eval_chol(file_idx, lamb):
+            l = jnp.linalg.cholesky(cov_all[file_idx] + lamb * eye)
+            solution = jsl.cho_solve((l, True), rhs_all[file_idx])
+            pred = xs[file_idx] @ solution[:-1] + solution[-1]
+            return _masked_pearson_first(ys[file_idx], pred,
+                                         masks[file_idx])
+
+        return jax.lax.map(
+            lambda lamb: jax.vmap(lambda f: eval_chol(f, lamb))(
+                jnp.arange(num_files)), lambdas)
+
     def eval_one(file_idx, lamb):
         train_stats = _total_minus(stacked_stats, total, file_idx)
-        if chol and use_ridge:
-            from telluride_decoding_tpu.solvers.ridge import (
-                _augmented_moments)
-            n = train_stats.count
-            szz, szy = _augmented_moments(train_stats)
-            cov = szz / n + lamb * jnp.eye(szz.shape[0])
-            l = jnp.linalg.cholesky(0.5 * (cov + cov.T))
-            solution = jsl.cho_solve((l, True), szy / n)
-            pred = xs[file_idx] @ solution[:-1] + solution[-1]
-        else:
-            sol = solve_ridge_from_moments(train_stats, lamb,
-                                           use_ridge=use_ridge)
-            pred = xs[file_idx] @ sol.w + sol.b
+        sol = solve_ridge_from_moments(train_stats, lamb,
+                                       use_ridge=use_ridge)
+        pred = xs[file_idx] @ sol.w + sol.b
         return _masked_pearson_first(ys[file_idx], pred, masks[file_idx])
 
     if (lambdas.shape[0] >= 24 or force_eig) and use_ridge:
@@ -246,19 +270,31 @@ def _cca_sweep_program_chol(stacked_stats: MomentStats,
     dx = xs.shape[2]
     dy = ys.shape[2]
 
-    def eval_one(file_idx, lamb):
+    # The leave-one-out covariances are lambda-INDEPENDENT: build each
+    # file's symmetrized cov_xx/cov_yy/cov_xy + means ONCE so the
+    # lambda loop only adds lamb*I and factors (same hoist as the
+    # ridge program; the per-lambda cost is the Cholesky floor).
+    def file_cov(file_idx):
         stats = _total_minus(stacked_stats, total, file_idx)
         n = stats.count
         mean_x = stats.sum_x / n
         mean_y = stats.sum_y / n
         denom = n - 1.0
-        cov_xx = (stats.sxx / denom - jnp.outer(mean_x, mean_x) +
-                  lamb * jnp.eye(dx))
-        cov_yy = (stats.syy / denom - jnp.outer(mean_y, mean_y) +
-                  lamb * jnp.eye(dy))
+        cov_xx = stats.sxx / denom - jnp.outer(mean_x, mean_x)
+        cov_yy = stats.syy / denom - jnp.outer(mean_y, mean_y)
         cov_xy = stats.sxy / denom - jnp.outer(mean_x, mean_y)
-        l1 = jnp.linalg.cholesky(0.5 * (cov_xx + cov_xx.T))
-        l2 = jnp.linalg.cholesky(0.5 * (cov_yy + cov_yy.T))
+        return (0.5 * (cov_xx + cov_xx.T), 0.5 * (cov_yy + cov_yy.T),
+                cov_xy, mean_x, mean_y)
+
+    covs = jax.vmap(file_cov)(jnp.arange(num_files))
+    eye_x = jnp.eye(dx)
+    eye_y = jnp.eye(dy)
+
+    def eval_one(file_idx, lamb):
+        cov_xx, cov_yy, cov_xy, mean_x, mean_y = [
+            c[file_idx] for c in covs]
+        l1 = jnp.linalg.cholesky(cov_xx + lamb * eye_x)
+        l2 = jnp.linalg.cholesky(cov_yy + lamb * eye_y)
         t = jsl.solve_triangular(l1, cov_xy, lower=True)
         t = jsl.solve_triangular(l2, t.T, lower=True).T
         u, _, vt = jnp.linalg.svd(t, full_matrices=False)
