@@ -13,14 +13,12 @@ import sys
 
 import jax
 
-# Persistent compile cache on TPU only (CPU AOT artifacts embed host
-# machine features; replaying cross-host can SIGILL).
-try:
-    if jax.devices()[0].platform == 'tpu':
-        jax.config.update('jax_compilation_cache_dir',
-                          os.path.expanduser('~/.cache/jax_compilation'))
-except Exception:
-    pass
+# Persistent compile cache (TPU-only; see utils/compile_cache.py).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from telluride_decoding_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compilation_cache)
+
+enable_persistent_compilation_cache()
 
 import jax.numpy as jnp
 import numpy as np
@@ -233,6 +231,45 @@ def main():
     except Exception as error:
         results.append(check('infer_pair fused serving dispatch',
                              False, repr(error)[:60]))
+
+    # 11. DCCA train+test on device under the BASELINE wall-clock
+    # target (<1 min for a telluride4-scale train+test incl. DCCA;
+    # BASELINE.md "New-framework targets"). Two views sharing a
+    # planted latent; the trained towers' first canonical correlation
+    # must find it.
+    try:
+        import time
+        from telluride_decoding_tpu.data.brain_data import TestBrainData
+        from telluride_decoding_tpu.models import BrainModelDCCA
+        n = 4000
+        latent = rng.randn(n, 2).astype(np.float32)
+        v1 = np.concatenate([latent + 0.3 * rng.randn(n, 2),
+                             rng.randn(n, 6)], axis=1).astype(np.float32)
+        v2 = np.concatenate([latent @ rng.randn(2, 2).astype(np.float32)
+                             + 0.3 * rng.randn(n, 2),
+                             rng.randn(n, 1)], axis=1).astype(np.float32)
+        tbd = TestBrainData('input_1', 'ones', 100.0,
+                            in2_fields='input_2',
+                            final_batch_size=1000,
+                            shuffle_buffer_size=0)
+        tbd.preserve_test_data(v1, np.ones((n, 1), np.float32),
+                               input2_data=v2)
+        t0 = time.perf_counter()
+        dcca = BrainModelDCCA(cca_dims=2, hidden_units=[16],
+                              regularization_lambda=1e-2,
+                              input1_width=8, input2_width=3)
+        dcca.compile(learning_rate=1e-3)
+        dcca.fit(tbd.create_dataset('train'), epochs=40,
+                 batch_size=1000)
+        corr = dcca.evaluate(tbd.create_dataset(
+            'train'))['cca_pearson_correlation_first']
+        dcca_s = time.perf_counter() - t0
+        results.append(check(
+            'DCCA train+test on device', corr > 0.4 and dcca_s < 60,
+            'corr %.2f in %.1fs (target <60s)' % (corr, dcca_s)))
+    except Exception as error:
+        results.append(check('DCCA train+test on device', False,
+                             repr(error)[:60]))
 
     print()
     if all(results):
