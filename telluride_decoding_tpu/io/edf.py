@@ -94,7 +94,12 @@ def read_edf(path: str) -> Dict[str, Any]:
         data = (bytes3[:, 0] | (bytes3[:, 1] << 8) | (bytes3[:, 2] << 16))
         data = np.where(data >= (1 << 23), data - (1 << 24), data)
     else:
-        data = np.frombuffer(raw, dtype='<i2', offset=header_bytes)
+        # Tolerate truncation at an odd byte offset (acquisition killed
+        # mid-sample): frombuffer requires an even data region, so
+        # slice to one — mirrors the BDF branch's (n // 3) * 3.
+        usable = ((len(raw) - header_bytes) // 2) * 2
+        data = np.frombuffer(raw[header_bytes:header_bytes + usable],
+                             dtype='<i2')
     if record_len <= 0:
         raise ValueError('%s: zero samples per record.' % path)
     if num_records < 0:  # Unknown length: infer from the file size.
@@ -200,6 +205,22 @@ def write_edf(path: str, signals: Sequence[np.ndarray],
     if not (len(labels) == len(sample_rates) == ns):
         raise ValueError('signals, labels, sample_rates must align.')
     signals = [np.asarray(s, np.float64).reshape(-1) for s in signals]
+    # The duration header is an 8-char ASCII decimal and readers
+    # reconstruct sample rates as spr / parsed_duration, so an
+    # unrepresentable duration (e.g. 1/30 s) drifts every read-back
+    # rate. Scale the data record by a small integer until the
+    # duration is exactly representable (1/30 s x 3 = 0.1 s — exact);
+    # if nothing up to 60x lands, fall back to the quantized rendering
+    # and derive spr from IT so writer and header at least agree.
+    requested = record_duration
+    for k in range(1, 61):
+        cand = requested * k
+        rendered = float(_format_num8(cand))
+        if abs(rendered - cand) <= 1e-12 * max(1.0, abs(cand)):
+            record_duration = rendered
+            break
+    else:
+        record_duration = float(_format_num8(requested))
     samples_per_record = [int(round(sr * record_duration))
                           for sr in sample_rates]
     if any(spr <= 0 for spr in samples_per_record):
@@ -267,9 +288,11 @@ def write_edf(path: str, signals: Sequence[np.ndarray],
     out += _pad_ascii(now.strftime('%d.%m.%y'), 8)
     out += _pad_ascii(now.strftime('%H.%M.%S'), 8)
     out += _pad_ascii(str(header_bytes), 8)
-    out += _pad_ascii('', 44)
+    # BDF readers (pyedflib/MNE/EDFbrowser) select 24-bit decoding by
+    # the '24BIT' marker in the reserved field.
+    out += _pad_ascii('24BIT' if bdf else '', 44)
     out += _pad_ascii(str(num_records), 8)
-    out += _pad_ascii('%g' % record_duration, 8)
+    out += _pad_ascii(_format_num8(record_duration), 8)
     out += _pad_ascii(str(ns), 4)
 
     def column(values, width):

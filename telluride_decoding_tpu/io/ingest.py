@@ -107,7 +107,16 @@ def find_temporal_offset_via_mode_histogram(audio_triggers, eeg_triggers,
         eeg = (eeg * fs).astype(np.int64)
     diffs = (eeg[None, :] - audio[:, None]).reshape(-1)
     if max_time != 0:
-        diffs = diffs[np.abs(diffs) < max_time * fs]
+        # Without fs the diffs are in seconds/samples as given, so the
+        # window is max_time itself; with fs they were scaled to
+        # samples above. (max_time * 0 filtered EVERY pair out.)
+        window = max_time * fs if fs > 0 else max_time
+        diffs = diffs[np.abs(diffs) < window]
+    if diffs.size == 0:
+        raise ValueError(
+            'No trigger-time pairs within max_time=%g (audio %d, eeg '
+            '%d onsets) - cannot estimate an offset.' %
+            (max_time, audio.size, eeg.size))
     mode, _ = scipy.stats.mode(diffs, axis=None)
     mode = int(mode)
     return mode / float(fs) if fs > 0 else mode
@@ -116,6 +125,10 @@ def find_temporal_offset_via_mode_histogram(audio_triggers, eeg_triggers,
 def remove_close_times(times, min_time: float = 0.06) -> np.ndarray:
     """Keeps only onsets separated by at least min_time."""
     times = sorted(times)
+    if not times:
+        # A dead trigger channel yields zero onsets; return the empty
+        # set instead of IndexError-ing on times[0].
+        return np.zeros((0,))
     kept = [times[0]]
     last_time = times[0]
     for t in times[1:]:
@@ -249,9 +262,10 @@ class BrainTrial:
     def find_audio_trigger_times(self, channel_with_trigger: int = 1):
         """Leading edges (0 -> positive) in the audio trigger channel."""
         assert_type('self._sound_data', self._sound_data, np.ndarray)
-        if channel_with_trigger > self._sound_data.shape[1]:
-            raise ValueError('Trigger channel (%d) too high.' %
-                             channel_with_trigger)
+        if channel_with_trigger >= self._sound_data.shape[1]:
+            raise ValueError(
+                'Trigger channel (%d) too high for %d-channel audio.' %
+                (channel_with_trigger, self._sound_data.shape[1]))
         trig = np.hstack((np.zeros((1,)),
                           self._sound_data[:, channel_with_trigger]))
         edges = np.nonzero(np.logical_and(trig[:-1] == 0, trig[1:] > 0))[0]
@@ -451,13 +465,23 @@ class EdfBrainDataFile(BrainDataFile):
     def signal_names(self) -> List[str]:
         return self._edf_dict['labels']
 
+    def _channel_index_or_raise(self, name: str) -> int:
+        index = self.find_channel_index(name)
+        if index is None:
+            # Indexing an ndarray with None means np.newaxis - a typo'd
+            # channel name would silently return the WHOLE matrix.
+            raise ValueError('Channel %r not in EDF signals %s.' %
+                             (name, self.signal_names))
+        return index
+
     def signal_values(self, name: str) -> np.ndarray:
         assert_type('name', name, str)
-        return self._edf_dict['signals'][self.find_channel_index(name)]
+        return self._edf_dict['signals'][self._channel_index_or_raise(name)]
 
     def signal_fs(self, name: str) -> float:
         assert_type('name', name, str)
-        return self._edf_dict['sample_rates'][self.find_channel_index(name)]
+        return self._edf_dict['sample_rates'][
+            self._channel_index_or_raise(name)]
 
     def find_channel_index(self, desired_label: str = 'TRIG'):
         if 'labels' not in self._edf_dict:
@@ -552,7 +576,10 @@ class BrainExperiment:
                 if feature_name in t.model_features]
 
     def zscore_all_features(self, feature_name: str, mean, std):
-        if abs(std) == 1e-10:
+        if np.max(np.abs(std)) < 1e-10:
+            # Near-zero std (constant feature) would explode the
+            # normalized values. (The reference's exact-equality test,
+            # ingest.py:1000, could never fire.)
             std = 1.0
         for trial_data in self._data_dict.values():
             features = trial_data.model_features

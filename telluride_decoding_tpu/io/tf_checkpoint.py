@@ -65,8 +65,11 @@ def snappy_decompress(data: bytes) -> bytes:
             raise ValueError('snappy: bad copy offset %d (have %d '
                              'bytes)' % (offset, len(out)))
         start = len(out) - offset
-        for i in range(length):                      # May self-overlap.
-            out.append(out[start + i])
+        if offset >= length:                         # No self-overlap.
+            out += out[start:start + length]
+        else:
+            for i in range(length):                  # Self-overlapping
+                out.append(out[start + i])           # run-length copy.
     if len(out) != total:
         raise ValueError('snappy: size mismatch (%d != %d)' %
                          (len(out), total))

@@ -31,13 +31,15 @@ def parse_results_file(path: str) -> Tuple[Dict[str, str],
                         k, v = item.split('=', 1)
                         parameters[k.strip()] = v.strip()
             elif line.startswith('Final_Testing/'):
-                name, value = line[len('Final_Testing/'):].split(':', 1)
+                name, _, value = line[len('Final_Testing/'):].partition(':')
                 try:
                     metrics[name.strip()] = float(value)
                 except ValueError:
+                    # Truncated/odd lines (killed jobs) skip, matching
+                    # the parser's lenient design.
                     pass
             elif line.startswith('Final_Test/'):
-                name, value = line[len('Final_Test/'):].split(':', 1)
+                name, _, value = line[len('Final_Test/'):].partition(':')
                 try:
                     values = [float(x) for x in value.split()]
                 except ValueError:

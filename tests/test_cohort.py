@@ -152,3 +152,36 @@ class TestCohortReviewFixes:
             _, res = decoding.train_and_test(
                 decoding.DecodingOptions(), bd, model)
             assert res['pearson_correlation_first'] > 0.99
+
+    def test_cohort_cca_model(self, tmp_path, rng):
+        """dnn_regressor=cca routes the cohort through the CCA sweep
+        (in2 stream selection + cca_dimensions wiring)."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        root = tmp_path / 'cohort'
+        latent_w = rng.randn(2, 2).astype(np.float32)
+        for s in range(2):
+            d = root / ('subject%02d' % s)
+            d.mkdir(parents=True)
+            for t in range(3):
+                n = 300 + 11 * t
+                latent = rng.randn(n, 2).astype(np.float32)
+                eeg = np.concatenate(
+                    [latent + 0.2 * rng.randn(n, 2), rng.randn(n, 3)],
+                    axis=1).astype(np.float32)
+                intensity = (latent @ latent_w +
+                             0.2 * rng.randn(n, 2)).astype(np.float32)
+                records.convert_data_to_tfrecords(
+                    {'eeg': eeg, 'intensity': intensity},
+                    str(d / ('trial%02d.tfrecords' % t)))
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='ones',
+            input2_field='intensity', dnn_regressor='cca',
+            cca_dimensions=2, pre_context=0, post_context=0,
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        results, (mean, _) = cohort.run_cohort_sweep(
+            my_flags, cohort.discover_subjects(str(root), []),
+            [1e-2, 1.0])
+        assert len(results) == 2
+        for res in results.values():
+            assert res.correlations.shape == (2, 3)
+        assert np.all(mean > 0.5), mean   # Planted latent found.

@@ -1,0 +1,137 @@
+"""Round-3 review fixes over io/ + utils/ (each pinned here).
+
+Findings: EDF record_duration 8-char truncation drifting read-back
+sample rates; EDF odd-byte truncation crash; BDF '24BIT' reserved
+marker; EdfBrainDataFile None-channel-index returning the whole
+matrix; degenerate-std z-score guard that could never fire; mono-audio
+trigger-channel IndexError; mode-histogram fs=0/max_time interaction;
+remove_close_times on empty input; results parser crash on truncated
+lines; snappy per-byte Python loop on non-overlapping copies.
+"""
+
+import io as _io
+import os
+
+import numpy as np
+import pytest
+
+from telluride_decoding_tpu.io import edf as edf_io
+from telluride_decoding_tpu.io import ingest
+
+
+class TestEdfFixes:
+
+    def test_fractional_record_duration_roundtrips_exactly(
+            self, tmp_path, rng):
+        """1/30 s records: the written header value must be what spr
+        was computed from, so read-back rates are exact (was: '%g'
+        truncation put a 10 ppm drift on every rate)."""
+        path = str(tmp_path / 'f.edf')
+        sig = rng.randn(300).astype(np.float64)
+        edf_io.write_edf(path, [sig], ['ch1'], [300.0],
+                         record_duration=1.0 / 30.0)
+        got = edf_io.read_edf(path)
+        assert got['sample_rates'][0] == pytest.approx(300.0, abs=1e-9)
+
+    def test_truncated_at_odd_byte_reads_complete_records(
+            self, tmp_path, rng):
+        path = str(tmp_path / 't.edf')
+        sig = rng.randn(500).astype(np.float64)
+        edf_io.write_edf(path, [sig], ['ch1'], [100.0])
+        raw = open(path, 'rb').read()
+        with open(path, 'wb') as f:
+            f.write(raw[:-3])           # Kill mid-sample (odd offset).
+        got = edf_io.read_edf(path)     # Was: frombuffer ValueError.
+        assert got['signal_list'][0].shape[0] >= 400
+
+    def test_bdf_reserved_field_carries_24bit_marker(self, tmp_path,
+                                                     rng):
+        path = str(tmp_path / 'b.bdf')
+        edf_io.write_edf(path, [rng.randn(256)], ['ch1'], [256.0],
+                         bdf=True)
+        raw = open(path, 'rb').read()
+        assert raw[192:236].decode('ascii').startswith('24BIT')
+        # And our own reader still round-trips it.
+        got = edf_io.read_edf(path)
+        assert got['signal_list'][0].shape[0] == 256
+
+    def test_missing_edf_channel_raises(self, tmp_path, rng):
+        path = str(tmp_path / 'c.edf')
+        edf_io.write_edf(path, [rng.randn(100)], ['EEG1'], [100.0])
+        f = ingest.EdfBrainDataFile(os.path.basename(path))
+        f.load_all_data(os.path.dirname(path))
+        with pytest.raises(ValueError, match='not in EDF signals'):
+            f.signal_values('nope')
+        with pytest.raises(ValueError, match='not in EDF signals'):
+            f.signal_fs('nope')
+        assert f.signal_values('EEG1').shape[0] == 100
+        assert float(f.signal_fs('EEG1')) == pytest.approx(100.0)
+
+
+class TestIngestFixes:
+
+    def test_mono_audio_trigger_channel_raises_cleanly(self):
+        trial = ingest.BrainTrial('t')
+        trial.load_sound(np.abs(np.random.RandomState(0).randn(100, 1)),
+                         sound_fs=100.0)
+        with pytest.raises(ValueError, match='Trigger channel'):
+            trial.find_audio_trigger_times()
+
+    def test_remove_close_times_empty(self):
+        out = ingest.remove_close_times(np.array([]))
+        assert out.shape == (0,)
+
+    def test_mode_histogram_without_fs_honors_max_time(self):
+        # fs=0 (documented 'returned in samples'): max_time must window
+        # in the given units, not multiply to zero and drop every pair.
+        offset = ingest.find_temporal_offset_via_mode_histogram(
+            [1.0, 2.0, 3.0], [1.5, 2.5, 3.5], max_time=1.0)
+        assert offset == 0   # int truncation of +0.5 mode bins.
+
+    def test_mode_histogram_no_pairs_is_descriptive(self):
+        with pytest.raises(ValueError, match='No trigger-time pairs'):
+            ingest.find_temporal_offset_via_mode_histogram(
+                [0.0], [100.0], max_time=1.0)
+
+    def test_zscore_near_zero_std_guard(self):
+        exp = ingest.BrainExperiment(
+            {'t1': [{'f': np.full((10, 1), 3.0, np.float32)}]},
+            frame_rate=10.0)
+        exp.load_all_data()
+        trial = next(exp.iterate_trials())
+        trial.model_features['f'] = np.full((10, 1), 3.0, np.float32)
+        exp.zscore_all_features('f', 3.0, 1e-30)   # Near-zero std.
+        out = trial.model_features['f']
+        assert np.max(np.abs(out)) < 1.0           # Not ~1e30.
+
+
+class TestUtilsFixes:
+
+    def test_results_parser_tolerates_truncated_lines(self, tmp_path):
+        from telluride_decoding_tpu.utils.results import parse_results_file
+        p = tmp_path / 'results.txt'
+        p.write_text('Parameters: a=1;b=2\n'
+                     'Final_Testing/incomplete\n'          # No colon.
+                     'Final_Testing/loss: 0.5\n'
+                     'Final_Test/partial\n'                # No colon.
+                     'Final_Test/acc: 0.9 0.8\n')
+        params, metrics = parse_results_file(str(p))
+        assert params['a'] == '1'
+        assert metrics['loss'] == 0.5
+
+    def test_snappy_nonoverlapping_copy_fast_path(self):
+        from telluride_decoding_tpu.io.tf_checkpoint import (
+            snappy_decompress)
+        # Build a snappy stream: literal 'abcd' then copy(len=4,
+        # offset=4) -> 'abcdabcd'; then an overlapping copy(len=6,
+        # offset=2) -> + 'cdcdcd'... run-length semantics.
+        payload = bytearray()
+        payload.append(12)                 # preamble varint: total=12
+        payload.append((4 - 1) << 2)       # literal, len 4
+        payload += b'abcd'
+        payload.append((1 << 0) | ((4 - 4) << 2) | (0 << 5))  # copy1
+        payload.append(4)                  # offset 4
+        payload.append((1 << 0) | ((4 - 4) << 2) | (0 << 5))  # copy1
+        payload.append(2)                  # offset 2 (overlapping)
+        out = snappy_decompress(bytes(payload))
+        assert out == b'abcdabcdcdcd'
