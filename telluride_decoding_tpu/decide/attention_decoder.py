@@ -91,8 +91,15 @@ def _ssd_update(state: SsdState, r1: jax.Array, r2: jax.Array,
                 k_w: int):
     """One window update: outer EM over (E-step, M-step, Kalman smoother).
 
-    Faithful to the reference recursion (attention_decoder.py:350-443)
-    with all loops as fixed-trip-count lax loops. r1/r2 are the [k_w]
+    The reference recursion (attention_decoder.py:350-443) with all
+    loops as fixed-trip-count lax loops — with ONE deliberate
+    deviation: the backward (RTS) smoother pass here runs in true
+    reverse order, whereas the reference updates z_k_k_cap in
+    ASCENDING index order and therefore reads stale (unsmoothed)
+    values for the k+1 terms. The difference in the emitted attention
+    probability is small (<~2e-3 measured on matched streams) and this
+    form is the published Miran et al. fixed-lag smoother; the <15%
+    switch-error gate covers both. r1/r2 are the [k_w]
     windows of |correlation| values (host ring buffers — keeping them
     out of the carried device state means the per-call buffer append
     costs no device dispatch).
@@ -260,15 +267,23 @@ class StateSpaceAttentionDecoder(AttentionDecoder):
             z_smooth=jnp.zeros((self.k_w,), jnp.float32))
         self.z_dyn = []
         self.eta_dyn = []
+        self._constants_cache = None
 
     def _constants(self) -> SsdConstants:
-        return SsdConstants(
+        # Cached: attention() runs once per window and these six device
+        # buffers only change in __init__/tune — re-uploading them per
+        # call costs avoidable host->device transfers on a tunneled
+        # backend. tune_log_normal_priors invalidates the cache.
+        if self._constants_cache is not None:
+            return self._constants_cache
+        self._constants_cache = SsdConstants(
             mu_0=jnp.asarray(self.mu_0, jnp.float32),
             alpha_0=jnp.asarray(self.alpha_0, jnp.float32),
             beta_0=jnp.asarray(self.beta_0, jnp.float32),
             a_0=jnp.float32(self.a_0),
             b_0=jnp.float32(self.b_0),
             lambda_state=jnp.float32(self.lambda_state))
+        return self._constants_cache
 
     def tune(self, r1: Sequence[float], r2: Sequence[float]):
         return self.tune_log_normal_priors(r1, r2)
@@ -290,6 +305,7 @@ class StateSpaceAttentionDecoder(AttentionDecoder):
         self.rho_d = [rho_a, rho_u]
         self.mu_d = [mu_a, mu_u]
         self.mu_0 = [mu_a, mu_u]
+        self._constants_cache = None     # mu_0 feeds SsdConstants.
         self._state = self._state._replace(
             mu_d=jnp.asarray(self.mu_d, jnp.float32),
             rho_d=jnp.asarray(self.rho_d, jnp.float32))

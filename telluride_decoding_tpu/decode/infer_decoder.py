@@ -289,8 +289,14 @@ class Decoder:
         mean_x = jnp.asarray(self._mean_x, jnp.float32)
         mean_y = jnp.asarray(self._mean_y, jnp.float32)
         power = jnp.asarray(self._power, jnp.float32)
-        if reduction == 'lda' and self._lda is not None and \
-                self._lda.coef_array is not None:
+        if reduction == 'lda':
+            if self._lda is None or self._lda.coef_array is None:
+                # Failing inside the jit would surface as an opaque
+                # trace-time TypeError on the None weight; match the
+                # reference's actionable message (infer_decoder.py:441).
+                raise ValueError('Must compute the LDA model before '
+                                 'reducing data (train the decoder or '
+                                 'restore_parameters first).')
             lda_w = jnp.asarray(np.real(self._lda.coef_array), jnp.float32)
             lda_slope = jnp.asarray(self._lda.slope, jnp.float32)
             lda_intercept = jnp.asarray(self._lda.intercept, jnp.float32)

@@ -2,12 +2,14 @@
 
 Parity with reference infer_decoder.calculate_dprime
 (infer_decoder.py:716-745) and average_data (infer_decoder.py:748-783).
-Both are pure jnp functions safe under jit; numpy inputs work too.
+Host-side numpy on purpose: these are tiny reductions over a few
+thousand scores, and routing them through jnp would both downcast
+float64 inputs to float32 (losing the reference's float64 math) and
+pay a device dispatch per call on a remote backend.
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -25,11 +27,11 @@ def calculate_dprime(d1, d2):
     if d2.ndim > 2 or (d2.ndim == 2 and d2.shape[1] > 1):
         raise TypeError("d2 array must be a vector, not size %s."
                         % str(d2.shape))
-    m1 = jnp.mean(d1)
-    m2 = jnp.mean(d2)
-    v1 = jnp.var(d1)
-    v2 = jnp.var(d2)
-    return float((m2 - m1) / jnp.sqrt((v1 + v2) / 2.0))
+    m1 = np.mean(d1)
+    m2 = np.mean(d2)
+    v1 = np.var(d1)
+    v2 = np.var(d2)
+    return float((m2 - m1) / np.sqrt((v1 + v2) / 2.0))
 
 
 def average_data(data, window_size: int):
@@ -49,5 +51,4 @@ def average_data(data, window_size: int):
         return data
     num_windows = data.shape[0] // window_size
     trimmed = data[:num_windows * window_size, :]
-    return np.asarray(
-        jnp.mean(trimmed.reshape(num_windows, window_size, -1), axis=1))
+    return trimmed.reshape(num_windows, window_size, -1).mean(axis=1)

@@ -121,6 +121,11 @@ class WindowedDataStore(NumpyStore):
                                            data.shape[1])))
         super().add_data(data)
 
+    @property
+    def has_window(self) -> bool:
+        """Whether a full window is ready without consuming it."""
+        return self._count >= self._window_width
+
     def next_window(self) -> Iterator[Optional[np.ndarray]]:
         while self._count >= self._window_width:
             chunk = np.copy(self._data_store[:self._window_width, :])
@@ -159,7 +164,14 @@ class TwoResultStore:
 
     def next_window(self) -> Iterator[Tuple[Optional[np.ndarray],
                                             Optional[np.ndarray]]]:
-        for p1 in self._store1.next_window():
-            for p2 in self._store2.next_window():
-                yield p1, p2
-                break
+        # Pop a window only when BOTH stores have one: with
+        # pre_context > 0, store1's zero padding completes its first
+        # window before store2's — the reference's nested-loop pairing
+        # (result_store.py:327-338) silently DISCARDS store1's early
+        # window there and mislabels every subsequent pair by one
+        # step. Waiting keeps window i of store1 (centered) paired
+        # with window i of store2 (causal) for the whole stream.
+        while self._store1.has_window and self._store2.has_window:
+            p1 = next(self._store1.next_window())
+            p2 = next(self._store2.next_window())
+            yield p1, p2

@@ -75,17 +75,27 @@ def _biquad_apply(section, x, zi):
                          precision=highest) + cv             # z[1..N]
     z_before = jnp.concatenate([zi[None], z_after[:-1]], axis=0)
     y = b0 * x + z_before[:, 0, :]
-    return y, z_after[-1]
+    return y, z_after
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _sosfilt_core(sos: jax.Array, x: jax.Array, zi: jax.Array):
+# Recordings rarely share exact lengths, and every distinct jitted
+# shape costs a fresh XLA compile (~5-60 s through a remote TPU
+# tunnel). Pad the frame axis to this quantum and gather the true-end
+# state instead: one compile serves a whole ragged cohort. Causality
+# makes the padding inert — y[:n] and the state at n-1 cannot depend
+# on the zero frames appended after them.
+_FRAME_BUCKET = 4096
+
+
+@jax.jit
+def _sosfilt_core(sos: jax.Array, x: jax.Array, zi: jax.Array,
+                  n_true: jax.Array):
     y = x
     zfs = []
     # Cascade sections sequentially (S is small and static).
     for s in range(sos.shape[0]):
-        y, zf = _biquad_apply(sos[s], y, zi[s])
-        zfs.append(zf)
+        y, z_all = _biquad_apply(sos[s], y, zi[s])
+        zfs.append(z_all[n_true - 1])     # State at the TRUE end.
     return y, jnp.stack(zfs)
 
 
@@ -106,7 +116,12 @@ def sosfilt(sos, x, zi: Optional[jax.Array] = None
         zi = jnp.zeros((sos.shape[0], 2, x.shape[1]), x.dtype)
     else:
         zi = jnp.asarray(zi, x.dtype)
-    return _sosfilt_core(sos, x, zi)
+    n = x.shape[0]
+    padded_n = max(-(-n // _FRAME_BUCKET) * _FRAME_BUCKET, _FRAME_BUCKET)
+    if padded_n != n:
+        x = jnp.pad(x, ((0, padded_n - n), (0, 0)))
+    y, zf = _sosfilt_core(sos, x, zi, jnp.asarray(n, jnp.int32))
+    return y[:n], zf
 
 
 def streaming_state_init(sos: np.ndarray, first_frame: np.ndarray

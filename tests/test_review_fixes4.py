@@ -135,3 +135,87 @@ class TestUtilsFixes:
         payload.append(2)                  # offset 2 (overlapping)
         out = snappy_decompress(bytes(payload))
         assert out == b'abcdabcdcdcd'
+
+
+class TestDecodeSignalFixes:
+    """Round-3 review fixes over decode/ + decide/ + signal/."""
+
+    def test_two_result_store_pre_context_stays_aligned(self):
+        """With pre_context > 0 the first (zero-padded) window must
+        pair with the first label window, not be dropped (was:
+        permanent one-step mislabeling inherited from the reference's
+        nested-loop pairing)."""
+        from telluride_decoding_tpu.decode.result_store import (
+            TwoResultStore)
+        store = TwoResultStore(window_width=10, window_step=5,
+                               pre_context=4)
+        s1 = np.arange(100, dtype=np.float32)[:, None]
+        s2 = np.arange(1000, 1100, dtype=np.float32)[:, None]
+        pairs = []
+        for start in range(0, 100, 7):
+            store.add_data(s1[start:start + 7], s2[start:start + 7])
+            pairs.extend(store.next_window())
+        # Window i of stream 1 covers [i*5 - 4, i*5 + 6) (centered,
+        # zeros before the stream start); window i of stream 2 covers
+        # [i*5, i*5 + 10) (causal).
+        assert len(pairs) > 10
+        for i, (w1, w2) in enumerate(pairs):
+            want1 = np.concatenate(
+                [np.zeros(max(0, 4 - i * 5)),
+                 np.arange(max(0, i * 5 - 4), i * 5 + 6)])
+            np.testing.assert_array_equal(w1[:, 0], want1)
+            np.testing.assert_array_equal(
+                w2[:, 0], 1000 + np.arange(i * 5, i * 5 + 10))
+
+    def test_lda_reduction_without_model_raises_clearly(self):
+        from telluride_decoding_tpu.decode.infer_decoder import Decoder
+        dec = Decoder(lambda d: np.asarray(d['input_1'][:, :2]),
+                      reduction='lda')
+        dec.add_data_correlator(np.random.randn(50, 2),
+                                np.random.randn(50, 2))
+        with pytest.raises(ValueError, match='LDA model'):
+            dec.infer_one({'input_1': np.random.randn(20, 4),
+                           'input_2': np.random.randn(20, 1)},
+                          np.random.randn(20, 2))
+
+    def test_sosfilt_one_compile_across_lengths(self, rng):
+        """Ragged recordings share ONE compiled filter program (frame
+        axis padded to a bucket) and still match scipy exactly,
+        including the carried state at the true end."""
+        import scipy.signal
+        from telluride_decoding_tpu.signal import filters
+        sos = filters.butter_sos(4, 8.0, 'highpass', 100.0)
+        sizes_before = filters._sosfilt_core._cache_size()
+        for n in (333, 1000, 4096, 5000):
+            x = rng.randn(n, 3).astype(np.float32)
+            y, zf = filters.sosfilt(sos, x)
+            want_y, want_zf = scipy.signal.sosfilt(
+                sos, x.astype(np.float64), axis=0,
+                zi=np.zeros((sos.shape[0], 2, 3)))
+            np.testing.assert_allclose(np.asarray(y), want_y,
+                                       atol=2e-4)
+            np.testing.assert_allclose(np.asarray(zf), want_zf,
+                                       atol=2e-4)
+        grew = filters._sosfilt_core._cache_size() - sizes_before
+        assert grew <= 2, grew   # One bucket (<=4096) + one (8192).
+
+    def test_dprime_keeps_float64(self):
+        from telluride_decoding_tpu.decode.metrics import (
+            calculate_dprime)
+        d1 = np.float64([1.0 + 1e-12, 1.0, 1.0 - 1e-12])
+        d2 = np.float64([1.0 + 3e-12, 1.0 + 2e-12, 1.0 + 1e-12])
+        got = calculate_dprime(d1, d2)
+        want = (d2.mean() - d1.mean()) / np.sqrt(
+            (d1.var() + d2.var()) / 2.0)
+        assert got == pytest.approx(float(want), rel=1e-9)
+
+    def test_ssd_constants_cached_until_tune(self):
+        from telluride_decoding_tpu.decide.attention_decoder import (
+            StateSpaceAttentionDecoder)
+        dec = StateSpaceAttentionDecoder(20, 1, 10, 4.0)
+        c1 = dec._constants()
+        assert dec._constants() is c1
+        dec.tune_log_normal_priors(
+            np.abs(np.random.RandomState(0).randn(500)) + 0.1,
+            np.abs(np.random.RandomState(1).randn(500)) * 0.3 + 0.05)
+        assert dec._constants() is not c1
