@@ -184,15 +184,24 @@ class BrainModel:
 
         # One jitted program, cached on the instance: repeated
         # evaluations (jackknife loops) must not recompile per call.
-        if not hasattr(self, '_eval_jit'):
+        # Keyed on the compiled loss: with --loss=pearson the reported
+        # 'loss' must be the pearson training objective (the reference
+        # returns Keras' compiled loss), not the class default.
+        loss_kind = (self._compiled.get('loss')
+                     if hasattr(self, '_compiled') else None)
+        if getattr(self, '_eval_jit_key', ()) != (loss_kind,):
             def program(params, inputs, y_true):
                 y_pred = self.apply(params, inputs)
-                results = {'loss': self._metric(self.loss_name, y_true,
-                                                y_pred)}
+                if loss_kind == 'pearson':
+                    loss = jnp.sum(pearson.pearson_loss(y_true, y_pred))
+                else:
+                    loss = self._metric(self.loss_name, y_true, y_pred)
+                results = {'loss': loss}
                 for name in self.metric_names:
                     results[name] = self._metric(name, y_true, y_pred)
                 return results
             self._eval_jit = jax.jit(program)
+            self._eval_jit_key = (loss_kind,)
         results = self._eval_jit(self.params, inputs, y_true)
         metrics = {k: float(v) for k, v in results.items()}
         if self._tensorboard_dir:
@@ -407,19 +416,14 @@ def _init_mlp(key, widths: Sequence[int]) -> List[Dict[str, jax.Array]]:
     return layers
 
 
-def _apply_mlp(layers, x, final_activation=None, dropout: float = 0.0,
-               rng=None):
-    """Dense stack; training-time dropout on hidden activations when a
-    PRNG key is supplied (inference passes rng=None -> no dropout)."""
+def _apply_mlp(layers, x, final_activation=None):
+    """Dense stack (ReLU hidden layers). Dropout lives in
+    BrainModelDNN._forward, the only model that trains with it."""
     for i, layer in enumerate(layers):
         x = jnp.dot(x, layer['w'], preferred_element_type=jnp.float32)
         x = x + layer['b']
         if i < len(layers) - 1:
             x = jax.nn.relu(x)
-            if dropout > 0.0 and rng is not None:
-                rng, sub = jax.random.split(rng)
-                keep = jax.random.bernoulli(sub, 1.0 - dropout, x.shape)
-                x = jnp.where(keep, x / (1.0 - dropout), 0.0)
         elif final_activation is not None:
             x = final_activation(x)
     return x
@@ -448,7 +452,13 @@ class _SgdModel(BrainModel):
             # the attribute.
             self._fit_arrays = (in1, in2, out)
         batch_size = min(batch_size, n)
-        num_batches = max(n // batch_size, 1)
+        # Ceil, not floor: the reference's Keras fit trains on the
+        # partial last batch too; flooring silently dropped up to
+        # batch_size-1 frames per epoch (49% of a 1000-frame corpus at
+        # the default 512). The shortfall wraps to the permutation's
+        # head, so a handful of frames get a second gradient instead
+        # of many getting none.
+        num_batches = max(-(-n // batch_size), 1)
         lr = self._compiled.get('learning_rate', 1e-3)
         opt = optax.adam(lr)
         if self.params is None:
@@ -462,8 +472,10 @@ class _SgdModel(BrainModel):
             def epoch_step(carry, key):
                 params, opt_state = carry
                 perm_key, drop_key = jax.random.split(key)
-                perm = jax.random.permutation(
-                    perm_key, n)[:num_batches * batch_size]
+                perm = jax.random.permutation(perm_key, n)
+                pad = num_batches * batch_size - n
+                if pad:
+                    perm = jnp.concatenate([perm, perm[:pad]])
                 perm = perm.reshape(num_batches, batch_size)
                 drop_keys = jax.random.split(drop_key, num_batches)
 
@@ -631,14 +643,15 @@ class BrainModelDNN(_SgdModel):
             # on the instance.
             try:
                 in1, _, _ = self._fit_arrays
-
-                @jax.jit
-                def population_stats(params, x):
-                    _, stats = self._forward(params, x, training=True,
-                                             collect_stats=True)
-                    return stats
-
-                stats = population_stats(self.params, jnp.asarray(in1))
+                if not hasattr(self, '_popstats_jit'):
+                    # Cached like the trainer: a refit loop must not
+                    # recompile the population pass every iteration.
+                    self._popstats_jit = jax.jit(
+                        lambda params, x: self._forward(
+                            params, x, training=True,
+                            collect_stats=True)[1])
+                stats = self._popstats_jit(self.params,
+                                           jnp.asarray(in1))
             finally:
                 self._fit_arrays = None
             bn = [dict(entry, mean=mean, var=var)
@@ -706,6 +719,5 @@ class BrainModelClassifier(_SgdModel):
     def _loss_fn(self, params, inputs, y_true, rng=None):
         del rng
         y_pred = self.apply(params, inputs)
-        eps = 1e-7
-        p = jnp.clip(y_pred, eps, 1 - eps)
-        return -jnp.mean(y_true * jnp.log(p) + (1 - y_true) * jnp.log(1 - p))
+        # Same implementation as the reported metric, by construction.
+        return self._metric('binary_crossentropy', y_true, y_pred)

@@ -27,6 +27,11 @@ def pearson_correlation(x: jax.Array, y: jax.Array) -> jax.Array:
         x = x[:, None]
     if y.ndim == 1:
         y = y[:, None]
+    if x.shape[-1] != y.shape[-1]:
+        # The reference asserts equal widths (brain_model.py:60-62);
+        # silently broadcasting would return plausible-looking garbage.
+        raise ValueError('pearson_correlation needs equal widths, got '
+                         '%s vs %s.' % (x.shape, y.shape))
     x_m = x - jnp.mean(x, axis=0)
     y_m = y - jnp.mean(y, axis=0)
     x_p = jnp.sum(jnp.square(x_m), axis=0)
@@ -48,6 +53,12 @@ def pearson_correlation_first(x: jax.Array, y: jax.Array) -> jax.Array:
 
 def pearson_correlation_second(x: jax.Array, y: jax.Array) -> jax.Array:
     """Correlation of the second output dimension (reference metric)."""
+    if jnp.asarray(x).ndim >= 2 and jnp.asarray(x).shape[-1] < 2:
+        # JAX clamps out-of-range indices, which would silently return
+        # the FIRST dimension's correlation; the reference errors.
+        raise ValueError('pearson_correlation_second needs >= 2 output '
+                         'dimensions, got shape %s.'
+                         % (jnp.asarray(x).shape,))
     return pearson_correlation(x, y)[1]
 
 

@@ -52,6 +52,24 @@ def _scatter_matrices(x: jnp.ndarray, onehot: jnp.ndarray):
     return sw, sb, means
 
 
+# Distinct sample counts would each trigger a fresh XLA compile
+# (5-60 s per compile through a remote TPU tunnel; LDA refits happen
+# once per decoder in a cohort). Zero-padded rows with all-zero onehot
+# contribute exactly nothing to counts/sums/sxx, so padding the sample
+# axis to a bucket is exact and one compile serves every fit.
+_LDA_SAMPLE_BUCKET = 2048
+
+
+def _lda_fit_bucketed(x: jnp.ndarray, onehot: jnp.ndarray):
+    n = x.shape[0]
+    padded = max(-(-n // _LDA_SAMPLE_BUCKET) * _LDA_SAMPLE_BUCKET,
+                 _LDA_SAMPLE_BUCKET)
+    if padded != n:
+        x = jnp.pad(x, ((0, padded - n), (0, 0)))
+        onehot = jnp.pad(onehot, ((0, padded - n), (0, 0)))
+    return _lda_fit_kernel(x, onehot)
+
+
 @jax.jit
 def _lda_fit_kernel(x: jnp.ndarray, onehot: jnp.ndarray):
     sw, sb, means = _scatter_matrices(x, onehot)
@@ -140,8 +158,8 @@ class LinearDiscriminantAnalysis:
         self._labels = sorted(set(np.asarray(y).tolist()))
         onehot = np.stack([(y == label).astype(np.float32)
                            for label in self._labels], axis=1)
-        w, vals, means = _lda_fit_kernel(jnp.asarray(x, jnp.float32),
-                                         jnp.asarray(onehot))
+        w, vals, means = _lda_fit_bucketed(jnp.asarray(x, jnp.float32),
+                                           jnp.asarray(onehot))
         means = np.asarray(means)
         self._mean_vectors = [means[i] for i in range(len(self._labels))]
         num_dims = x.shape[1]
@@ -171,6 +189,14 @@ class LinearDiscriminantAnalysis:
     def explained_variance_ratio(self) -> np.ndarray:
         if self._w is None:
             raise ValueError("Must fit the model before transforming.")
+        if self._eigen_vals is None:
+            # A decoder restored via model_parameters carries only the
+            # projection (the JSON schema has no eigenvalues); without
+            # them the ratio is undefined — raise instead of
+            # TypeError-ing on None / None.
+            raise ValueError("Eigenvalues unavailable: this LDA was "
+                             "restored from serialized parameters; "
+                             "explained_variance_ratio needs a fit().")
         return self._eigen_vals / np.sum(self._eigen_vals)
 
 

@@ -78,12 +78,17 @@ def solve_ridge_from_moments(stats: MomentStats,
     n_col = cov_x.shape[0]
     eye = jnp.eye(n_col, dtype=cov_x.dtype)
 
-    # Zero-centered scatter (reference brain_model.py:449-452: note it is
-    # the *unnormalized* sum minus the outer product of means).
     mean_aug = (jnp.concatenate([stats.sum_x, n[None]]) / n if use_offset
                 else stats.sum_x / n)
-    cov_x_zc = szz - jnp.outer(mean_aug, mean_aug)
-    mu = jnp.trace(cov_x_zc) / n_col
+    # Eigenvalue-mean target for the Blankertz/LW blend, from the
+    # NORMALIZED centered covariance. The reference blends the
+    # normalized cov_x with a mu computed from the UNNORMALIZED
+    # scatter (brain_model.py:450-453 vs :476) — a scale mismatch
+    # that makes the identity term ~N times the covariance, so any
+    # shrinkage (fixed or auto) collapses the solved weights toward
+    # zero. Deliberate deviation: consistent normalization.
+    czc = szz / n - jnp.outer(mean_aug, mean_aug)
+    mu_n = jnp.trace(czc) / n_col
 
     lamb = jnp.asarray(lamb, cov_x.dtype)
     if use_ridge:
@@ -96,11 +101,6 @@ def solve_ridge_from_moments(stats: MomentStats,
             # to *unnormalized* scatter sums, which degenerates for
             # large N; here all quantities are normalized per the paper
             # (and sklearn), and the result is clipped to [0, 1].
-            # NOT cov_x_zc / n: that would subtract outer(mean, mean)/n
-            # instead of outer(mean, mean) — the reference's scatter
-            # quirk is reproduced above only for the Blankertz mu.
-            czc = szz / n - jnp.outer(mean_aug, mean_aug)
-            mu_n = jnp.trace(czc) / n_col
             delta = jnp.sum((czc - mu_n * eye) ** 2) / n_col
             # Ledoit-Wolf (sklearn form): beta_ =
             #   (sum(Xc^2' Xc^2)/n - ||S||_F^2) / (p * n).
@@ -115,7 +115,7 @@ def solve_ridge_from_moments(stats: MomentStats,
             # 0 = no shrinkage rather than a non-PSD blend).
             shrinkage = jnp.clip(lamb, 0.0, 1.0)
         # Blankertz eq. 12: shrink eigenvalues toward the mean.
-        cov_r = (1.0 - shrinkage) * cov_x + shrinkage * mu * eye
+        cov_r = (1.0 - shrinkage) * cov_x + shrinkage * mu_n * eye
 
     solution = jnp.linalg.solve(cov_r, cov_xy)
     if use_offset:

@@ -219,3 +219,110 @@ class TestDecodeSignalFixes:
             np.abs(np.random.RandomState(0).randn(500)) + 0.1,
             np.abs(np.random.RandomState(1).randn(500)) * 0.3 + 0.05)
         assert dec._constants() is not c1
+
+
+class TestModelsSolversFixes:
+    """Round-3 review fixes over models/ + solvers/ + ops/."""
+
+    def test_shrinkage_recovers_planted_weights(self, rng):
+        """Blankertz/LW blends use the NORMALIZED eigenvalue mean; the
+        reference's unnormalized-scatter mu made the identity term ~N
+        times the covariance and collapsed weights toward zero."""
+        from telluride_decoding_tpu.solvers.ridge import (
+            calculate_linear_regressor_parameters)
+        w = rng.randn(4, 1).astype(np.float32)
+        for n in (500, 5000):
+            x = rng.randn(n, 4).astype(np.float32)
+            y = x @ w + 0.1 * rng.randn(n, 1).astype(np.float32)
+            for lamb in (-1, 0.05):
+                sol = calculate_linear_regressor_parameters(
+                    x, y, lamb=lamb, use_ridge=False)
+                np.testing.assert_allclose(np.asarray(sol.w), w,
+                                           atol=0.1)
+
+    def test_pearson_width_mismatch_raises(self, rng):
+        from telluride_decoding_tpu.ops.pearson import (
+            pearson_correlation, pearson_correlation_second)
+        with pytest.raises(ValueError, match='equal widths'):
+            pearson_correlation(rng.randn(50, 3), rng.randn(50, 1))
+        with pytest.raises(ValueError, match='2 output dimensions'):
+            pearson_correlation_second(rng.randn(50, 1),
+                                       rng.randn(50, 1))
+
+    def test_sgd_fit_uses_all_frames(self, rng):
+        """n=96, batch_size=64: the floor division trained on only 64
+        frames/epoch. A linearly-solvable problem must now converge
+        with frames that only appear in the remainder batch."""
+        from telluride_decoding_tpu.models.brain_model import (
+            BrainModelDNN)
+        n = 96
+        x = rng.randn(n, 3).astype(np.float32)
+        w = rng.randn(3, 1).astype(np.float32)
+        y = x @ w
+        model = BrainModelDNN(input_width=3, output_width=1,
+                              num_hidden_list=[])
+        model.compile(learning_rate=0.05)
+        data = [({'input_1': x, 'input_2': x[:, :1]}, y)]
+        model.fit(data, epochs=300, batch_size=64)
+        res = model.evaluate(data)
+        assert res['pearson_correlation_first'] > 0.98
+
+    def test_evaluate_reports_compiled_pearson_loss(self, rng):
+        from telluride_decoding_tpu.models.brain_model import (
+            BrainModelDNN)
+        from telluride_decoding_tpu.ops.pearson import pearson_loss
+        x = rng.randn(200, 3).astype(np.float32)
+        y = (x[:, :1] * 2.0).astype(np.float32)
+        data = [({'input_1': x, 'input_2': x[:, :1]}, y)]
+        model = BrainModelDNN(input_width=3, output_width=1,
+                              num_hidden_list=[4])
+        model.compile(learning_rate=0.01, loss='pearson')
+        model.fit(data, epochs=5, batch_size=100)
+        res = model.evaluate(data)
+        pred = model.predict(data)
+        want = float(np.sum(np.asarray(pearson_loss(y, pred))))
+        assert res['loss'] == pytest.approx(want, abs=1e-4)
+        # And mse compile still reports mse.
+        model2 = BrainModelDNN(input_width=3, output_width=1,
+                               num_hidden_list=[4])
+        model2.compile(learning_rate=0.01)
+        model2.fit(data, epochs=2, batch_size=100)
+        res2 = model2.evaluate(data)
+        pred2 = model2.predict(data)
+        assert res2['loss'] == pytest.approx(
+            float(np.mean((pred2 - y) ** 2)), abs=1e-5)
+
+    def test_lda_bucketed_one_compile_and_parity(self, rng):
+        from telluride_decoding_tpu.solvers import lda as lda_mod
+        sizes_before = lda_mod._lda_fit_kernel._cache_size()
+        results = []
+        for n in (333, 1000, 2048):
+            x = np.concatenate([rng.randn(n, 2) + [2, 0],
+                                rng.randn(n, 2) - [2, 0]]).astype(
+                                    np.float32)
+            y = np.concatenate([np.zeros(n), np.ones(n)])
+            m = lda_mod.ScaledLinearDiscriminantAnalysis()
+            out = m.fit_transform(x, y)
+            results.append(out)
+            # Class means map exactly to 0/1 regardless of padding.
+            assert np.mean(out[:n, 0]) == pytest.approx(0.0, abs=1e-4)
+            assert np.mean(out[n:, 0]) == pytest.approx(1.0, abs=1e-4)
+        grew = lda_mod._lda_fit_kernel._cache_size() - sizes_before
+        assert grew <= 2, grew    # 1024-ish buckets: 2048 and 4096.
+
+    def test_lda_restored_variance_ratio_raises_clearly(self, rng):
+        from telluride_decoding_tpu.solvers.lda import (
+            ScaledLinearDiscriminantAnalysis)
+        x = np.concatenate([rng.randn(50, 2) + [2, 0],
+                            rng.randn(50, 2) - [2, 0]]).astype(
+                                np.float32)
+        y = np.concatenate([np.zeros(50), np.ones(50)])
+        src = ScaledLinearDiscriminantAnalysis()
+        src.fit(x, y)
+        dst = ScaledLinearDiscriminantAnalysis()
+        dst.model_parameters = src.model_parameters
+        with pytest.raises(ValueError, match='Eigenvalues unavailable'):
+            dst.explained_variance_ratio()
+        # The restored projection itself still works.
+        np.testing.assert_allclose(dst.transform(x), src.transform(x),
+                                   atol=1e-5)
