@@ -124,6 +124,18 @@ def run_cohort_sweep(my_flags, subjects: Dict[str, str],
                      results_csv_file: Optional[str] = None):
     """The whole cohort's sweep; returns ({subject: SweepResult},
     (mean, std) per lambda)."""
+    if my_flags.dnn_regressor not in ('linear', 'linear_with_bias',
+                                      'cca'):
+        # Silently running a ridge sweep for a requested DNN/DCCA
+        # cohort would be wrong-model science with a correct-looking
+        # CSV. (regression.py routes those through the general
+        # per-model path; the cohort driver covers the deterministic
+        # family only.)
+        raise ValueError(
+            'tdt-cohort supports the deterministic sweep models '
+            "(linear, linear_with_bias, cca), not %r. Run "
+            'tdt-regression per subject for SGD models.'
+            % my_flags.dnn_regressor)
     cohort = load_cohort(subjects, my_flags)
     mesh = engine.default_mesh('subject')
     model = ('cca' if my_flags.dnn_regressor == 'cca' else 'ridge')
@@ -163,6 +175,12 @@ def main(argv):
         enable_persistent_compilation_cache)
     enable_persistent_compilation_cache()
     my_flags = decoding.DecodingOptions().set_flags(FLAGS)
+    if FLAGS['dnn_regressor'].using_default_value:
+        # The decoding-driver default is 'fullyconnected'; the cohort
+        # driver's sweep family is deterministic, so an untouched flag
+        # means the linear preset (explicit non-sweep models still
+        # raise in run_cohort_sweep).
+        my_flags.dnn_regressor = 'linear'
     subjects = discover_subjects(FLAGS.cohort_dir, FLAGS.subject_dir)
     regularization_list = regression.parse_regularization_values(
         FLAGS.regularization_list)

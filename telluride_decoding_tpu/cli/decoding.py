@@ -447,7 +447,12 @@ def run_decoding_experiment(my_flags: DecodingOptions
             train_file_pattern=my_flags.train_file_pattern,
             validate_file_pattern=my_flags.validate_file_pattern,
             test_file_pattern=my_flags.test_file_pattern)
-        some_dataset = test_brain_data.create_dataset('train')
+        # Shape-only stand-in: the model factory and add_metadata need
+        # element widths, not data. Materializing the dense train
+        # split here held a full 37x lag-stacked copy of the corpus
+        # for the whole experiment — and defeated the bounded-memory
+        # streaming fit on exactly the corpora it exists for.
+        some_dataset = test_brain_data.spec_dataset()
 
     test_model = create_brain_model(my_flags, some_dataset)
     test_model.add_tensorboard_summary(

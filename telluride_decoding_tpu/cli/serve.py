@@ -222,10 +222,14 @@ def serve_stream(model_dir: str, eeg: np.ndarray, audio1: np.ndarray,
     """Replays a recorded stream through the server; returns decisions."""
     from telluride_decoding_tpu.cli.infer import load_model
     decoder = load_model(model_dir, reduction)
-    audio1 = np.atleast_2d(audio1.astype(np.float32))
-    audio2 = np.atleast_2d(audio2.astype(np.float32))
-    if audio1.shape[0] == 1:
-        audio1, audio2 = audio1.T, audio2.T
+    def orient(a):
+        # Each array independently: an npz with audio1 stored [N, 1]
+        # but audio2 stored flat [N] used to leave audio2 as [1, N]
+        # and crash the server mid-stream.
+        a = np.atleast_2d(np.asarray(a, np.float32))
+        return a.T if a.shape[0] == 1 else a
+    audio1 = orient(audio1)
+    audio2 = orient(audio2)
     server = StreamingAttentionServer(
         decoder, eeg_channels=eeg.shape[1],
         audio_channels=audio1.shape[1], window_width=window_width,

@@ -424,6 +424,20 @@ class BrainData:
             total = stats if total is None else total + stats
         return total
 
+    def spec_dataset(self) -> 'BrainDataset':
+        """Zero-row BrainDataset carrying only this source's element
+        widths — for model sizing and metadata embedding WITHOUT
+        materializing the corpus (building the dense train split just
+        to read its shapes defeated the bounded-memory streaming
+        path's whole point)."""
+        def z(width):
+            return np.zeros((0, width), np.float32)
+        return BrainDataset(z(self.input_fields_width(1)),
+                            z(self.input_fields_width(2)),
+                            z(self.output_field_width()), z(1),
+                            batch_size=self.final_batch_size,
+                            mode='train', shuffle=False)
+
     def _files_or_raise(self, mode: str) -> List[str]:
         filename_list = self.filter_file_names(mode)
         if not filename_list:

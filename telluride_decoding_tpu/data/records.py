@@ -94,7 +94,13 @@ def _write_varint(out: bytearray, value: int):
 def _read_varint(buf: memoryview, pos: int) -> Tuple[int, int]:
     result = 0
     shift = 0
+    end = len(buf)
     while True:
+        if pos >= end or shift > 63:
+            # Truncated or runaway varint in a (non-CRC-validated)
+            # payload: report as corruption, not a bare IndexError.
+            raise CorruptRecordError(
+                'truncated or oversized varint at byte %d' % pos)
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -473,11 +479,15 @@ def read_tfrecords(path: str,
             # record's schema (feature count + key hash); any record
             # differing from record 0 punts to the python path, which
             # raises the detailed inconsistent-records error.
-            ok, nfeat, keyhash = _native_validate(data, offsets,
-                                                  lengths)
-            schema_ok = (ok == len(offsets) and
-                         bool(np.all(nfeat == nfeat[0])) and
-                         bool(np.all(keyhash == keyhash[0])))
+            schema_ok = False
+            if all_float:
+                # Skip the whole-file C validation scan when record 0
+                # already rules out the fast path (non-float feature).
+                ok, nfeat, keyhash = _native_validate(data, offsets,
+                                                      lengths)
+                schema_ok = (ok == len(offsets) and
+                             bool(np.all(nfeat == nfeat[0])) and
+                             bool(np.all(keyhash == keyhash[0])))
             if all_float and schema_ok:
                 from telluride_decoding_tpu import _native
                 import ctypes

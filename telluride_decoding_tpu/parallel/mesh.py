@@ -49,7 +49,7 @@ def shard_frames(x: np.ndarray, mesh: Mesh, axis: str = 'data'
     pass the true frame count to sharded_moments (count=N) or the
     padded count will bias means/covariances.
     """
-    num = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    num = int(mesh.shape[axis])
     n = x.shape[0]
     pad = (-n) % num
     if pad:

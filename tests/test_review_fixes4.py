@@ -326,3 +326,131 @@ class TestModelsSolversFixes:
         # The restored projection itself still works.
         np.testing.assert_allclose(dst.transform(x), src.transform(x),
                                    atol=1e-5)
+
+
+class TestDataCliFixes:
+    """Round-3 review fixes over data/ + cli/ + parallel/."""
+
+    def test_spec_dataset_sizes_without_materializing(self, tmp_path,
+                                                      rng):
+        from telluride_decoding_tpu.data import brain_data, records
+        d = tmp_path / 'r'
+        d.mkdir()
+        records.convert_data_to_tfrecords(
+            {'eeg': rng.randn(50, 4).astype(np.float32),
+             'env': rng.randn(50, 2).astype(np.float32)},
+            str(d / 't00.tfrecords'))
+        bd = brain_data.TFExampleData(
+            'eeg', 'env', 100.0, pre_context=2, post_context=2,
+            data_dir=str(d), train_file_pattern='t')
+        spec = bd.spec_dataset()
+        spec_in, spec_out = spec.element_spec
+        assert spec_in['input_1'][0] == 4 * 5
+        assert spec_out[0] == 2
+        assert spec.num_frames == 0          # Nothing materialized.
+
+    def test_run_decoding_experiment_never_loads_dense_train_when_streaming(
+            self, tmp_path, rng, monkeypatch):
+        """With auto-streaming active, the driver must NOT materialize
+        the dense lag-stacked train split anywhere (was: a full copy
+        was built at data_discovery just to read shapes)."""
+        from telluride_decoding_tpu.cli import decoding
+        from telluride_decoding_tpu.data import brain_data, records
+        d = tmp_path / 'r'
+        d.mkdir()
+        for t in range(3):
+            eeg = rng.randn(400, 4).astype(np.float32)
+            records.convert_data_to_tfrecords(
+                {'eeg': eeg, 'intensity': eeg[:, :1] * 2.0},
+                str(d / ('t%02d.tfrecords' % t)))
+        monkeypatch.setenv('TDT_STREAMING_AUTO_BYTES', '1')
+        orig = brain_data.BrainData.load_arrays
+        train_loads = []
+
+        def spy(self, mode, temporal_context=True):
+            if mode == 'train':
+                train_loads.append(mode)
+            return orig(self, mode, temporal_context)
+
+        monkeypatch.setattr(brain_data.BrainData, 'load_arrays', spy)
+        flags_ = decoding.DecodingOptions().set_from_dict(dict(
+            tfexample_dir=str(d),
+            input_field='eeg', output_field='intensity',
+            attended_field='', dnn_regressor='linear',
+            regularization_lambda=1e-4, pre_context=0, post_context=4,
+            batch_size=100,
+            train_file_pattern='allbut', validate_file_pattern='t02',
+            test_file_pattern='t02', shuffle_buffer_size=0,
+            summary_dir=str(tmp_path / 's'),
+            saved_model_dir=str(tmp_path / 'm')))
+        _, test_results, _ = decoding.run_decoding_experiment(flags_)
+        assert test_results['pearson_correlation_first'] > 0.97
+        assert not train_loads, 'dense train split was materialized'
+
+    def test_cohort_rejects_sgd_models(self, tmp_path, rng):
+        from telluride_decoding_tpu.cli import cohort, decoding
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            dnn_regressor='dcca'))
+        with pytest.raises(ValueError, match='tdt-cohort supports'):
+            cohort.run_cohort_sweep(my_flags, {'s': '/nonexistent'},
+                                    [1e-4])
+
+    def test_serve_stream_orients_each_audio_independently(
+            self, tmp_path, rng):
+        from telluride_decoding_tpu.cli import serve
+        from tests.test_serve import _toy_model_dir
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng, pre=0,
+                                            post=0)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        want = serve.serve_stream(model_dir, eeg, a1, a2,
+                                  chunk_size=40, reduction='first',
+                                  window_width=100, window_step=100)
+        # audio2 flat [N] (np.savez-style dropped trailing dim).
+        got = serve.serve_stream(model_dir, eeg, a1, a2[:, 0],
+                                 chunk_size=40, reduction='first',
+                                 window_width=100, window_step=100)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g['score1'] == pytest.approx(w['score1'], abs=1e-6)
+
+    def test_corrupt_varint_raises_corrupt_record_error(self):
+        from telluride_decoding_tpu.data import records
+        # 0x80-continuation bytes forever: runaway varint.
+        bad = bytes([0x80] * 12)
+        with pytest.raises(records.CorruptRecordError,
+                           match='varint'):
+            records.parse_example(bad)
+
+    def test_regression_cli_honors_max_test_count(self, tmp_path, rng):
+        import subprocess, sys
+        d = tmp_path / 'r'
+        d.mkdir()
+        from telluride_decoding_tpu.data import records
+        w = rng.randn(4, 1).astype(np.float32)
+        for t in range(4):
+            eeg = rng.randn(200, 4).astype(np.float32)
+            records.convert_data_to_tfrecords(
+                {'eeg': eeg, 'intensity': eeg @ w},
+                str(d / ('t%02d.tfrecords' % t)))
+        repo = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS='',
+                   JAX_PLATFORMS='cpu',
+                   PYTHONPATH=repo + os.pathsep + os.environ.get(
+                       'PYTHONPATH', ''))
+        env.pop('XLA_FLAGS', None)
+        proc = subprocess.run(
+            [sys.executable, '-m',
+             'telluride_decoding_tpu.cli.regression',
+             '--test_name', 'telluride4_linear',
+             '--tfexample_dir', str(d), '--output_field', 'intensity',
+             '--post_context', '2', '--max_test_count', '2',
+             '--regularization_list', '1e-4',
+             '--results_csv_file', str(tmp_path / 'r.csv'),
+             '--summary_base_dir', str(tmp_path / 's')],
+            env=env, capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        import csv as _csv
+        rows = list(_csv.reader(open(tmp_path / 'r.csv')))
+        assert len(rows[0]) == 1 + 2     # lambda + TWO held-out files.
