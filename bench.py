@@ -56,7 +56,6 @@ import numpy as np  # noqa: E402
 
 # The flagship model definition is shared with the driver entry point
 # (one source of truth for the codelab-scale shapes and parameters).
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from __graft_entry__ import CCA_DIMS as DIMS  # noqa: E402,F401
 from __graft_entry__ import IN1_WIDTH as IN1  # noqa: E402
 from __graft_entry__ import IN2_WIDTH as IN2  # noqa: E402

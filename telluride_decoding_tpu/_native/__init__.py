@@ -62,8 +62,13 @@ def lib() -> Optional[ctypes.CDLL]:
         if _TRIED:
             return _LIB
         try:
-            if not os.path.exists(_SO) or (
-                    os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            # A prebuilt .so without the source (deployed package,
+            # deleted .cc) is simply NOT stale — getmtime on a missing
+            # source must not discard a loadable library.
+            stale = not os.path.exists(_SO)
+            if not stale and os.path.exists(_SRC):
+                stale = os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            if stale:
                 # Per-process tmp name: concurrent first-use builds
                 # (parallel test workers / CLI jobs) must not write the
                 # same path — a shared '.tmp' could be os.replace()d by

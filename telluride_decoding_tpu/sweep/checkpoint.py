@@ -86,7 +86,12 @@ class SweepCheckpoint:
 
     def assemble(self) -> Optional[np.ndarray]:
         """Full [L, F] matrix if every tile is present, else None."""
-        result = np.full((len(self._lambdas), len(self._files)), np.nan)
+        result = np.zeros((len(self._lambdas), len(self._files)))
+        # Coverage tracked with an explicit mask, not a NaN sentinel:
+        # correlations can be legitimately NaN (shrinkage at lamb=0 on
+        # rank-deficient data has no eig fallback by design), and a
+        # sentinel would brand such a COMPLETE checkpoint unrecoverable.
+        covered = np.zeros(result.shape, bool)
         for tile_id, spans in self._manifest['tiles'].items():
             if not os.path.exists(self._tile_path(tile_id)):
                 return None
@@ -94,7 +99,8 @@ class SweepCheckpoint:
             l0, l1 = spans['lambda']
             f0, f1 = spans['file']
             result[l0:l1, f0:f1] = tile
-        if np.any(np.isnan(result)):
+            covered[l0:l1, f0:f1] = True
+        if not covered.all():
             return None
         return result
 

@@ -30,7 +30,6 @@ import numpy as np
 
 from telluride_decoding_tpu.ops.covariance import (MomentStats,
                                                    moments_from_arrays)
-from telluride_decoding_tpu.solvers.cca import solve_cca_from_moments
 from telluride_decoding_tpu.solvers.ridge import solve_ridge_from_moments
 
 
@@ -135,11 +134,11 @@ def _total_minus(stacked: MomentStats, total: MomentStats,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('use_ridge', 'chol', 'force_eig'))
+                   static_argnames=('use_ridge', 'force_eig'))
 def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
                          xs: jax.Array, ys: jax.Array, masks: jax.Array,
                          lambdas: jax.Array, use_ridge: bool = True,
-                         chol: bool = True, force_eig: bool = False):
+                         force_eig: bool = False):
     """[L, F] held-out correlations from per-file stats + padded data.
 
     Files evaluate in one vmap (they share nothing); the lambda axis
@@ -147,7 +146,7 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
     [F, D, D] covariance batch instead of [L, F, D, D] — at codelab
     width (D=2554) the fully-vmapped grid would need ~35 GB of HBM.
 
-    With chol (the default for true ridge), each solve factors the SPD
+    For true ridge, each solve factors the SPD
     normal matrix via Cholesky — half the FLOPs of LU and much better
     MXU blocking on TPU. lamb == 0 on a rank-deficient covariance has
     no unique solution and yields NaNs under Cholesky OR LU; the
@@ -158,8 +157,7 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
     import jax.scipy.linalg as jsl
     num_files = xs.shape[0]
 
-    if (chol and use_ridge and not force_eig
-            and lambdas.shape[0] < 24):
+    if use_ridge and not force_eig and lambdas.shape[0] < 24:
         # The leave-one-out augmented covariance is lambda-INDEPENDENT:
         # build each file's symmetrized szz/n + szy/n ONCE ([F, D, D],
         # ~1 GB at codelab width — the same transient each lambda

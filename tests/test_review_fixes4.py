@@ -454,3 +454,62 @@ class TestDataCliFixes:
         import csv as _csv
         rows = list(_csv.reader(open(tmp_path / 'r.csv')))
         assert len(rows[0]) == 1 + 2     # lambda + TWO held-out files.
+
+
+class TestSweepNativeEntryFixes:
+    """Round-3 review fixes over sweep/, _native/, and entry scripts."""
+
+    def test_checkpoint_assemble_tolerates_nan_correlations(
+            self, tmp_path):
+        """A tile containing legitimately-NaN correlations (shrinkage
+        at lambda=0 on rank-deficient data) must still assemble once
+        all tiles exist (was: NaN doubled as the missing sentinel)."""
+        from telluride_decoding_tpu.sweep.checkpoint import (
+            SweepCheckpoint)
+        ckpt = SweepCheckpoint(str(tmp_path), [0.0, 1.0],
+                               ['f0', 'f1'])
+        tile = np.array([[np.nan, 0.5]])
+        ckpt.save_tile('l0-1', tile, slice(0, 1), slice(0, 2))
+        assert ckpt.assemble() is None          # Missing second tile.
+        ckpt.save_tile('l1-2', np.array([[0.7, 0.8]]),
+                       slice(1, 2), slice(0, 2))
+        out = ckpt.assemble()
+        assert out is not None
+        assert np.isnan(out[0, 0]) and out[0, 1] == 0.5
+        assert out[1, 0] == 0.7
+
+    def test_native_lib_loads_without_source(self, tmp_path,
+                                             monkeypatch):
+        """A prebuilt .so with the .cc missing must load, not silently
+        fall back to the pure-Python codec."""
+        import shutil
+        from telluride_decoding_tpu import _native
+        lib0 = _native.lib()
+        if lib0 is None:
+            pytest.skip('native build unavailable')
+        so_copy = tmp_path / 'libtdt_records.so'
+        shutil.copy(_native._SO, so_copy)
+        monkeypatch.setattr(_native, '_SO', str(so_copy))
+        monkeypatch.setattr(_native, '_SRC',
+                            str(tmp_path / 'missing.cc'))
+        monkeypatch.setattr(_native, '_LIB', None)
+        monkeypatch.setattr(_native, '_TRIED', False)
+        assert _native.lib() is not None
+
+    def test_dryrun_multichip_single_device(self):
+        """dryrun_multichip(1) must not NaN out (leave-one-out with
+        one file trained on zero frames)."""
+        import subprocess, sys
+        repo = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS='',
+                   JAX_PLATFORMS='cpu', _GRAFT_DRYRUN_CHILD='1')
+        env.pop('XLA_FLAGS', None)
+        proc = subprocess.run(
+            [sys.executable, '-c',
+             'import sys; sys.path.insert(0, %r); '
+             'import __graft_entry__ as g; g.dryrun_multichip(1)'
+             % repo],
+            env=env, capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, (proc.stdout + proc.stderr)[-2000:]
+        assert 'dryrun_multichip OK' in proc.stdout

@@ -94,22 +94,30 @@ class TestCcaSweep:
         assert result.correlations.shape == (2, 3)
         assert np.all(result.correlations[0] > 0.8)
 
-    def test_ridge_chol_matches_lu(self, rng):
-        """Cholesky solves (default) must equal the LU program."""
+    def test_ridge_chol_matches_direct_lu_solves(self, rng):
+        """The hoisted-Cholesky grid must equal per-(lambda, file) LU
+        solves through solve_ridge_from_moments."""
         import jax
         import jax.numpy as jnp
         from telluride_decoding_tpu.sweep.engine import (
-            _ridge_sweep_program, _stacked_moments, pad_and_stack)
+            _masked_pearson_first, _ridge_sweep_program,
+            _stacked_moments, _total_minus, pad_and_stack)
         xs, ys = _files(rng)
         xsp, masks = pad_and_stack(xs)
         ysp, _ = pad_and_stack([np.asarray(y) for y in ys])
         stacked = _stacked_moments(xsp, ysp, masks, want_syy=False)
         total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
         lambdas = jnp.asarray([1e-4, 0.1, 10.0], jnp.float32)
-        lu = np.asarray(_ridge_sweep_program(stacked, total, xsp, ysp,
-                                             masks, lambdas, chol=False))
         ch = np.asarray(_ridge_sweep_program(stacked, total, xsp, ysp,
-                                             masks, lambdas, chol=True))
+                                             masks, lambdas))
+        lu = np.zeros_like(ch)
+        for li, lamb in enumerate(np.asarray(lambdas)):
+            for f in range(len(xs)):
+                ts = _total_minus(stacked, total, jnp.asarray(f))
+                sol = solve_ridge_from_moments(ts, float(lamb))
+                pred = xsp[f] @ sol.w + sol.b
+                lu[li, f] = float(_masked_pearson_first(
+                    ysp[f], pred, masks[f]))
         np.testing.assert_allclose(ch, lu, atol=2e-3)
 
     def test_ridge_singular_lambda0_falls_back_to_eig(self, rng):
