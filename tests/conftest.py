@@ -45,3 +45,63 @@ def reference_test_data():
     if not os.path.isdir(REFERENCE_TEST_DATA):
         pytest.skip("reference test data not available")
     return REFERENCE_TEST_DATA
+
+
+@pytest.fixture
+def cpu_subprocess_env():
+    """Env for child processes that must run single-device CPU JAX:
+    repo on PYTHONPATH, axon registration disabled, and the 8-device
+    XLA flag removed (children validate what real single-device users
+    run). One definition so the recipe cannot drift per test file."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu',
+               PYTHONPATH=repo + os.pathsep + os.environ.get(
+                   'PYTHONPATH', ''))
+    env.pop('XLA_FLAGS', None)
+    return env
+
+
+def build_impaired_tree(rng, root, frames=200, channels=4,
+                        num_trials=48, num_dual=32):
+    """One subject's BIDS-like tree in the jens_impaired dataset layout
+    (shared by test_jens_impaired + test_mock_downloads: events.tsv
+    with target/masker onsets, 24-bit BDF EEG at 512 Hz, derivatives/
+    stimuli .mat features). Returns (trigger_starts, eeg)."""
+    import scipy.io as spio
+    from telluride_decoding_tpu.io.edf import write_edf
+    subject = 'sub-001'
+    eeg_dir = root / subject / 'eeg'
+    eeg_dir.mkdir(parents=True)
+    total = num_trials * (frames + 50) + 500
+    eeg = rng.randn(total, channels) * 30
+    rows = []
+    starts = []
+    for trial in range(1, num_trials + 1):
+        start = 300 + (trial - 1) * (frames + 50)
+        starts.append(start)
+        rows.append(('targetonset', start, 'n/a'))
+        if trial <= num_dual:     # Dual-speaker trials have a masker.
+            rows.append(('maskeronset', start + 7,
+                         'stim/m%03d.wav' % trial))
+    with open(str(eeg_dir / ('%s_task-selectiveattention_events.tsv' %
+                             subject)), 'w') as f:
+        f.write('trigger_type\tsample\tstim_file\n')
+        for kind, sample, stim in rows:
+            f.write('%s\t%d\t%s\n' % (kind, sample, stim))
+    write_edf(str(eeg_dir / ('%s_task-selectiveattention_eeg.bdf' %
+                             subject)),
+              [eeg[:, c] for c in range(channels)],
+              ['C%d' % c for c in range(channels)],
+              [512.0] * channels, bdf=True)
+    stim_dir = root / 'derivatives' / 'stimuli' / 'sub001'
+    (stim_dir / 'target').mkdir(parents=True)
+    (stim_dir / 'masker').mkdir(parents=True)
+    for trial in range(1, num_trials + 1):
+        feat = np.abs(rng.randn(frames)).astype(np.float64)
+        spio.savemat(str(stim_dir / 'target' / ('t%03d.mat' % trial)),
+                     {'dat': {'feat': feat}})
+        if trial <= num_dual:
+            spio.savemat(str(stim_dir / 'masker' / ('m%03d.mat' % trial)),
+                         {'dat': {'feat': np.abs(
+                             rng.randn(frames)).astype(np.float64)}})
+    return np.asarray(starts), eeg

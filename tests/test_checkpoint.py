@@ -60,7 +60,9 @@ def test_partial_failure_resumes_midway(tmp_path):
         [1., 2., 3., 4.], ['a', 'b'], str(tmp_path), lambda_block=2)
     np.testing.assert_array_equal(result[:2], 1.0)   # From checkpoint.
     np.testing.assert_array_equal(result[2:], 2.0)   # Fresh compute.
-    del calls_before
+    # The resumed run must not have re-invoked the ORIGINAL (flaky)
+    # sweep at all: tile 1 loads from the checkpoint.
+    assert state['calls'] == calls_before
 
 
 def test_config_change_invalidates(tmp_path):

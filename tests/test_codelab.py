@@ -15,17 +15,13 @@ def extract_bash_blocks(md_path):
     return re.findall(r'```bash\n(.*?)```', text, re.S)
 
 
-def test_codelab_blocks_run_in_order(tmp_path):
+def test_codelab_blocks_run_in_order(tmp_path, cpu_subprocess_env):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     blocks = extract_bash_blocks(os.path.join(repo, 'docs',
                                               'codelab.md'))
     assert len(blocks) >= 8, 'codelab lost its executable blocks?'
     script = 'set -e\nset -o pipefail\n' + '\n'.join(blocks)
-    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu',
-               TDT=str(tmp_path),
-               PYTHONPATH=repo + os.pathsep + os.environ.get(
-                   'PYTHONPATH', ''))
-    env.pop('XLA_FLAGS', None)
+    env = dict(cpu_subprocess_env, TDT=str(tmp_path))
     proc = subprocess.run(['bash', '-c', script], env=env,
                           capture_output=True, text=True, timeout=900,
                           cwd=str(tmp_path))

@@ -88,16 +88,10 @@ class TestCohortDriver:
                                        atol=2e-4)
         np.testing.assert_allclose(mean_p, mean_s, atol=2e-4)
 
-    def test_cli_main(self, tmp_path, rng):
+    def test_cli_main(self, tmp_path, rng, cpu_subprocess_env):
         """The installed entry point end to end (flags -> summary)."""
         root = _write_cohort(tmp_path, rng, num_subjects=2)
-        repo = os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))
-        env = dict(os.environ, PALLAS_AXON_POOL_IPS='',
-                   JAX_PLATFORMS='cpu',
-                   PYTHONPATH=repo + os.pathsep + os.environ.get(
-                       'PYTHONPATH', ''))
-        env.pop('XLA_FLAGS', None)
+        env = cpu_subprocess_env
         proc = subprocess.run(
             [sys.executable, '-m', 'telluride_decoding_tpu.cli.cohort',
              '--cohort_dir', root,

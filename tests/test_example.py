@@ -6,17 +6,14 @@ import subprocess
 import sys
 
 
-def test_full_pipeline_example(tmp_path):
+def test_full_pipeline_example(tmp_path, cpu_subprocess_env):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu',
-               PYTHONPATH=repo + os.pathsep + os.environ.get(
-                   'PYTHONPATH', ''))
-    env.pop('XLA_FLAGS', None)
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, 'examples',
                                       'full_pipeline.py'),
          str(tmp_path)],
-        env=env, capture_output=True, text=True, timeout=600)
+        env=cpu_subprocess_env, capture_output=True, text=True,
+        timeout=600)
     assert proc.returncode == 0, proc.stderr[-3000:]
     out = proc.stdout + proc.stderr
     assert 'results.txt' in out or os.path.exists(

@@ -9,11 +9,9 @@ import os
 
 import numpy as np
 import pytest
-import scipy.io as spio
 
 from telluride_decoding_tpu.cli import regression_data
 from telluride_decoding_tpu.data import records
-from telluride_decoding_tpu.io.edf import write_edf
 
 
 FRAMES = 200          # Per-trial audio feature frames (at 512 Hz here).
@@ -24,49 +22,16 @@ NUM_DUAL = 32
 
 @pytest.fixture
 def impaired_tree(rng, tmp_path):
-    """One subject's directory tree in the dataset's layout."""
+    """One subject's directory tree in the dataset's layout (shared
+    builder: conftest.build_impaired_tree)."""
+    from conftest import build_impaired_tree
     cache = tmp_path / 'cache'
-    subject = 'sub-001'
-    eeg_dir = cache / subject / 'eeg'
-    eeg_dir.mkdir(parents=True)
-
-    total_samples = NUM_TRIALS * (FRAMES + 50) + 500
-    eeg = rng.randn(total_samples, CHANNELS) * 30
-
-    rows = []
-    starts = []
-    for trial in range(1, NUM_TRIALS + 1):
-        start = 300 + (trial - 1) * (FRAMES + 50)
-        starts.append(start)
-        rows.append(('targetonset', start, 'n/a'))
-        if trial <= NUM_DUAL:  # Dual-speaker trials have a masker.
-            rows.append(('maskeronset', start + 7,
-                         'stim/m%03d.wav' % trial))
-    with open(str(eeg_dir / ('%s_task-selectiveattention_events.tsv' %
-                             subject)), 'w') as f:
-        f.write('trigger_type\tsample\tstim_file\n')
-        for kind, sample, stim in rows:
-            f.write('%s\t%d\t%s\n' % (kind, sample, stim))
-
-    write_edf(str(eeg_dir / ('%s_task-selectiveattention_eeg.bdf' %
-                             subject)),
-              [eeg[:, c] for c in range(CHANNELS)],
-              ['C%d' % c for c in range(CHANNELS)],
-              [512.0] * CHANNELS, bdf=True)
-
-    for trial in range(1, NUM_TRIALS + 1):
-        stim_dir = cache / 'derivatives' / 'stimuli' / 'sub001'
-        for kind in ('target', 'masker'):
-            d = stim_dir / kind
-            d.mkdir(parents=True, exist_ok=True)
-        feat = np.abs(rng.randn(FRAMES)).astype(np.float64)
-        spio.savemat(str(stim_dir / 'target' / ('t%03d.mat' % trial)),
-                     {'dat': {'feat': feat}})
-        if trial <= NUM_DUAL:
-            spio.savemat(str(stim_dir / 'masker' / ('m%03d.mat' % trial)),
-                         {'dat': {'feat': np.abs(
-                             rng.randn(FRAMES)).astype(np.float64)}})
-    return str(cache), np.asarray(starts), eeg
+    cache.mkdir()
+    starts, eeg = build_impaired_tree(rng, cache, frames=FRAMES,
+                                      channels=CHANNELS,
+                                      num_trials=NUM_TRIALS,
+                                      num_dual=NUM_DUAL)
+    return str(cache), starts, eeg
 
 
 def test_jens_impaired_ingest(impaired_tree, tmp_path):

@@ -18,7 +18,6 @@ import scipy.io.wavfile
 
 from telluride_decoding_tpu.cli import regression_data
 from telluride_decoding_tpu.data import records
-from telluride_decoding_tpu.io.edf import write_edf
 
 
 def _run_main(tmp_path, data_type, url, frame_rate):
@@ -77,50 +76,13 @@ class TestJensMemoryMockUrl:
         assert data['eeg'].shape == (32, 69)  # 64 @128Hz -> 64Hz.
 
 
-def _impaired_tree(rng, root, frames=200, channels=4,
-                   num_trials=48, num_dual=32):
-    """One subject's BIDS-like tree (same layout as the dataset)."""
-    subject = 'sub-001'
-    eeg_dir = root / subject / 'eeg'
-    eeg_dir.mkdir(parents=True)
-    total = num_trials * (frames + 50) + 500
-    eeg = rng.randn(total, channels) * 30
-    rows = []
-    for trial in range(1, num_trials + 1):
-        start = 300 + (trial - 1) * (frames + 50)
-        rows.append(('targetonset', start, 'n/a'))
-        if trial <= num_dual:
-            rows.append(('maskeronset', start + 7,
-                         'stim/m%03d.wav' % trial))
-    with open(str(eeg_dir / ('%s_task-selectiveattention_events.tsv' %
-                             subject)), 'w') as f:
-        f.write('trigger_type\tsample\tstim_file\n')
-        for kind, sample, stim in rows:
-            f.write('%s\t%d\t%s\n' % (kind, sample, stim))
-    write_edf(str(eeg_dir / ('%s_task-selectiveattention_eeg.bdf' %
-                             subject)),
-              [eeg[:, c] for c in range(channels)],
-              ['C%d' % c for c in range(channels)],
-              [512.0] * channels, bdf=True)
-    stim_dir = root / 'derivatives' / 'stimuli' / 'sub001'
-    (stim_dir / 'target').mkdir(parents=True)
-    (stim_dir / 'masker').mkdir(parents=True)
-    for trial in range(1, num_trials + 1):
-        feat = np.abs(rng.randn(frames)).astype(np.float64)
-        spio.savemat(str(stim_dir / 'target' / ('t%03d.mat' % trial)),
-                     {'dat': {'feat': feat}})
-        if trial <= num_dual:
-            spio.savemat(str(stim_dir / 'masker' / ('m%03d.mat' % trial)),
-                         {'dat': {'feat': np.abs(
-                             rng.randn(frames)).astype(np.float64)}})
-
-
 class TestJensImpairedMockUrl:
 
     def test_download_untar_and_ingest(self, rng, tmp_path):
         stage = tmp_path / 'stage' / 'ds-eeg-snhl'
         stage.mkdir(parents=True)
-        _impaired_tree(rng, stage)
+        from conftest import build_impaired_tree
+        build_impaired_tree(rng, stage)
         archive = tmp_path / 'ds-eeg-snhl.tar'
         with tarfile.open(str(archive), 'w') as tf:
             tf.add(str(stage), arcname='ds-eeg-snhl')

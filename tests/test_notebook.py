@@ -25,7 +25,10 @@ def test_demo_notebook_executes(tmp_path):
         'g = {"__file__": %r}\n'
         'exec(compile(%r, "demo.ipynb", "exec"), g)\n'
         'print("NOTEBOOK_OK")\n' % (nb_path, code))
-    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu')
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu',
+               PYTHONPATH=REPO + os.pathsep + os.environ.get(
+                   'PYTHONPATH', ''))
+    env.pop('XLA_FLAGS', None)   # Validate on ONE device, like users.
     proc = subprocess.run([sys.executable, str(runner)], env=env,
                           capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -90,35 +90,31 @@ def test_file_cache_updates_at_capacity(rng, tmp_path):
     import time
     d = _write_trials(tmp_path, rng, num=1)
     path = os.path.join(d, 't00.tfrecords')
-    # Fill the cache to capacity with fake entries.
-    saved = dict(brain_data.TFExampleData._file_cache)
+    # (Updated for the byte-budget LRU redesign: entries are
+    # (mtime, arrays, nbytes) and eviction is by bytes, so the old
+    # 64-entry 'at capacity' premise no longer exists.)
+    brain_data.TFExampleData._file_cache.clear()
+    brain_data.TFExampleData._file_cache_bytes = 0
     try:
-        brain_data.TFExampleData._file_cache.clear()
-        for i in range(64):
-            brain_data.TFExampleData._file_cache['fake%d' % i] = (0, {})
         bd = brain_data.TFExampleData(
             'eeg', 'intensity', 100.0, data_dir=d,
             test_file_pattern='t00', shuffle_buffer_size=0,
             final_batch_size=4)
-        bd.load_arrays('test')  # First read: not cached (at capacity).
-        records.convert_data_to_tfrecords(
-            {'eeg': 5 * np.ones((4, 4), np.float32),
-             'intensity': np.ones((4, 1), np.float32)}, path)
-        os.utime(path, (time.time() + 5, time.time() + 5))
-        # Prime an entry for this file, then change it again: the
-        # updated mtime must REPLACE the existing entry even at
-        # capacity.
-        brain_data.TFExampleData._file_cache.popitem()
         bd.file_arrays(path)
         assert path in brain_data.TFExampleData._file_cache
+        # Rewriting the file with a NEWER mtime must REPLACE the cached
+        # entry (and keep the byte accounting consistent).
         records.convert_data_to_tfrecords(
             {'eeg': 7 * np.ones((4, 4), np.float32),
              'intensity': np.ones((4, 1), np.float32)}, path)
         os.utime(path, (time.time() + 99, time.time() + 99))
         in1, _, _, _ = bd.file_arrays(path)
         assert in1[0, 0] == 7.0
-        assert brain_data.TFExampleData._file_cache[path][1][
-            'eeg'][0, 0] == 7.0
+        entry = brain_data.TFExampleData._file_cache[path]
+        assert entry[1]['eeg'][0, 0] == 7.0
+        assert (brain_data.TFExampleData._file_cache_bytes ==
+                sum(e[2] for e in
+                    brain_data.TFExampleData._file_cache.values()))
     finally:
         brain_data.TFExampleData._file_cache.clear()
-        brain_data.TFExampleData._file_cache.update(saved)
+        brain_data.TFExampleData._file_cache_bytes = 0

@@ -169,14 +169,14 @@ class TestDecodeSignalFixes:
 
     def test_lda_reduction_without_model_raises_clearly(self):
         from telluride_decoding_tpu.decode.infer_decoder import Decoder
+        rng = np.random.RandomState(42)
         dec = Decoder(lambda d: np.asarray(d['input_1'][:, :2]),
                       reduction='lda')
-        dec.add_data_correlator(np.random.randn(50, 2),
-                                np.random.randn(50, 2))
+        dec.add_data_correlator(rng.randn(50, 2), rng.randn(50, 2))
         with pytest.raises(ValueError, match='LDA model'):
-            dec.infer_one({'input_1': np.random.randn(20, 4),
-                           'input_2': np.random.randn(20, 1)},
-                          np.random.randn(20, 2))
+            dec.infer_one({'input_1': rng.randn(20, 4),
+                           'input_2': rng.randn(20, 1)},
+                          rng.randn(20, 2))
 
     def test_sosfilt_one_compile_across_lengths(self, rng):
         """Ragged recordings share ONE compiled filter program (frame
@@ -399,7 +399,7 @@ class TestDataCliFixes:
     def test_serve_stream_orients_each_audio_independently(
             self, tmp_path, rng):
         from telluride_decoding_tpu.cli import serve
-        from tests.test_serve import _toy_model_dir
+        from test_serve import _toy_model_dir   # pytest adds tests/ to sys.path.
         model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng, pre=0,
                                             post=0)
         a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
