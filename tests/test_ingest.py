@@ -273,3 +273,58 @@ class TestTransforms:
         data = records.read_tfrecords(new_file)
         np.testing.assert_allclose(data['intensity2'],
                                    data['intensity'] * 2, atol=1e-6)
+
+
+class TestEegTriggers:
+    """EEG-side trigger helpers (reference ingest.py:467-557): the
+    Natus level fix, Cognionix threshold, and offset trimming."""
+
+    def _trial_with_trig(self, onsets, n=2000, sr=100.0):
+        from telluride_decoding_tpu.io import ingest
+        trial = ingest.BrainTrial('t')
+        # Invert the Natus fix so the fixed signal's parity flips
+        # exactly at the planted onsets: fixed = odd during a pulse.
+        fixed = np.zeros(n)
+        for s in onsets:
+            fixed[s:s + 10] = 1.0          # 10-sample odd-level pulse.
+        raw = (fixed - 0.5 + 32768) / -0.0063606452364314 + 5151600
+        trial._brain_data = {
+            'TRIG': ingest.BrainSignal('TRIG', raw[:, None], sr)}
+        return trial
+
+    def test_find_eeg_trigger_times_recovers_onsets(self):
+        onsets = [100, 500, 1200]
+        trial = self._trial_with_trig(onsets)
+        times, raw_sig, fixed = trial.find_eeg_trigger_times()
+        np.testing.assert_allclose(times, np.asarray(onsets) / 100.0,
+                                   atol=0.02)
+        assert raw_sig.shape[0] == 2000
+
+    def test_find_eeg_trigger_times_missing_channel(self):
+        trial = self._trial_with_trig([100])
+        with pytest.raises(ValueError, match='channel name'):
+            trial.find_eeg_trigger_times('NOPE')
+
+    def test_cognionix_trigger_time(self):
+        from telluride_decoding_tpu.io import ingest
+        trial = ingest.BrainTrial('t')
+        sig = np.zeros((1000, 1))
+        sig[300:] = 9000.0
+        trial._brain_data = {
+            'EXP32': ingest.BrainSignal('EXP32', sig, 100.0)}
+        assert trial.find_cognionix_trigger_time() == pytest.approx(3.0)
+        trial._brain_data['EXP32'] = ingest.BrainSignal(
+            'EXP32', np.zeros((1000, 1)), 100.0)
+        assert trial.find_cognionix_trigger_time() is None
+
+    def test_fix_eeg_offset_trims_all_channels(self):
+        from telluride_decoding_tpu.io import ingest
+        trial = ingest.BrainTrial('t')
+        a = np.arange(500, dtype=np.float64)[:, None]
+        trial._brain_data = {
+            'C1': ingest.BrainSignal('C1', a.copy(), 100.0),
+            'C2': ingest.BrainSignal('C2', a.copy() * 2, 100.0)}
+        trial.fix_eeg_offset(1.0)          # Drop the first second.
+        assert trial._brain_data['C1'].signal[0, 0] == 100.0
+        assert trial._brain_data['C2'].signal[0, 0] == 200.0
+        assert trial._brain_data['C1'].signal.shape[0] == 400

@@ -358,3 +358,39 @@ class TestMultiSubject:
             np.testing.assert_allclose(padded[name].correlations,
                                        unpadded[name].correlations,
                                        atol=2e-4)
+
+
+class TestSgdJackknife:
+    """The NON-fast sweep path: SGD models (fullyconnected) jackknife
+    through per-(lambda, file) train_and_test instead of the
+    deterministic engine (regression.py general path — previously
+    untested)."""
+
+    def test_dnn_jackknife_over_regularizations(self, rng, tmp_path):
+        from telluride_decoding_tpu.cli import decoding, regression
+        from telluride_decoding_tpu.data import records
+        d = tmp_path / 'records'
+        d.mkdir()
+        w = rng.randn(4, 1).astype(np.float32)
+        for t in range(2):
+            x = rng.randn(400, 4).astype(np.float32)
+            records.convert_data_to_tfrecords(
+                {'eeg': x, 'intensity': x @ w},
+                str(d / ('t%02d.tfrecords' % t)))
+        flags_ = decoding.DecodingOptions().set_from_dict(dict(
+            tfexample_dir=str(d), data='tfrecords',
+            input_field='eeg', output_field='intensity',
+            attended_field='', dnn_regressor='fullyconnected',
+            hidden_units='', epoch_count=120, learning_rate=0.05,
+            batch_size=200, shuffle_buffer_size=0,
+            test_metric='pearson_correlation_first',
+            train_file_pattern='allbut'))
+        obj = regression.Regression(flags_)
+        obj.test_name = 'dnn_test'
+        results = obj.jackknife_over_regularizations(
+            flags_, [1e-4, 1e-2],
+            summary_base_dir=str(tmp_path / 'sweeps'))
+        assert len(results) == 2
+        for lamb, (mean, std) in results.items():
+            assert np.isfinite(mean) and np.isfinite(std)
+            assert mean > 0.9, (lamb, mean)   # Linear problem, no hidden.
