@@ -128,3 +128,35 @@ class TestSsd:
             p, lo, hi = dec.attention(r1[i], r2[i])
         assert lo <= p <= hi
         assert p > 0.5  # Consistently attended speaker 1.
+
+
+class TestPlotAadResults:
+    """plot_aad_results (reference attention_decoder.py:27-113):
+    decision trace + confidence band + attention shading to a png."""
+
+    def test_plot_with_bounds_and_shading(self, tmp_path):
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        from telluride_decoding_tpu.decide.attention_decoder import (
+            plot_aad_results)
+        n = 200
+        t = np.arange(n) / 100.0
+        decision = 0.5 + 0.4 * np.sin(t)
+        flag = (np.arange(n) > 100).astype(float)
+        plt.figure()
+        plot_aad_results(decision, attention_flag=flag,
+                         decision_upper=decision + 0.05,
+                         decision_lower=decision - 0.05, t=t)
+        out = tmp_path / 'aad.png'
+        plt.savefig(str(out))
+        plt.close('all')
+        assert out.stat().st_size > 1000
+
+    def test_type_errors(self):
+        from telluride_decoding_tpu.decide.attention_decoder import (
+            plot_aad_results)
+        with pytest.raises(TypeError, match='decision'):
+            plot_aad_results([0.5, 0.6])
+        with pytest.raises(TypeError):
+            plot_aad_results(np.zeros(5), attention_flag=[1, 2])

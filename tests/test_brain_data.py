@@ -339,3 +339,27 @@ class TestRecordsIO:
         specs = records.discover_feature_shapes(f)
         assert specs['meg'].shape == [148]
         assert specs['envelope'].shape == [1]
+
+
+class TestBytesFeatures:
+    """bytes-list features round-trip through the TF-free codec (the
+    reference stores string features the same way, ingest.py:1118)."""
+
+    def test_bytes_roundtrip(self, tmp_path):
+        path = str(tmp_path / 'b.tfrecords')
+        payloads = [records.encode_example(
+            {'f': np.asarray([0.5, 1.5], np.float32),
+             'label': np.asarray([b'speaker%d' % i])})
+            for i in range(3)]
+        records.write_tfrecords(path, iter(payloads))
+        got = [records.parse_example(p)
+               for p in records.iter_tfrecords(path)]
+        assert len(got) == 3
+        assert got[1]['label'][0] == b'speaker1'
+        np.testing.assert_allclose(got[2]['f'], [0.5, 1.5])
+
+    def test_unicode_strings_encode_as_utf8(self):
+        ex = records.encode_example(
+            {'name': np.asarray(['héllo'], object)})
+        parsed = records.parse_example(ex)
+        assert parsed['name'][0].decode('utf-8') == 'héllo'
