@@ -301,3 +301,38 @@ class TestServeStream:
         assert len(got) == 4                  # 400 good frames / 100.
         err = capsys.readouterr().err
         assert err.count('skipping bad input line') == 2
+
+    def test_long_stream_soak_bounded_memory(self, tmp_path, rng):
+        """Production-serving soak: a long stream (1500 chunks) through
+        the server must keep internal buffers bounded (pending/queue
+        buffers drain every chunk; the window store advances) and keep
+        producing correct decisions throughout."""
+        import resource
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng, pre=1,
+                                            post=2)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        from telluride_decoding_tpu.cli.infer import load_model
+        decoder = load_model(model_dir, 'first')
+        server = serve.StreamingAttentionServer(
+            decoder, eeg_channels=eeg.shape[1], audio_channels=1,
+            window_width=100, window_step=50)
+        rss_start = resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        decisions = []
+        chunk = 37
+        for start in range(1500):
+            sl = np.arange(start * chunk,
+                           (start + 1) * chunk) % eeg.shape[0]
+            decisions.extend(server.push(eeg[sl], a1[sl], a2[sl]))
+        # All internal buffers bounded by a window + a chunk.
+        for buf in (server._pend_eeg, server._pend_a1, server._pend_a2,
+                    server._q1, server._q2):
+            assert buf.shape[0] < 200, buf.shape
+        assert server._store._store1._count < 300
+        assert len(decisions) == (1500 * chunk - 2) // 50 - 1
+        # Speaker 1 (the real audio) wins essentially always.
+        wins = np.mean([d['attend_speaker1'] for d in decisions])
+        assert wins > 0.95, wins
+        rss_end = resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        assert rss_end - rss_start < 300, (rss_start, rss_end)
