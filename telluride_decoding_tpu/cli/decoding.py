@@ -68,6 +68,7 @@ class DecodingOptions:
     random_mixup_batch: bool = False
     mismatch_batch: bool = False
     streaming_fit: bool = False
+    protocol: str = 'whole_split'
     regularization_lambda: float = 0.1
     saved_model_dir: Optional[str] = None
     shuffle_buffer_size: int = 100000
@@ -183,6 +184,19 @@ def define_flags():
                       '--dnn_regressor classifier). The reference defines '
                       'this transform but never wires it up '
                       '(brain_data.py:45-77).')
+    flags.DEFINE_enum('protocol', defaults.protocol,
+                      ['whole_split', 'reference'],
+                      'Data/evaluation protocol. whole_split (default): '
+                      'fit and evaluate whole ordered splits in one '
+                      'program. reference: reproduce the TF reference '
+                      'exactly — every split is shuffled (unless '
+                      '--shuffle_buffer_size 0) then truncated to '
+                      'floor(N/batch_size)*batch_size frames '
+                      '(drop_remainder), and test metrics are means of '
+                      'per-batch values (Keras evaluate semantics). The '
+                      'two protocols give numerically different '
+                      'correlations on the same data; see README '
+                      '"Evaluation protocol".')
     flags.DEFINE_string('saved_model_dir', defaults.saved_model_dir,
                         'Directory in which to save the model.')
     flags.DEFINE_integer('shuffle_buffer_size',
@@ -267,8 +281,11 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
         raise TypeError('Train_and_test needs a DecodingOptions object, '
                         'not %s.' % type(my_flags))
     mismatch = getattr(my_flags, 'mismatch_batch', False)
+    # The reference protocol truncates/shuffles the realized stream;
+    # streamed covariance sees every frame, so the two would diverge.
+    compat = getattr(my_flags, 'protocol', 'whole_split') == 'reference'
     streaming_ok = (hasattr(test_brain_model, 'fit_streaming') and
-                    not mismatch and
+                    not mismatch and not compat and
                     isinstance(test_brain_data, brain_data.TFExampleData))
     want_streaming = getattr(my_flags, 'streaming_fit', False)
     if streaming_ok and not want_streaming:
@@ -360,6 +377,20 @@ def write_experiment_summary(my_flags: DecodingOptions,
     results_file = os.path.join(summary_dir, 'results.txt')
     with open(results_file, 'w') as fp:
         fp.write('Parameters: %s\n' % my_flags.experiment_parameters(';'))
+        # Which evaluation protocol produced the numbers below — the
+        # two are NOT numerically comparable (README "Evaluation
+        # protocol"; downstream parsers key on Parameters:/Final_*
+        # prefixes and skip this line).
+        protocol = getattr(my_flags, 'protocol', 'whole_split')
+        if protocol == 'reference':
+            fp.write('Protocol: reference (shuffled drop-remainder '
+                     'batches of %d, per-batch metric means — the TF '
+                     'reference\'s Keras evaluate semantics)\n' %
+                     my_flags.batch_size)
+        else:
+            fp.write('Protocol: whole_split (every test frame, ordered, '
+                     'one metric over the full split; reference-style '
+                     'numbers need --protocol reference)\n')
         for k in test_results:
             value = test_results[k]
             if isinstance(value, np.ndarray):
@@ -446,7 +477,8 @@ def run_decoding_experiment(my_flags: DecodingOptions
             data_pattern=my_flags.tfexample_pattern,
             train_file_pattern=my_flags.train_file_pattern,
             validate_file_pattern=my_flags.validate_file_pattern,
-            test_file_pattern=my_flags.test_file_pattern)
+            test_file_pattern=my_flags.test_file_pattern,
+            reference_protocol=my_flags.protocol == 'reference')
         # Shape-only stand-in: the model factory and add_metadata need
         # element widths, not data. Materializing the dense train
         # split here held a full 37x lag-stacked copy of the corpus

@@ -149,7 +149,8 @@ class BrainData:
                  train_file_pattern: str = '',
                  validate_file_pattern: str = '',
                  test_file_pattern: str = '',
-                 shuffle_seed: int = 42):
+                 shuffle_seed: int = 42,
+                 reference_protocol: bool = False):
         if not in_fields:
             raise ValueError('Must specify at least one input field.')
         if not out_field:
@@ -194,6 +195,16 @@ class BrainData:
         self.train_file_pattern = train_file_pattern or ''
         self.validate_file_pattern = validate_file_pattern or ''
         self.test_file_pattern = test_file_pattern or ''
+        # Reference data protocol: every split — train, test, even
+        # program_test — goes through shuffle(buffer) -> batch(B,
+        # drop_remainder=True) in the reference (brain_data.py:325-393),
+        # so a fit/eval only ever sees the first floor(N/B)*B frames of
+        # the (optionally shuffled) stream, and Keras averages metrics
+        # PER BATCH. Default False: this framework fits and evaluates
+        # whole ordered splits (better statistics; documented in README
+        # "Evaluation protocol"). True reproduces the reference's
+        # numbers exactly (verified live: tests/test_reference_ab.py).
+        self.reference_protocol = bool(reference_protocol)
         self.features: Dict[str, records.FeatureSpec] = {}
         # File-list shuffling is SEEDED by default (reproducible
         # experiments, unlike the reference's per-instance
@@ -332,14 +343,20 @@ class BrainData:
         the TPU-first entry point: the result feeds device solvers in one
         transfer.
         """
+        parts = self._load_parts(mode, temporal_context)
+        return tuple(np.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(4))
+
+    def _load_parts(self, mode: str, temporal_context: bool = True
+                    ) -> List[Tuple[np.ndarray, ...]]:
+        """Per-file context-stacked streams, in file order."""
         parts = []
         for filename in self._files_or_raise(mode):
             streams = self.file_arrays(filename)
             if temporal_context and self._needs_context():
                 streams = self._add_context(*streams)
             parts.append(streams)
-        return tuple(np.concatenate([p[i] for p in parts], axis=0)
-                     for i in range(4))
+        return parts
 
     def _needs_context(self) -> bool:
         return bool(self.in1_pre_context or self.in1_post_context or
@@ -455,7 +472,18 @@ class BrainData:
                        ) -> 'BrainDataset':
         """Returns an iterable of ({'input_1', 'input_2',
         'attended_speaker'}, output) minibatches."""
-        in1, in2, out, attended = self.load_arrays(mode, temporal_context)
+        if self.reference_protocol:
+            # The reference interleaves the per-file frame streams
+            # round-robin before batching (interleave with
+            # cycle_length=len(files), block_length=1, reference
+            # brain_data.py:725-728) — under drop_remainder this
+            # changes WHICH frames survive, so the compat protocol
+            # must reproduce the frame order, not just the count.
+            parts = self._load_parts(mode, temporal_context)
+            in1, in2, out, attended = _interleave_parts(parts)
+        else:
+            in1, in2, out, attended = self.load_arrays(mode,
+                                                       temporal_context)
         return BrainDataset(in1, in2, out, attended,
                             batch_size=self.final_batch_size,
                             mode=mode,
@@ -463,7 +491,8 @@ class BrainData:
                             shuffle=self.shuffle_buffer_size > 0,
                             mixup_batch=mixup_batch,
                             mismatch_batch=mismatch_batch,
-                            rng=self._rng)
+                            rng=self._rng,
+                            reference_protocol=self.reference_protocol)
 
     # -- widths --------------------------------------------------------------
 
@@ -508,6 +537,26 @@ class BrainData:
                                 self.features[self.out_field].shape[0])
 
 
+def _interleave_parts(parts: List[Tuple[np.ndarray, ...]]
+                      ) -> Tuple[np.ndarray, ...]:
+    """Round-robin frame interleave across per-file streams.
+
+    Frame t of file f lands at stream position sorted by (t, f) —
+    tf.data interleave with block_length=1 semantics, including the
+    tail behavior when files have unequal lengths (exhausted files
+    simply drop out of the rotation).
+    """
+    if len(parts) == 1:
+        return parts[0]
+    t_idx = np.concatenate([np.arange(p[0].shape[0]) for p in parts])
+    f_idx = np.concatenate([np.full(p[0].shape[0], f)
+                            for f, p in enumerate(parts)])
+    order = np.lexsort((f_idx, t_idx))
+    return tuple(
+        np.concatenate([p[i] for p in parts], axis=0)[order]
+        for i in range(4))
+
+
 class BrainDataset:
     """An iterable of minibatches over preassembled arrays.
 
@@ -520,11 +569,8 @@ class BrainDataset:
     def __init__(self, in1, in2, out, attended, *, batch_size: int,
                  mode: str, repeat_count: int = 1, shuffle: bool = True,
                  mixup_batch: bool = False, mismatch_batch: bool = False,
-                 rng: Optional[np.random.RandomState] = None):
-        self._in1 = in1
-        self._in2 = in2
-        self._out = out
-        self._attended = attended
+                 rng: Optional[np.random.RandomState] = None,
+                 reference_protocol: bool = False):
         self._batch_size = batch_size
         self._mode = mode
         self._repeat_count = repeat_count if mode == 'train' else 1
@@ -532,6 +578,38 @@ class BrainDataset:
         self._mixup = mixup_batch
         self._mismatch = mismatch_batch
         self._rng = rng if rng is not None else np.random.RandomState(42)
+        # Reference data protocol (reference brain_data.py:325-393):
+        # shuffle (unless buffer==0 or program_test) then drop the
+        # remainder past floor(N/B)*B frames. Applied ONCE at
+        # construction so every consumer — whole-array fits via
+        # all_arrays(), per-batch iteration, the decoder's LDA
+        # training — sees the same stream the reference would. (The
+        # reference re-shuffles and re-drops a different random tail
+        # each epoch; for deterministic solvers one realization is the
+        # whole story, and for SGD the per-epoch reshuffle below still
+        # applies within the kept frames.)
+        self.reference_batch_size = None
+        if reference_protocol:
+            n = in1.shape[0]
+            keep = (n // batch_size) * batch_size
+            if keep == 0 and n > 0:
+                import warnings
+                warnings.warn(
+                    'reference_protocol: %d frames < batch_size %d; the '
+                    'reference would produce an EMPTY %s dataset '
+                    '(drop_remainder). Keeping all frames instead.' %
+                    (n, batch_size, mode))
+            else:
+                order = (self._rng.permutation(n) if self._shuffle
+                         else np.arange(n))[:keep]
+                in1, in2 = in1[order], in2[order]
+                out, attended = out[order], attended[order]
+                self.reference_batch_size = batch_size
+                self._shuffle = False   # Order already realized.
+        self._in1 = in1
+        self._in2 = in2
+        self._out = out
+        self._attended = attended
 
     @property
     def num_frames(self) -> int:
@@ -654,6 +732,10 @@ class TestBrainData(BrainData):
 
     # create_dataset is inherited: load_arrays above is the only
     # polymorphic piece.
+
+    def _load_parts(self, mode: str, temporal_context: bool = True):
+        # One in-memory stream: nothing to interleave.
+        return [self.load_arrays(mode, temporal_context)]
 
 
 class TFExampleData(BrainData):

@@ -182,6 +182,17 @@ class BrainModel:
         inputs = {'input_1': jnp.asarray(in1), 'input_2': jnp.asarray(in2)}
         y_true = jnp.asarray(out)
 
+        # Reference evaluation protocol: Keras evaluate computes each
+        # metric PER drop-remainder BATCH and reports the mean over
+        # batches (reference brain_model.py:206-253 + tf_keras
+        # MeanMetricWrapper semantics). A reference_protocol dataset
+        # (data/brain_data.py) carries its batch size; n is already a
+        # multiple of it. Default (None): one metric over the whole
+        # split.
+        ref_bs = getattr(dataset, 'reference_batch_size', None)
+        n_batches = (in1.shape[0] // ref_bs
+                     if ref_bs and in1.shape[0] >= ref_bs else 0)
+
         # One jitted program, cached on the instance: repeated
         # evaluations (jackknife loops) must not recompile per call.
         # Keyed on the compiled loss: with --loss=pearson the reported
@@ -189,8 +200,9 @@ class BrainModel:
         # returns Keras' compiled loss), not the class default.
         loss_kind = (self._compiled.get('loss')
                      if hasattr(self, '_compiled') else None)
-        if getattr(self, '_eval_jit_key', ()) != (loss_kind,):
-            def program(params, inputs, y_true):
+        if getattr(self, '_eval_jit_key', ()) != (loss_kind, n_batches,
+                                                  ref_bs):
+            def one_program(params, inputs, y_true):
                 y_pred = self.apply(params, inputs)
                 if loss_kind == 'pearson':
                     loss = jnp.sum(pearson.pearson_loss(y_true, y_pred))
@@ -200,8 +212,19 @@ class BrainModel:
                 for name in self.metric_names:
                     results[name] = self._metric(name, y_true, y_pred)
                 return results
+            if n_batches:
+                def program(params, inputs, y_true):
+                    def split(a):
+                        return a.reshape(n_batches, ref_bs, *a.shape[1:])
+                    per_batch = jax.vmap(
+                        lambda i, y: one_program(params, i, y))(
+                            {k: split(v) for k, v in inputs.items()},
+                            split(y_true))
+                    return {k: jnp.mean(v) for k, v in per_batch.items()}
+            else:
+                program = one_program
             self._eval_jit = jax.jit(program)
-            self._eval_jit_key = (loss_kind,)
+            self._eval_jit_key = (loss_kind, n_batches, ref_bs)
         results = self._eval_jit(self.params, inputs, y_true)
         metrics = {k: float(v) for k, v in results.items()}
         if self._tensorboard_dir:

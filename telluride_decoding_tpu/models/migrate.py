@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Dict, Optional
 
 import numpy as np
@@ -58,6 +59,37 @@ def load_reference_saved_model(saved_model_dir: str) -> BrainModel:
 
     kernel_key = _find(tensors, ['kernel'])
     rot1_key = _find(tensors, ['rot1'])
+    if kernel_key is None and rot1_key is None:
+        # Modern tf_keras (TF >= 2.x legacy-keras path, verified live
+        # against TF 2.21 by tests/test_reference_ab.py) checkpoints
+        # subclassed models POSITIONALLY: the weights appear as
+        # variables/<n> in creation order with no layer names. Identify
+        # the family by shape signature:
+        #   linear: [(Din, Dout) kernel, (Dout,) bias]
+        #   CCA:    [(1, D1) mean1, (1, D2) mean2,
+        #            (D1, k) rot1, (D2, k) rot2]   (build order,
+        #            reference cca.py:130-146)
+        positional = []
+        for key in tensors:
+            m = re.match(r'variables/(\d+)/', key)
+            if m and tensors[key].dtype != object:
+                positional.append((int(m.group(1)), tensors[key]))
+        arrays = [a for _, a in sorted(positional, key=lambda p: p[0])]
+        shapes = [a.shape for a in arrays]
+        if (len(arrays) == 2 and len(shapes[0]) == 2 and
+                shapes[1] == (shapes[0][1],)):
+            tensors = dict(tensors, **{'dense/kernel': arrays[0],
+                                       'dense/bias': arrays[1]})
+            kernel_key = 'dense/kernel'
+        elif (len(arrays) == 4 and
+              shapes[0][0] == 1 and shapes[1][0] == 1 and
+              shapes[2] == (shapes[0][1], shapes[2][1]) and
+              shapes[3] == (shapes[1][1], shapes[2][1])):
+            tensors = dict(tensors, **{'cca/mean1': arrays[0],
+                                       'cca/mean2': arrays[1],
+                                       'cca/rot1': arrays[2],
+                                       'cca/rot2': arrays[3]})
+            rot1_key = 'cca/rot1'
     if rot1_key is not None:
         mean1 = tensors[_find(tensors, ['mean1'])].astype(np.float32)
         mean2 = tensors[_find(tensors, ['mean2'])].astype(np.float32)

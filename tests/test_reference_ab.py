@@ -1,0 +1,167 @@
+"""Live A/B parity tests against the EXECUTING TensorFlow reference.
+
+These tests run the reference's run_decoding_experiment (reference
+decoding.py:485-577) in a TF subprocess (TF_USE_LEGACY_KERAS=1) and the
+rebuild in process with IDENTICAL flags on identical data, then
+reconcile every results.txt field (tools/ab_reference.py). Skipped
+automatically when the reference package or a working TF is absent, so
+the suite stays runnable in TF-free environments.
+
+What they pin:
+  * deterministic solves (--shuffle_buffer_size 0, --protocol
+    reference): loss/correlation equal to float tolerance, linear
+    weights and probe-batch predictions equal;
+  * multi-file interleave + lag-context + TFRecord wire format via a
+    seeded synthetic corpus written by the rebuild's codec and read by
+    the reference's TFRecordDataset;
+  * d' (stochastic mixup/LDA path) overlapping under +/-4 sigma
+    bounds, both directions;
+  * models.migrate.load_reference_saved_model against a FRESH TF 2.x
+    SavedModel (not just the 2020-era frozen fixture), predictions
+    equal to TF's.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from tools import ab_reference as ab  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not ab.reference_available(),
+    reason='live TF reference not available (set TDT_REFERENCE_PATH; '
+           'needs tensorflow + tf_keras importable)')
+
+DPRIME_SEEDS = tuple(range(1, 6))   # 6 samples per side with seed 0.
+
+
+def _assert_rows(rows, config):
+    bad = [d for d in rows if not d.ok]
+    assert not bad, (
+        '%s: %d field(s) out of tolerance:\n%s' %
+        (config, len(bad),
+         '\n'.join('%s: ref=%g rebuild=%g delta=%g tol=%g (%s) %s' %
+                   (d.field, d.ref, d.tdt, d.delta, d.tolerance,
+                    d.kind, d.note) for d in bad)))
+
+
+@pytest.fixture(scope='module')
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp('ab_reference'))
+
+
+@pytest.fixture(scope='module')
+def linear_meg(workdir):
+    return ab.run_ab('linear_meg', workdir, dprime_seeds=DPRIME_SEEDS,
+                     save_model=True)
+
+
+@pytest.fixture(scope='module')
+def cca_meg(workdir):
+    return ab.run_ab('cca_meg', workdir, save_model=True)
+
+
+class TestLinearParity:
+
+    def test_all_fields_reconcile(self, linear_meg):
+        rows, _, _ = linear_meg
+        _assert_rows(rows, 'linear_meg')
+
+    def test_deterministic_metrics_tight(self, linear_meg):
+        """The headline results.txt numbers agree far inside the
+        reconciler's tolerance (observed: identical to 6 digits)."""
+        _, ref, tdt = linear_meg
+        r_ref = ref['results_txt']['pearson_correlation_first']
+        r_tdt = tdt['results_txt']['pearson_correlation_first']
+        assert abs(r_ref - r_tdt) < 1e-4
+        loss_ref = ref['results_txt']['loss']
+        loss_tdt = tdt['results_txt']['loss']
+        assert abs(loss_ref - loss_tdt) <= 1e-3 * loss_ref + 1e-9
+
+    def test_solved_weights_match(self, linear_meg):
+        """Weight-level parity: same normal equations, same solution
+        (f64 numpy reference vs f32 on-device solve)."""
+        _, ref, tdt = linear_meg
+        r = np.load(ref['npz'])
+        t = np.load(tdt['npz'])
+        kernel_ref = r['weight_0']
+        kernel_tdt = np.squeeze(t['weight_0'])
+        if kernel_ref.shape != kernel_tdt.shape:
+            kernel_tdt = kernel_tdt.reshape(kernel_ref.shape)
+        scale = np.abs(kernel_ref).max()
+        assert np.abs(kernel_ref - kernel_tdt).max() < 1e-3 * scale
+
+    def test_dprime_within_bounds(self, linear_meg):
+        """d' is stochastic (mixup permutations); the two samples'
+        means must sit within each other's +/-4 sigma bounds."""
+        rows, ref, tdt = linear_meg
+        assert len(ref['dprimes']) >= 5 and len(tdt['dprimes']) >= 5
+        [dp_row] = [d for d in rows if d.field == 'dprime']
+        assert dp_row.ok, dp_row.note
+        assert 'worst z=' in dp_row.note
+
+
+class TestCcaParity:
+
+    def test_all_fields_reconcile(self, cca_meg):
+        rows, _, _ = cca_meg
+        _assert_rows(rows, 'cca_meg')
+
+    def test_cca_correlation_exact(self, cca_meg):
+        """The whitening+SVD path lands on the same canonical
+        correlations as the reference's numpy eig pipeline."""
+        _, ref, tdt = cca_meg
+        key = 'cca_pearson_correlation_first'
+        assert abs(ref['results_txt'][key] -
+                   tdt['results_txt'][key]) < 1e-4
+
+
+def test_linear_with_context_predictions(workdir):
+    """Degenerate fixture regime (r=1.0): weights are precision-limited
+    but the lag-stacked frames and the predictions must still agree."""
+    rows, ref, tdt = ab.run_ab('linear_meg_context', workdir)
+    _assert_rows(rows, 'linear_meg_context')
+    by_field = {d.field: d for d in rows}
+    assert by_field['probe/input_frames'].tdt == 0.0
+
+
+def test_synthetic_corpus_parity(workdir):
+    """Multi-file interleave order, pre/post context and the TFRecord
+    wire format, end to end: corpus written by the rebuild's TF-free
+    codec, read back by the reference's TFRecordDataset."""
+    rows, ref, tdt = ab.run_ab('linear_synthetic', workdir)
+    _assert_rows(rows, 'linear_synthetic')
+    by_field = {d.field: d for d in rows}
+    # Well-conditioned: weights essentially exact (observed ~2e-7).
+    assert by_field['probe/weight_0'].tdt < 1e-4
+
+
+class TestLiveMigration:
+
+    def test_linear_saved_model_migrates(self, linear_meg):
+        """A FRESH TF 2.x SavedModel (positional variables/<n> layout)
+        loads through the TF-free reader with equal predictions."""
+        from telluride_decoding_tpu.models.migrate import (
+            load_reference_saved_model)
+        _, ref, _ = linear_meg
+        model = load_reference_saved_model(ref['saved_model_dir'])
+        probe = np.load(ref['npz'])
+        pred = model({'input_1': probe['x1'], 'input_2': probe['x2']})
+        assert np.abs(np.asarray(pred) - probe['pred']).max() < 1e-5
+        assert model.telluride_metadata is not None
+
+    def test_cca_saved_model_migrates(self, cca_meg):
+        from telluride_decoding_tpu.models.migrate import (
+            load_reference_saved_model)
+        _, ref, _ = cca_meg
+        model = load_reference_saved_model(ref['saved_model_dir'])
+        probe = np.load(ref['npz'])
+        pred = model({'input_1': probe['x1'], 'input_2': probe['x2']})
+        scale = np.abs(probe['pred']).max()
+        assert np.abs(np.asarray(pred) - probe['pred']).max() < (
+            1e-4 * scale)

@@ -1,0 +1,137 @@
+"""Subprocess worker that drives the LIVE TensorFlow reference.
+
+Executed by tools/ab_reference.py in a clean environment
+(TF_USE_LEGACY_KERAS=1, no JAX) with the reference package
+(/root/reference by default) on sys.path. Mirrors the reference's
+run_decoding_experiment body (reference decoding.py:485-577) while
+keeping handles to the dataset and model so it can additionally:
+
+  * re-train the LDA stage under several TF seeds (d' samples for the
+    +/-4 sigma statistical-bound comparison);
+  * dump the trained model's weights and its predictions on the first
+    ordered test batch (weight-level and prediction-level parity, and
+    live validation of the rebuild's SavedModel migration reader).
+
+Input: argv[1] = JSON config file with keys
+  reference_path: str        directory containing telluride_decoding/
+  flags: dict                DecodingOptions overrides
+  seed: int                  tf.random seed before the experiment
+  dprime_seeds: [int]        extra train_lda_model runs, one per seed
+  out_json: str              where to write the result summary
+  dump_npz: str|null         where to dump weights/predictions
+
+This file intentionally has no dependency on telluride_decoding_tpu:
+it runs in the reference's world.
+"""
+
+import json
+import sys
+
+
+def main(config_path: str) -> None:
+    with open(config_path) as f:
+        config = json.load(f)
+
+    sys.path.insert(0, config['reference_path'])
+
+    import numpy as np
+    import tensorflow as tf
+
+    from telluride_decoding import brain_data
+    from telluride_decoding import decoding
+
+    tf.random.set_seed(config.get('seed', 0))
+    np.random.seed(config.get('seed', 0))
+
+    my_flags = decoding.DecodingOptions().set_from_dict(config['flags'])
+
+    # --- mirror of run_decoding_experiment (decoding.py:485-577) ---
+    if (my_flags.pre_context + 1 + my_flags.post_context <
+            my_flags.min_context):
+        my_flags.post_context = (my_flags.min_context -
+                                 (my_flags.pre_context + 1))
+    if not my_flags.summary_dir.endswith('/'):
+        my_flags.summary_dir = my_flags.summary_dir + '/'
+
+    test_brain_data = brain_data.create_brain_dataset(
+        my_flags.data, my_flags.input_field, my_flags.output_field,
+        attended_field=my_flags.attended_field,
+        frame_rate=my_flags.frame_rate,
+        pre_context=my_flags.pre_context,
+        post_context=my_flags.post_context,
+        in2_fields=my_flags.input2_field,
+        in2_pre_context=my_flags.input2_pre_context,
+        in2_post_context=my_flags.input2_post_context,
+        input_offset=my_flags.input_offset,
+        final_batch_size=my_flags.batch_size,
+        shuffle_buffer_size=my_flags.shuffle_buffer_size,
+        data_dir=my_flags.tfexample_dir,
+        data_pattern=my_flags.tfexample_pattern,
+        train_file_pattern=my_flags.train_file_pattern,
+        validate_file_pattern=my_flags.validate_file_pattern,
+        test_file_pattern=my_flags.test_file_pattern)
+
+    some_dataset = test_brain_data.create_dataset('train')
+    test_model = decoding.create_brain_model(my_flags, some_dataset)
+    train_results, test_results = decoding.train_and_test(
+        my_flags, test_brain_data, test_model,
+        epochs=my_flags.epoch_count)
+    import attr
+    test_model.add_metadata(attr.asdict(my_flags), dataset=some_dataset)
+
+    dprimes = []
+    first_decoder = None
+    for lda_seed in ([config.get('seed', 0)] +
+                     list(config.get('dprime_seeds', []))):
+        tf.random.set_seed(lda_seed)
+        dprime, decoder = decoding.train_lda_model(
+            test_brain_data, test_model, my_flags)
+        dprimes.append(float(dprime))
+        if first_decoder is None:
+            first_decoder = decoder
+
+    if my_flags.summary_dir:
+        decoding.write_experiment_summary(
+            my_flags, train_results, test_results, dprimes[0])
+
+    if my_flags.saved_model_dir:
+        test_model.save(my_flags.saved_model_dir)
+        first_decoder.save_parameters(
+            my_flags.saved_model_dir + '/decoder_model.json')
+
+    if config.get('dump_npz'):
+        # First ordered drop-remainder test batch ('program_test' never
+        # shuffles, reference brain_data.py:358-359) — a deterministic
+        # probe batch for cross-framework prediction parity.
+        probe = test_brain_data.create_dataset('program_test')
+        for inputs, y in probe.take(1):
+            x1 = inputs['input_1'].numpy()
+            x2 = inputs['input_2'].numpy()
+            att = inputs['attended_speaker'].numpy()
+            y = y.numpy()
+        pred = test_model.predict(
+            {'input_1': x1, 'input_2': x2, 'attended_speaker': att},
+            verbose=0)
+        arrays = {'x1': x1, 'x2': x2, 'attended': att, 'y': y,
+                  'pred': np.asarray(pred)}
+        for i, wt in enumerate(test_model.weights):
+            arrays['weight_%d' % i] = wt.numpy()
+        np.savez(config['dump_npz'], **arrays)
+
+    def plain(d):
+        return {k: (float(v) if np.isscalar(v) or hasattr(v, 'item')
+                    else str(v)) for k, v in dict(d).items()}
+
+    with open(config['out_json'], 'w') as f:
+        json.dump({
+            'train_results': plain(train_results or {}),
+            'test_results': plain(test_results or {}),
+            'dprime': dprimes[0],
+            'dprimes': dprimes,
+            'summary_dir': my_flags.summary_dir,
+            'n_weights': len(test_model.weights),
+        }, f, indent=1)
+
+
+if __name__ == '__main__':
+    main(sys.argv[1])

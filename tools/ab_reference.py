@@ -1,0 +1,534 @@
+"""Live A/B parity harness: the executing TF reference vs this rebuild.
+
+The reference (google/telluride_decoding) is runnable in this
+environment (TensorFlow 2.21 + tf_keras 2.21 with TF_USE_LEGACY_KERAS=1).
+This harness runs the reference's run_decoding_experiment
+(reference decoding.py:485-577, via tools/_ab_ref_worker.py in a clean
+TF subprocess) and this framework's (telluride_decoding_tpu.cli.decoding,
+in process, --protocol reference) with IDENTICAL flags on identical
+data, parses both results.txt files, and reconciles every field:
+
+  * deterministic solves (--shuffle_buffer_size 0): loss and
+    correlation metrics must match to float tolerance, and the linear
+    model's solved weights / probe-batch predictions must match;
+  * stochastic metrics (d', through the mixup/LDA path): N seeded
+    samples from each side must overlap under the +/-4 sigma bounds of
+    utils.stats_bounds;
+  * the reference's freshly-saved SavedModel must load through
+    models.load_reference_saved_model with predictions equal to TF's.
+
+Run it:  python -m tools.ab_reference          (markdown report on stdout)
+CI:      tests/test_reference_ab.py            (skips when TF is absent)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+REFERENCE_PATH = os.environ.get('TDT_REFERENCE_PATH', '/root/reference')
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       '_ab_ref_worker.py')
+
+_REFERENCE_OK: Optional[bool] = None
+
+
+def _worker_env() -> Dict[str, str]:
+    """Environment for the TF subprocess: legacy keras, no JAX hooks."""
+    env = dict(os.environ)
+    env['PYTHONPATH'] = ''   # Drop axon sitecustomize and repo paths.
+    env['TF_USE_LEGACY_KERAS'] = '1'
+    env['TF_CPP_MIN_LOG_LEVEL'] = '3'
+    env['CUDA_VISIBLE_DEVICES'] = ''
+    env.pop('JAX_PLATFORMS', None)
+    return env
+
+
+def reference_available() -> bool:
+    """True when the reference package + live TF can actually run."""
+    global _REFERENCE_OK
+    if _REFERENCE_OK is None:
+        if os.environ.get('TDT_AB_SKIP'):
+            _REFERENCE_OK = False
+        elif not os.path.isdir(os.path.join(REFERENCE_PATH,
+                                            'telluride_decoding')):
+            _REFERENCE_OK = False
+        else:
+            probe = subprocess.run(
+                [sys.executable, '-c',
+                 'import tensorflow, tf_keras'],
+                env=_worker_env(), capture_output=True, timeout=300)
+            _REFERENCE_OK = probe.returncode == 0
+    return _REFERENCE_OK
+
+
+def run_reference(flags: Dict, workdir: str, *,
+                  seed: int = 0,
+                  dprime_seeds: Sequence[int] = (),
+                  dump_npz: bool = True,
+                  save_model: bool = False,
+                  timeout: int = 900) -> Dict:
+    """Runs the reference experiment in a TF subprocess; returns its
+    result summary (worker JSON + parsed results.txt + npz path)."""
+    os.makedirs(workdir, exist_ok=True)
+    flags = dict(flags)
+    flags.setdefault('summary_dir', os.path.join(workdir, 'summary'))
+    if save_model:
+        flags.setdefault('saved_model_dir', os.path.join(workdir, 'model'))
+    config = {
+        'reference_path': REFERENCE_PATH,
+        'flags': flags,
+        'seed': seed,
+        'dprime_seeds': list(dprime_seeds),
+        'out_json': os.path.join(workdir, 'worker_out.json'),
+        'dump_npz': (os.path.join(workdir, 'probe.npz')
+                     if dump_npz else None),
+    }
+    config_path = os.path.join(workdir, 'worker_config.json')
+    with open(config_path, 'w') as f:
+        json.dump(config, f)
+    proc = subprocess.run(
+        [sys.executable, _WORKER, config_path],
+        env=_worker_env(), capture_output=True, text=True,
+        timeout=timeout)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            'Reference worker failed (rc=%d).\nstdout:\n%s\nstderr:\n%s'
+            % (proc.returncode, proc.stdout[-4000:], proc.stderr[-4000:]))
+    with open(config['out_json']) as f:
+        out = json.load(f)
+    out['results_txt'] = _parse_results(
+        os.path.join(flags['summary_dir'], 'results.txt'))
+    out['npz'] = config['dump_npz']
+    out['saved_model_dir'] = flags.get('saved_model_dir')
+    return out
+
+
+def run_rebuild(flags: Dict, workdir: str, *,
+                seed: int = 0,
+                dprime_seeds: Sequence[int] = (),
+                dump_npz: bool = True,
+                save_model: bool = False) -> Dict:
+    """Runs this framework's experiment in process, under the
+    reference data protocol, mirroring the worker's extras."""
+    from telluride_decoding_tpu.cli import decoding
+    from telluride_decoding_tpu.data import brain_data
+
+    os.makedirs(workdir, exist_ok=True)
+    flags = dict(flags)
+    flags.setdefault('summary_dir', os.path.join(workdir, 'summary'))
+    if save_model:
+        flags.setdefault('saved_model_dir', os.path.join(workdir, 'model'))
+    flags.setdefault('protocol', 'reference')
+
+    my_flags = decoding.DecodingOptions().set_from_dict(flags)
+    if (my_flags.pre_context + 1 + my_flags.post_context <
+            my_flags.min_context):
+        my_flags.post_context = (my_flags.min_context -
+                                 (my_flags.pre_context + 1))
+    if not my_flags.summary_dir.endswith('/'):
+        my_flags.summary_dir += '/'
+
+    def make_data(shuffle_seed):
+        return brain_data.create_brain_dataset(
+            my_flags.data, my_flags.input_field, my_flags.output_field,
+            attended_field=my_flags.attended_field or None,
+            frame_rate=my_flags.frame_rate,
+            pre_context=my_flags.pre_context,
+            post_context=my_flags.post_context,
+            in2_fields=my_flags.input2_field or None,
+            in2_pre_context=my_flags.input2_pre_context,
+            in2_post_context=my_flags.input2_post_context,
+            input_offset=my_flags.input_offset,
+            final_batch_size=my_flags.batch_size,
+            shuffle_buffer_size=my_flags.shuffle_buffer_size,
+            data_dir=my_flags.tfexample_dir,
+            data_pattern=my_flags.tfexample_pattern,
+            train_file_pattern=my_flags.train_file_pattern,
+            validate_file_pattern=my_flags.validate_file_pattern,
+            test_file_pattern=my_flags.test_file_pattern,
+            shuffle_seed=shuffle_seed,
+            reference_protocol=my_flags.protocol == 'reference')
+
+    data = make_data(seed + 42)
+    model = decoding.create_brain_model(my_flags, data.spec_dataset())
+    train_results, test_results = decoding.train_and_test(
+        my_flags, data, model, epochs=my_flags.epoch_count)
+
+    dprimes = []
+    first_decoder = None
+    for lda_seed in [seed] + list(dprime_seeds):
+        # Fresh mixup randomness per sample: the mixup permutation
+        # comes from the dataset's seeded RNG.
+        lda_data = make_data(lda_seed + 1000)
+        dprime, decoder = decoding.train_lda_model(lda_data, model,
+                                                   my_flags)
+        dprimes.append(float(dprime))
+        if first_decoder is None:
+            first_decoder = decoder
+
+    decoding.write_experiment_summary(my_flags, train_results,
+                                      test_results, dprimes[0])
+    if my_flags.saved_model_dir:
+        model.save(my_flags.saved_model_dir)
+        first_decoder.save_parameters(
+            os.path.join(my_flags.saved_model_dir, 'decoder_model.json'))
+
+    out = {
+        'train_results': {k: float(v) for k, v in
+                          (train_results or {}).items()
+                          if np.isscalar(v)},
+        'test_results': {k: float(v) for k, v in test_results.items()},
+        'dprime': dprimes[0],
+        'dprimes': dprimes,
+        'results_txt': _parse_results(
+            os.path.join(my_flags.summary_dir, 'results.txt')),
+        'npz': None,
+        'saved_model_dir': my_flags.saved_model_dir,
+    }
+
+    if dump_npz:
+        probe = data.create_dataset('program_test')
+        batch = next(iter(probe))
+        inputs, y = batch
+        pred = model({'input_1': inputs['input_1'],
+                      'input_2': inputs['input_2']})
+        npz_path = os.path.join(workdir, 'probe.npz')
+        arrays = {'x1': inputs['input_1'], 'x2': inputs['input_2'],
+                  'attended': inputs['attended_speaker'], 'y': y,
+                  'pred': np.asarray(pred)}
+        if hasattr(model, 'weight_matrices'):
+            for i, w in enumerate(model.weight_matrices):
+                arrays['weight_%d' % i] = np.asarray(w)
+        np.savez(npz_path, **arrays)
+        out['npz'] = npz_path
+    return out
+
+
+def _parse_results(path: str) -> Dict[str, float]:
+    from telluride_decoding_tpu.utils.results import parse_results_file
+    _, metrics = parse_results_file(path)
+    return metrics
+
+
+# --------------------------------------------------------------------------
+# Reconciliation
+
+
+@dataclasses.dataclass
+class Delta:
+    field: str
+    ref: float
+    tdt: float
+    tolerance: float
+    kind: str          # 'abs' | 'rel' | 'info'
+    note: str = ''
+    atol: float = 0.0  # absolute floor for 'rel' comparisons
+
+    @property
+    def delta(self) -> float:
+        return abs(self.ref - self.tdt)
+
+    @property
+    def ok(self) -> bool:
+        if self.kind == 'info':
+            return True
+        if self.kind == 'rel':
+            scale = max(abs(self.ref), abs(self.tdt), 1e-12)
+            return self.delta <= self.tolerance * scale + self.atol
+        return self.delta <= self.tolerance
+
+
+def reconcile(ref: Dict, tdt: Dict, *,
+              metric_tol: float = 1e-3,
+              loss_rel_tol: float = 1e-3,
+              dprime_sigmas: float = 4.0) -> List[Delta]:
+    """Compares every results.txt field between the two runs.
+
+    Deterministic metrics compare directly; dprime compares the
+    rebuild's samples against the reference's sample bounds (and vice
+    versa) when multiple seeds are present, else abs-tolerantly with a
+    wide stochastic tolerance.
+    """
+    from telluride_decoding_tpu.utils import stats_bounds
+
+    rows: List[Delta] = []
+    ref_metrics = ref['results_txt']
+    tdt_metrics = tdt['results_txt']
+    for field in sorted(set(ref_metrics) | set(tdt_metrics)):
+        if field not in ref_metrics or field not in tdt_metrics:
+            rows.append(Delta(field, ref_metrics.get(field, float('nan')),
+                              tdt_metrics.get(field, float('nan')),
+                              0.0, 'abs', 'missing on one side'))
+            continue
+        rv, tv = ref_metrics[field], tdt_metrics[field]
+        if field == 'dprime':
+            ref_samples = ref.get('dprimes', [rv])
+            tdt_samples = tdt.get('dprimes', [tv])
+            if len(ref_samples) >= 3 and len(tdt_samples) >= 3:
+                # Symmetric +/-4 sigma overlap: each side's MEAN must
+                # sit inside the other side's sample bounds (the
+                # stats_bounds golden-run semantic, both directions).
+                ref_g = stats_bounds.summarize_results(ref_samples)
+                tdt_g = stats_bounds.summarize_results(tdt_samples)
+                z_fwd = (abs(tdt_g['mean'] - ref_g['mean']) /
+                         max(ref_g['std'], 1e-12))
+                z_bwd = (abs(ref_g['mean'] - tdt_g['mean']) /
+                         max(tdt_g['std'], 1e-12))
+                worst = max(z_fwd, z_bwd)
+                rows.append(Delta(
+                    field, ref_g['mean'], tdt_g['mean'],
+                    dprime_sigmas * max(ref_g['std'], tdt_g['std'],
+                                        1e-12),
+                    'abs',
+                    'stochastic: ref %.3f+/-%.3f (n=%d) vs rebuild '
+                    '%.3f+/-%.3f (n=%d), worst z=%.2f (limit %.0f)' %
+                    (ref_g['mean'], ref_g['std'], ref_g['count'],
+                     tdt_g['mean'], tdt_g['std'], tdt_g['count'],
+                     worst, dprime_sigmas)))
+            else:
+                rows.append(Delta(field, rv, tv, 0.5 * max(abs(rv), 1.0),
+                                  'abs', 'stochastic single-shot '
+                                  '(mixup path); informational'))
+        elif field == 'loss':
+            # Absolute floor: in near-interpolation regimes both losses
+            # are ~1e-10 and the ratio is pure f32-vs-f64 noise.
+            rows.append(Delta(field, rv, tv, loss_rel_tol, 'rel',
+                              atol=1e-8))
+        else:
+            rows.append(Delta(field, rv, tv, metric_tol, 'abs'))
+    return rows
+
+
+def compare_probe_npz(ref_npz: str, tdt_npz: str, *,
+                      pred_tol: float = 1e-3,
+                      weight_rel_tol: float = 5e-3,
+                      weights_informational: bool = False,
+                      note: str = '') -> List[Delta]:
+    """Weight- and prediction-level parity from the dumped probes."""
+    rows: List[Delta] = []
+    ref = np.load(ref_npz)
+    tdt = np.load(tdt_npz)
+    # Probe batches must be the SAME frames.
+    dx = float(np.abs(ref['x1'] - tdt['x1']).max())
+    rows.append(Delta('probe/input_frames', 0.0, dx, 1e-6, 'abs',
+                      'same bytes through both data layers'))
+    dy = float(np.abs(ref['y'] - tdt['y']).max())
+    rows.append(Delta('probe/output_frames', 0.0, dy, 1e-6, 'abs'))
+    dp = float(np.abs(ref['pred'] - tdt['pred']).max())
+    scale = float(np.abs(ref['pred']).max()) or 1.0
+    rows.append(Delta('probe/predictions', 0.0, dp / scale, pred_tol,
+                      'abs', ('max|dpred| / max|pred|. ' + note).strip()))
+    # Weight parity where both sides dumped the same count of arrays
+    # (linear: kernel + bias; CCA models differ in layout). The scale
+    # is the LARGEST weight magnitude across all arrays so a
+    # near-zero bias does not divide a tiny delta into a huge ratio.
+    weight_keys = []
+    i = 0
+    while ('weight_%d' % i in ref.files and
+           'weight_%d' % i in tdt.files):
+        weight_keys.append('weight_%d' % i)
+        i += 1
+    global_scale = max(
+        [float(np.abs(ref[k]).max()) for k in weight_keys] + [1e-12])
+    kind = 'info' if weights_informational else 'abs'
+    for k in weight_keys:
+        rw, tw = ref[k], tdt[k]
+        if rw.shape == np.squeeze(tw).shape:
+            tw = np.squeeze(tw)
+        elif np.squeeze(rw).shape == tw.shape:
+            rw = np.squeeze(rw)
+        if rw.shape != tw.shape:
+            break
+        dw = float(np.abs(rw - tw).max())
+        rows.append(Delta('probe/' + k, 0.0, dw / global_scale,
+                          weight_rel_tol, kind,
+                          ('max|dw| / max|w|. ' + note).strip()))
+    return rows
+
+
+# --------------------------------------------------------------------------
+# Standard configurations
+
+
+def meg_flags(**overrides) -> Dict:
+    flags = {
+        'data': 'tfrecords',
+        'tfexample_dir': os.path.join(REFERENCE_PATH, 'test_data/meg'),
+        'train_file_pattern': 'subj01',
+        'test_file_pattern': 'subj02',
+        'validate_file_pattern': 'subj02',
+        'input_field': 'meg',
+        'output_field': 'envelope',
+        'attended_field': '',
+        'dnn_regressor': 'linear',
+        'regularization_lambda': 0.1,
+        'shuffle_buffer_size': 0,
+        'epoch_count': 10,
+    }
+    flags.update(overrides)
+    return flags
+
+
+def write_synthetic_corpus(directory: str, *, n_files: int = 3,
+                           n_frames: int = 800, n_channels: int = 4,
+                           seed: int = 1234) -> None:
+    """Seeded linear-TRF corpus as TFRecords both frameworks read.
+
+    envelope[t] = sum_k w_k . eeg[t-k] + noise, so a linear decoder
+    with enough pre-context recovers it; written with the rebuild's
+    TF-free codec, read back by the reference's TFRecordDataset — a
+    byte-level wire-format cross-check as well.
+    """
+    from telluride_decoding_tpu.data import records
+    rng = np.random.RandomState(seed)
+    os.makedirs(directory, exist_ok=True)
+    lags = 3
+    w = rng.randn(lags, n_channels).astype(np.float32)
+    for i in range(n_files):
+        eeg = rng.randn(n_frames, n_channels).astype(np.float32)
+        env = np.zeros((n_frames, 1), np.float32)
+        for k in range(lags):
+            env[k:, 0] += eeg[:n_frames - k] @ w[k]
+        # Substantial noise keeps the ridge system well away from the
+        # interpolation regime, where f32-vs-f64 solver precision (not
+        # protocol) would dominate the comparison.
+        env += 0.5 * rng.randn(n_frames, 1).astype(np.float32)
+        records.convert_data_to_tfrecords(
+            {'eeg': eeg, 'envelope': env},
+            os.path.join(directory, 'file%02d.tfrecords' % i))
+
+
+def synthetic_flags(corpus_dir: str, **overrides) -> Dict:
+    flags = {
+        'data': 'tfrecords',
+        'tfexample_dir': corpus_dir,
+        'train_file_pattern': 'file0[01]',
+        'test_file_pattern': 'file02',
+        'validate_file_pattern': 'file02',
+        'input_field': 'eeg',
+        'output_field': 'envelope',
+        'attended_field': '',
+        'dnn_regressor': 'linear',
+        'regularization_lambda': 0.01,
+        'pre_context': 2,
+        'post_context': 1,
+        'shuffle_buffer_size': 0,
+        'batch_size': 256,
+        'epoch_count': 10,
+    }
+    flags.update(overrides)
+    return flags
+
+
+STANDARD_CONFIGS = ('linear_meg', 'linear_meg_context', 'cca_meg',
+                    'linear_synthetic')
+
+
+def build_config(name: str, tmpdir: str) -> Dict:
+    if name == 'linear_meg':
+        return meg_flags()
+    if name == 'linear_meg_context':
+        return meg_flags(pre_context=3, post_context=2)
+    if name == 'cca_meg':
+        return meg_flags(dnn_regressor='cca', cca_dimensions=4,
+                         input2_field='envelope',
+                         input2_pre_context=2, input2_post_context=2,
+                         regularization_lambda=1.0,
+                         test_metric='cca_pearson_correlation_first')
+    if name == 'linear_synthetic':
+        corpus = os.path.join(tmpdir, 'synthetic_corpus')
+        if not os.path.isdir(corpus):
+            write_synthetic_corpus(corpus)
+        return synthetic_flags(corpus)
+    raise ValueError('Unknown A/B config %s' % name)
+
+
+# Per-config probe tolerances. linear_meg_context is a DEGENERATE
+# regime on the bundled fixture: the envelope is exactly linearly
+# predictable from lagged MEG (reference r = 1.0, loss ~1e-10), so the
+# ridge system is at interpolation and the solved weights are
+# precision-limited (f64 reference vs f32 rebuild) — predictions still
+# agree; individual weights are reported informationally.
+CONFIG_PROBE_OPTS: Dict[str, Dict] = {
+    'linear_meg_context': dict(
+        pred_tol=5e-3, weights_informational=True,
+        note='degenerate interpolation regime (r=1.0): weight vector '
+             'precision-limited, predictions compared instead'),
+}
+
+
+def run_ab(name: str, tmpdir: str, *, dprime_seeds: Sequence[int] = (),
+           save_model: bool = False) -> Tuple[List[Delta], Dict, Dict]:
+    """Runs one named config through both frameworks and reconciles."""
+    flags = build_config(name, tmpdir)
+    ref = run_reference(flags, os.path.join(tmpdir, name, 'ref'),
+                        dprime_seeds=dprime_seeds,
+                        save_model=save_model)
+    tdt = run_rebuild(flags, os.path.join(tmpdir, name, 'tdt'),
+                      dprime_seeds=dprime_seeds,
+                      save_model=save_model)
+    rows = reconcile(ref, tdt)
+    if ref.get('npz') and tdt.get('npz'):
+        rows += compare_probe_npz(ref['npz'], tdt['npz'],
+                                  **CONFIG_PROBE_OPTS.get(name, {}))
+    return rows, ref, tdt
+
+
+def format_report(all_rows: Dict[str, List[Delta]]) -> str:
+    lines = ['# A/B parity: live TF reference vs telluride_decoding_tpu',
+             '',
+             '| config | field | reference | rebuild | delta | tol | ok | note |',
+             '|---|---|---|---|---|---|---|---|']
+    for name, rows in all_rows.items():
+        for d in rows:
+            lines.append(
+                '| %s | %s | %.6g | %.6g | %.3g | %.3g (%s) | %s | %s |'
+                % (name, d.field, d.ref, d.tdt, d.delta, d.tolerance,
+                   d.kind, 'PASS' if d.ok else 'FAIL', d.note))
+    return '\n'.join(lines)
+
+
+def main(argv: Sequence[str] = ()) -> int:
+    import argparse
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--configs', default=','.join(STANDARD_CONFIGS))
+    parser.add_argument('--dprime_seeds', type=int, default=0,
+                        help='Extra seeded LDA runs per side for the '
+                             'statistical d-prime comparison.')
+    parser.add_argument('--workdir', default=None)
+    parser.add_argument('--out', default=None,
+                        help='Also write the markdown report here.')
+    args = parser.parse_args(argv or sys.argv[1:])
+
+    if not reference_available():
+        print('Reference TF environment not available; nothing to do.')
+        return 0
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix='tdt_ab_')
+    seeds = list(range(1, args.dprime_seeds + 1))
+    all_rows: Dict[str, List[Delta]] = {}
+    failures = 0
+    for name in args.configs.split(','):
+        rows, _, _ = run_ab(name.strip(), workdir, dprime_seeds=seeds,
+                            save_model=True)
+        all_rows[name] = rows
+        failures += sum(1 for d in rows if not d.ok)
+    report = format_report(all_rows)
+    print(report)
+    if args.out:
+        with open(args.out, 'w') as f:
+            f.write(report + '\n')
+    print('\n%d field(s) out of tolerance.' % failures)
+    return 1 if failures else 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())
