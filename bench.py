@@ -240,7 +240,7 @@ def run_diagnostics(params, x1, x2):
     # codelab width of 2553 lag-stacked channels) in one program.
     # (The reference documents ~1 hour per fit on a workstation.)
     from telluride_decoding_tpu.sweep.engine import (
-        _ridge_sweep_program, _stacked_moments, pad_and_stack)
+        _ridge_sweep_program, per_file_stats)
     num_files, frames, width = 40, 3300, 2553
     datakeys = jax.random.split(jax.random.PRNGKey(3), num_files)
 
@@ -261,12 +261,9 @@ def run_diagnostics(params, x1, x2):
     lambdas9 = jnp.asarray(np.logspace(-6, 2, 9), jnp.float32)
 
     def full_sweep():
-        xs, masks = pad_and_stack(xs_list)
-        ys, _ = pad_and_stack(ys_list)
-        stacked = _stacked_moments(xs, ys, masks, want_syy=False)
+        stacked = per_file_stats(xs_list, ys_list, want_syy=True)
         total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
-        return _ridge_sweep_program(stacked, total, xs, ys, masks,
-                                    lambdas9)
+        return _ridge_sweep_program(stacked, total, lambdas9)
 
     sync(full_sweep())  # Warm-up compile.
     t0 = time.perf_counter()
@@ -281,12 +278,9 @@ def run_diagnostics(params, x1, x2):
     from telluride_decoding_tpu.sweep.engine import _cca_sweep_program_chol
 
     def full_cca_sweep():
-        xs, masks = pad_and_stack(xs_list)
-        ys, _ = pad_and_stack(ys_list)
-        stacked = _stacked_moments(xs, ys, masks, want_syy=True)
+        stacked = per_file_stats(xs_list, ys_list, want_syy=True)
         total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
-        return _cca_sweep_program_chol(stacked, total, xs, ys,
-                                       masks, lambdas9, dims=1)
+        return _cca_sweep_program_chol(stacked, total, lambdas9, dims=1)
 
     sync(full_cca_sweep())  # Warm-up compile.
     t0 = time.perf_counter()

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from telluride_decoding_tpu.ops.covariance import (MomentStats,
+                                                   blocked_moments,
                                                    moments_from_arrays)
 from telluride_decoding_tpu.solvers.ridge import solve_ridge_from_moments
 
@@ -91,41 +92,127 @@ def pad_and_stack(arrays: Sequence[np.ndarray],
     return jnp.asarray(stacked), jnp.asarray(mask)
 
 
-def _pad_files(per_file_x, per_file_y, pad_files_to: Optional[int]):
-    """Appends zero dummy files up to pad_files_to.
-
-    Dummy files' masks are zeroed by the caller, so their statistics
-    are exact zeros (leaving leave-one-out totals untouched) and their
-    correlations come out 0 and are sliced away from the result. This
-    lets ragged cohorts share ONE compiled sweep program.
-    """
-    if not pad_files_to or pad_files_to <= len(per_file_x):
-        return per_file_x, per_file_y
-    dx = _ensure_2d(per_file_x[0]).shape[1]
-    dy = _ensure_2d(per_file_y[0]).shape[1]
-    pad = pad_files_to - len(per_file_x)
-    # Dummies match the real arrays' placement: host zeros would demote
-    # an all-device cohort to pad_and_stack's host path, which reads
-    # every real array back through the dispatch link.
-    zeros = (jnp.zeros if isinstance(per_file_x[0], jax.Array)
-             else np.zeros)
-    per_file_x = list(per_file_x) + [zeros((1, dx), np.float32)] * pad
-    per_file_y = list(per_file_y) + [zeros((1, dy), np.float32)] * pad
-    return per_file_x, per_file_y
-
-
 @functools.partial(jax.jit, static_argnames=('want_syy',))
 def _stacked_moments(xs: jax.Array, ys: jax.Array, masks: jax.Array,
                      want_syy: bool) -> MomentStats:
-    """Per-file MomentStats from the padded [F, N, D] stack — ONE
-    device program for the whole file set (the per-file eager loop it
-    replaces cost one dispatch round trip per file, which dominated
-    cohort sweeps through a high-latency link)."""
+    """Per-file MomentStats from a padded [F, N, D] stack — ONE
+    device program for a whole file set. Used when the caller already
+    has the raw stack (parallel tests); the sweep entry points below
+    use per_file_stats, which never materializes it."""
     def one(x, y, m):
         stats = moments_from_arrays(x * m[:, None], y * m[:, None],
                                     want_syy=want_syy)
         return stats._replace(count=jnp.sum(m))
     return jax.vmap(one)(xs, ys, masks)
+
+
+def per_file_stats(per_file_x: Sequence[np.ndarray],
+                   per_file_y: Sequence[np.ndarray],
+                   want_syy: bool,
+                   pad_files_to: Optional[int] = None,
+                   frame_bucket: int = 4096) -> MomentStats:
+    """Stacked [F, ...] MomentStats WITHOUT a [F, N_max, D] raw stack.
+
+    Each file streams through one bucketed-shape moments program
+    (frames pad to a frame_bucket multiple with a validity mask, so a
+    ragged cohort reuses a handful of compilations) and only the
+    O(D^2) statistics stay resident — the raw frames are free the
+    moment their dispatch is queued. Dispatches are asynchronous, so
+    per-file launches pipeline over a high-latency link.
+
+    Dummy files up to pad_files_to contribute exact-zero statistics
+    (count 0), preserving leave-one-out totals.
+    """
+    stats_list = []
+    for x, y in zip(per_file_x, per_file_y):
+        x = _ensure_2d(x)
+        y = _ensure_2d(y)
+        n = x.shape[0]
+        padded = -(-n // frame_bucket) * frame_bucket
+        if isinstance(x, jax.Array) or isinstance(y, jax.Array):
+            xp = jnp.pad(jnp.asarray(x, jnp.float32),
+                         ((0, padded - n), (0, 0)))
+            yp = jnp.pad(jnp.asarray(y, jnp.float32),
+                         ((0, padded - y.shape[0]), (0, 0)))
+        else:
+            xp = np.zeros((padded, x.shape[1]), np.float32)
+            xp[:n] = x
+            yp = np.zeros((padded, y.shape[1]), np.float32)
+            yp[:y.shape[0]] = np.asarray(y)
+        valid = _bucket_valid(n, padded)
+        stats_list.append(blocked_moments(
+            jnp.asarray(xp), jnp.asarray(yp), want_syy=want_syy,
+            valid=valid, block=frame_bucket))
+    if pad_files_to:
+        dx = stats_list[0].sum_x.shape[0]
+        dy = stats_list[0].sum_y.shape[0]
+        for _ in range(pad_files_to - len(stats_list)):
+            from telluride_decoding_tpu.ops.covariance import (
+                zeros_moments)
+            stats_list.append(zeros_moments(dx, dy))
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *stats_list)
+
+
+@functools.partial(jax.jit, static_argnames=('n_padded',))
+def _bucket_valid(n_true, n_padded: int) -> jax.Array:
+    """[n_padded] 0/1 validity mask — jitted so repeated file lengths
+    share one tiny program instead of re-uploading index arrays."""
+    return (jnp.arange(n_padded) < n_true).astype(jnp.float32)
+
+
+def _tree_index(stats: MomentStats, index) -> MomentStats:
+    return jax.tree.map(lambda a: a[index], stats)
+
+
+def _linear_r_from_stats(stats: MomentStats, w: jax.Array,
+                         b: jax.Array) -> jax.Array:
+    """Pearson r (first output column) of pred = x @ w + b on the
+    file summarized by ``stats`` — no raw frames needed.
+
+    Requires stats built with want_syy=True (uses syy[0, 0]). A
+    zero-count dummy file comes out 0, matching the masked evaluator.
+    """
+    w0 = w[:, 0]
+    b0 = b[0]
+    n = jnp.maximum(stats.count, 1.0)
+    sum_xw = jnp.dot(stats.sum_x, w0, precision=jax.lax.Precision.HIGHEST)
+    sum_p = sum_xw + stats.count * b0
+    sum_pp = (jnp.dot(w0, jnp.dot(stats.sxx, w0,
+                                  precision=jax.lax.Precision.HIGHEST),
+                      precision=jax.lax.Precision.HIGHEST)
+              + 2.0 * b0 * sum_xw + stats.count * b0 * b0)
+    sum_y0 = stats.sum_y[0]
+    sum_yy = stats.syy[0, 0]
+    sum_yp = (jnp.dot(stats.sxy[:, 0], w0,
+                      precision=jax.lax.Precision.HIGHEST)
+              + b0 * sum_y0)
+    cov = sum_yp - sum_y0 * sum_p / n
+    var_p = sum_pp - sum_p * sum_p / n
+    var_y = sum_yy - sum_y0 * sum_y0 / n
+    power = jnp.sqrt(jnp.maximum(var_p, 0.0) * jnp.maximum(var_y, 0.0))
+    return cov / jnp.where(power <= 0, 1.0, power)
+
+
+def _cca_r_from_stats(stats: MomentStats, u: jax.Array,
+                      v: jax.Array) -> jax.Array:
+    """Pearson r of (x @ u) vs (y @ v) on the file summarized by
+    ``stats`` (want_syy=True). Pearson is shift-invariant, so the
+    train-mean centering of the dense evaluator drops out."""
+    highest = jax.lax.Precision.HIGHEST
+    n = jnp.maximum(stats.count, 1.0)
+    sum_a = jnp.dot(stats.sum_x, u, precision=highest)
+    sum_b = jnp.dot(stats.sum_y, v, precision=highest)
+    saa = jnp.dot(u, jnp.dot(stats.sxx, u, precision=highest),
+                  precision=highest)
+    sbb = jnp.dot(v, jnp.dot(stats.syy, v, precision=highest),
+                  precision=highest)
+    sab = jnp.dot(u, jnp.dot(stats.sxy, v, precision=highest),
+                  precision=highest)
+    cov = sab - sum_a * sum_b / n
+    var_a = saa - sum_a * sum_a / n
+    var_b = sbb - sum_b * sum_b / n
+    power = jnp.sqrt(jnp.maximum(var_a, 0.0) * jnp.maximum(var_b, 0.0))
+    return cov / jnp.where(power <= 0, 1.0, power)
 
 
 def _total_minus(stacked: MomentStats, total: MomentStats,
@@ -136,10 +223,15 @@ def _total_minus(stacked: MomentStats, total: MomentStats,
 @functools.partial(jax.jit,
                    static_argnames=('use_ridge', 'force_eig'))
 def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
-                         xs: jax.Array, ys: jax.Array, masks: jax.Array,
                          lambdas: jax.Array, use_ridge: bool = True,
                          force_eig: bool = False):
-    """[L, F] held-out correlations from per-file stats + padded data.
+    """[L, F] held-out correlations from per-file MomentStats ALONE.
+
+    The held-out Pearson r of a linear prediction is a pure function
+    of the file's moments (quadratic forms of w with sxx/sxy/syy —
+    _linear_r_from_stats), so the raw [F, N, D] frame stack never
+    enters the program: the whole jackknife is O(F D^2) memory and the
+    per-(lambda, file) cost is the Cholesky factorization floor.
 
     Files evaluate in one vmap (they share nothing); the lambda axis
     runs sequentially via lax.map so peak memory stays at one
@@ -155,7 +247,7 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
     answer).
     """
     import jax.scipy.linalg as jsl
-    num_files = xs.shape[0]
+    num_files = stacked_stats.count.shape[0]
 
     if use_ridge and not force_eig and lambdas.shape[0] < 24:
         # The leave-one-out augmented covariance is lambda-INDEPENDENT:
@@ -182,9 +274,9 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
         def eval_chol(file_idx, lamb):
             l = jnp.linalg.cholesky(cov_all[file_idx] + lamb * eye)
             solution = jsl.cho_solve((l, True), rhs_all[file_idx])
-            pred = xs[file_idx] @ solution[:-1] + solution[-1]
-            return _masked_pearson_first(ys[file_idx], pred,
-                                         masks[file_idx])
+            return _linear_r_from_stats(
+                _tree_index(stacked_stats, file_idx),
+                solution[:-1], solution[-1])
 
         return jax.lax.map(
             lambda lamb: jax.vmap(lambda f: eval_chol(f, lamb))(
@@ -194,8 +286,9 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
         train_stats = _total_minus(stacked_stats, total, file_idx)
         sol = solve_ridge_from_moments(train_stats, lamb,
                                        use_ridge=use_ridge)
-        pred = xs[file_idx] @ sol.w + sol.b
-        return _masked_pearson_first(ys[file_idx], pred, masks[file_idx])
+        return _linear_r_from_stats(
+            _tree_index(stacked_stats, file_idx), sol.w,
+            sol.b[None] if sol.b.ndim == 0 else sol.b)
 
     if (lambdas.shape[0] >= 24 or force_eig) and use_ridge:
         # LARGE grids amortize one eigendecomposition per file:
@@ -232,11 +325,9 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
                             1.0 / jnp.maximum(shifted, 1e-12), 0.0)
             solution = jnp.matmul(v, vt_cov_xy * inv[:, None],
                                   precision=jax.lax.Precision.HIGHEST)
-            w = solution[:-1, :]
-            b = solution[-1, :]
-            pred = xs[file_idx] @ w + b
-            return _masked_pearson_first(ys[file_idx], pred,
-                                         masks[file_idx])
+            return _linear_r_from_stats(
+                _tree_index(stacked_stats, file_idx),
+                solution[:-1, :], solution[-1, :])
 
         return jax.lax.map(
             lambda lamb: jax.vmap(lambda f: eval_eig(f, lamb))(
@@ -249,8 +340,7 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
 
 @functools.partial(jax.jit, static_argnames=('dims',))
 def _cca_sweep_program_chol(stacked_stats: MomentStats,
-                            total: MomentStats, xs: jax.Array,
-                            ys: jax.Array, masks: jax.Array,
+                            total: MomentStats,
                             lambdas: jax.Array, dims: int):
     """CCA grid with Cholesky whitening — the default fast path.
 
@@ -262,11 +352,14 @@ def _cca_sweep_program_chol(stacked_stats: MomentStats,
     width 2553), with correlations equal to 6e-5. Requires cov + lamb*I
     positive definite: lamb == 0 on a rank-deficient covariance yields
     NaNs, which the caller detects and retries with the eig program.
+
+    Held-out evaluation runs from the file's own MomentStats
+    (_cca_r_from_stats) — no raw frames in the program.
     """
     import jax.scipy.linalg as jsl
-    num_files = xs.shape[0]
-    dx = xs.shape[2]
-    dy = ys.shape[2]
+    num_files = stacked_stats.count.shape[0]
+    dx = stacked_stats.sum_x.shape[1]
+    dy = stacked_stats.sum_y.shape[1]
 
     # The leave-one-out covariances are lambda-INDEPENDENT: build each
     # file's symmetrized cov_xx/cov_yy/cov_xy + means ONCE so the
@@ -296,11 +389,10 @@ def _cca_sweep_program_chol(stacked_stats: MomentStats,
         t = jsl.solve_triangular(l1, cov_xy, lower=True)
         t = jsl.solve_triangular(l2, t.T, lower=True).T
         u, _, vt = jnp.linalg.svd(t, full_matrices=False)
-        rot_x = jsl.solve_triangular(l1.T, u[:, :dims], lower=False)
-        rot_y = jsl.solve_triangular(l2.T, vt.T[:, :dims], lower=False)
-        r1 = (xs[file_idx] - mean_x[None, :]) @ rot_x
-        r2 = (ys[file_idx] - mean_y[None, :]) @ rot_y
-        return _masked_pearson_first(r1, r2, masks[file_idx])
+        rot_x = jsl.solve_triangular(l1.T, u[:, :1], lower=False)
+        rot_y = jsl.solve_triangular(l2.T, vt.T[:, :1], lower=False)
+        return _cca_r_from_stats(_tree_index(stacked_stats, file_idx),
+                                 rot_x[:, 0], rot_y[:, 0])
 
     return jax.lax.map(
         lambda lamb: jax.vmap(lambda f: eval_one(f, lamb))(
@@ -309,7 +401,6 @@ def _cca_sweep_program_chol(stacked_stats: MomentStats,
 
 @functools.partial(jax.jit, static_argnames=('dims',))
 def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
-                       xs: jax.Array, ys: jax.Array, masks: jax.Array,
                        lambdas: jax.Array, dims: int):
     """CCA grid with eigendecomposition reuse across the lambda axis.
 
@@ -321,7 +412,7 @@ def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
     (rank-deficient covariance with lamb == 0): degenerate
     eigendirections are zeroed out of the whitening product.
     """
-    num_files = xs.shape[0]
+    num_files = stacked_stats.count.shape[0]
 
     def file_eig(file_idx):
         stats = _total_minus(stacked_stats, total, file_idx)
@@ -359,11 +450,10 @@ def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
         t = jnp.matmul(jnp.matmul(k11, cov_xy, precision=highest), k22,
                        precision=highest)
         u, _, vt = jnp.linalg.svd(t, full_matrices=False)
-        rot_x = jnp.matmul(k11, u[:, :dims], precision=highest)
-        rot_y = jnp.matmul(k22, vt.T[:, :dims], precision=highest)
-        r1 = (xs[file_idx] - mean_x[None, :]) @ rot_x
-        r2 = (ys[file_idx] - mean_y[None, :]) @ rot_y
-        return _masked_pearson_first(r1, r2, masks[file_idx])
+        rot_x = jnp.matmul(k11, u[:, :1], precision=highest)
+        rot_y = jnp.matmul(k22, vt.T[:, :1], precision=highest)
+        return _cca_r_from_stats(_tree_index(stacked_stats, file_idx),
+                                 rot_x[:, 0], rot_y[:, 0])
 
     return jax.lax.map(
         lambda lamb: jax.vmap(lambda f: eval_one(f, lamb))(
@@ -418,6 +508,16 @@ def _shard_over_mesh(arrays, mesh: Optional['jax.sharding.Mesh']):
     return out
 
 
+def _shard_stats_over_mesh(stats: MomentStats,
+                           mesh: Optional['jax.sharding.Mesh']
+                           ) -> MomentStats:
+    """Shards every [F, ...] stats leaf over the mesh's file axis."""
+    if mesh is None:
+        return stats
+    leaves, treedef = jax.tree.flatten(stats)
+    return jax.tree.unflatten(treedef, _shard_over_mesh(leaves, mesh))
+
+
 def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                           per_file_y: Sequence[np.ndarray],
                           lambdas: Sequence[float],
@@ -435,25 +535,25 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     correlation of a model trained on all files but f with
     regularization lambdas[l].
 
-    pad_files_to/pad_frames_to force a shared program shape so a whole
-    ragged cohort reuses ONE compilation (padding is masked out and
-    sliced away from the result).
+    pad_files_to forces a shared program shape so a whole ragged
+    cohort reuses ONE compilation (padding contributes exact-zero
+    statistics and is sliced away from the result). pad_frames_to is
+    accepted for API stability but no longer affects program shape:
+    evaluation runs from per-file MomentStats, so raw frames never
+    enter the sweep program (frame lengths only pick the moment
+    accumulator's bucket).
     """
+    del pad_frames_to   # Frame dimension eliminated by moments-only eval.
     num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
     pad_files_to = _mesh_file_padding(num_real, pad_files_to, mesh)
-    per_file_x, per_file_y = _pad_files(per_file_x, per_file_y,
-                                        pad_files_to)
-    xs, masks = pad_and_stack(per_file_x, pad_frames_to)
-    ys, _ = pad_and_stack(per_file_y, pad_frames_to)
-    masks = masks.at[num_real:].set(0.0)
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
-    xs, ys, masks = _shard_over_mesh([xs, ys, masks], mesh)
-    stacked = _stacked_moments(xs, ys, masks, want_syy=False)
+    stacked = per_file_stats(per_file_x, per_file_y, want_syy=True,
+                             pad_files_to=pad_files_to)
+    stacked = _shard_stats_over_mesh(stacked, mesh)
     total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
     corr = np.asarray(_ridge_sweep_program(
-        stacked, total, xs, ys, masks, lambdas_arr,
-        use_ridge=use_ridge))
+        stacked, total, lambdas_arr, use_ridge=use_ridge))
     if use_ridge and not np.isfinite(corr[:, :num_real]).all():
         # No unique solution (rank-deficient covariance with lamb == 0
         # breaks Cholesky and LU alike): the eig program zeroes
@@ -461,7 +561,7 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
         # eig fallback — for shrinkage (use_ridge=False) force_eig is
         # a no-op, so retrying would recompile the identical program.
         corr = np.asarray(_ridge_sweep_program(
-            stacked, total, xs, ys, masks, lambdas_arr,
+            stacked, total, lambdas_arr,
             use_ridge=use_ridge, force_eig=True))
     return SweepResult(corr[:, :num_real],
                        np.asarray(lambdas),
@@ -480,26 +580,23 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                         ) -> SweepResult:
     """Leave-one-file-out CCA sweep (correlation of first canonical
     pair on the held-out file) over a regularization grid."""
+    del pad_frames_to   # Frame dimension eliminated by moments-only eval.
     num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
     pad_files_to = _mesh_file_padding(num_real, pad_files_to, mesh)
-    per_file_x, per_file_y = _pad_files(per_file_x, per_file_y,
-                                        pad_files_to)
-    xs, masks = pad_and_stack(per_file_x, pad_frames_to)
-    ys, _ = pad_and_stack(per_file_y, pad_frames_to)
-    masks = masks.at[num_real:].set(0.0)
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
-    xs, ys, masks = _shard_over_mesh([xs, ys, masks], mesh)
-    stacked = _stacked_moments(xs, ys, masks, want_syy=True)
+    stacked = per_file_stats(per_file_x, per_file_y, want_syy=True,
+                             pad_files_to=pad_files_to)
+    stacked = _shard_stats_over_mesh(stacked, mesh)
     total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
     corr = np.asarray(_cca_sweep_program_chol(
-        stacked, total, xs, ys, masks, lambdas_arr, dims=dims))
+        stacked, total, lambdas_arr, dims=dims))
     if not np.isfinite(corr[:, :num_real]).all():
         # Cholesky failed (rank-deficient covariance with lamb == 0):
         # retry with the eigendecomposition program, which zeroes
         # degenerate directions instead.
         corr = np.asarray(_cca_sweep_program(
-            stacked, total, xs, ys, masks, lambdas_arr, dims=dims))
+            stacked, total, lambdas_arr, dims=dims))
     return SweepResult(corr[:, :num_real],
                        np.asarray(lambdas),
                        file_names or ['file%d' % i
@@ -508,13 +605,12 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
 
 @functools.partial(jax.jit, static_argnames=('mesh', 'model', 'dims',
                                              'use_ridge', 'force_eig'))
-def _subject_sweep_sharded(xs: jax.Array, ys: jax.Array,
-                           masks: jax.Array, lambdas: jax.Array,
+def _subject_sweep_sharded(stats: MomentStats, lambdas: jax.Array,
                            mesh: 'jax.sharding.Mesh', model: str,
                            dims: int, use_ridge: bool,
                            force_eig: bool) -> jax.Array:
     """[S, L, F] correlations with the SUBJECT axis sharded over the
-    mesh.
+    mesh, from [S, F, ...] per-file MomentStats alone.
 
     Subjects share nothing (files never mix across subjects), so each
     device runs its local subjects' whole jackknife x lambda grid with
@@ -527,78 +623,86 @@ def _subject_sweep_sharded(xs: jax.Array, ys: jax.Array,
     from jax import shard_map
     axis = mesh.axis_names[0]
 
-    def per_shard(xs, ys, masks, lambdas):
-        def one(x, y, m):
-            stacked = _stacked_moments(x, y, m,
-                                       want_syy=(model == 'cca'))
+    def per_shard(stats, lambdas):
+        def one(stacked):
             total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
             if model == 'cca':
                 if force_eig:
-                    return _cca_sweep_program(stacked, total, x, y, m,
-                                              lambdas, dims=dims)
-                return _cca_sweep_program_chol(stacked, total, x, y, m,
-                                               lambdas, dims=dims)
-            return _ridge_sweep_program(stacked, total, x, y, m,
-                                        lambdas, use_ridge=use_ridge,
+                    return _cca_sweep_program(stacked, total, lambdas,
+                                              dims=dims)
+                return _cca_sweep_program_chol(stacked, total, lambdas,
+                                               dims=dims)
+            return _ridge_sweep_program(stacked, total, lambdas,
+                                        use_ridge=use_ridge,
                                         force_eig=force_eig)
-        return jax.vmap(one)(xs, ys, masks)
+        return jax.vmap(one)(stats)
 
     return shard_map(per_shard, mesh=mesh,
-                     in_specs=(P(axis), P(axis), P(axis), P()),
-                     out_specs=P(axis))(xs, ys, masks, lambdas)
+                     in_specs=(P(axis), P()),
+                     out_specs=P(axis))(stats, lambdas)
 
 
 def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
                             use_ridge, pad_files_to, pad_frames_to):
     """Runs the cohort in subject-sharded groups of mesh-size chunks.
 
-    Each group stacks ndev subjects' padded [F, N, D] data into a
-    [S, F, N, D] batch sharded over the mesh's first axis (device_put
-    of a host batch transfers only each device's shard). Groups reuse
-    ONE compiled program; the final group pads with zero dummy
-    subjects whose masks are zero and whose rows are sliced away.
+    Each subject's per-file MomentStats are computed directly ON its
+    target device (jax.default_device routes the moment programs), and
+    the group's [S, F, ...] stats batch is assembled shard-by-shard
+    with make_array_from_single_device_arrays — so neither the raw
+    [S, F, N, D] frames (the old path staged ~12 GB of host buffer at
+    jens scale) nor the stats ever pass through a host-side global
+    buffer. Groups reuse ONE compiled sweep program; the final group
+    pads with zero-stat dummy subjects whose rows are sliced away.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     ndev = mesh.devices.shape[0]
     axis = mesh.axis_names[0]
+    devices = mesh.devices.reshape(-1)
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
     num_l = lambdas_arr.shape[0]
+    want_syy = True   # Moments-only eval always needs syy.
 
     def subject_batch(group):
-        """[S, F, N, D] x2 + [S, F, N] masks for one group of subjects.
-
-        Built as ONE host buffer filled in place, then ONE sharded
-        device_put (which transfers only each device's shard) —
-        a pad_and_stack round trip per subject would move the padded
-        data host->device->host->device. np.asarray on a device-array
-        file is that file's single D2H read; host files copy in RAM.
-        """
+        """[S, F, ...] MomentStats sharded subject-per-device."""
         dx = _ensure_2d(group[0][1][0][0]).shape[1]
         dy = _ensure_2d(group[0][1][1][0]).shape[1]
-        bx = np.zeros((ndev, pad_files_to, pad_frames_to, dx),
-                      np.float32)
-        by = np.zeros((ndev, pad_files_to, pad_frames_to, dy),
-                      np.float32)
-        bm = np.zeros((ndev, pad_files_to, pad_frames_to), np.float32)
-        for i, (_, (xs_i, ys_i)) in enumerate(group):
-            for f, (x, y) in enumerate(zip(xs_i, ys_i)):
-                x = _ensure_2d(x)
-                y = _ensure_2d(y)
-                n = x.shape[0]
-                bx[i, f, :n] = np.asarray(x, np.float32)
-                by[i, f, :y.shape[0]] = np.asarray(y, np.float32)
-                bm[i, f, :n] = 1.0
-        spec4 = NamedSharding(mesh, P(axis, None, None, None))
-        spec3 = NamedSharding(mesh, P(axis, None, None))
-        return (jax.device_put(bx, spec4), jax.device_put(by, spec4),
-                jax.device_put(bm, spec3))
+        shards = []   # Per-device stats trees, each [1, F, ...].
+        for i in range(ndev):
+            with jax.default_device(devices[i]):
+                if i < len(group):
+                    _, (xs_i, ys_i) = group[i]
+                    stats_i = per_file_stats(xs_i, ys_i,
+                                             want_syy=want_syy,
+                                             pad_files_to=pad_files_to)
+                else:
+                    from telluride_decoding_tpu.ops.covariance import (
+                        zeros_moments)
+                    zero = zeros_moments(dx, dy)
+                    stats_i = jax.tree.map(
+                        lambda z: jnp.broadcast_to(
+                            z, (pad_files_to,) + z.shape), zero)
+                shards.append(jax.tree.map(lambda a: a[None], stats_i))
+        leaves = [jax.tree.flatten(s)[0] for s in shards]
+        treedef = jax.tree.structure(shards[0])
+        global_leaves = []
+        for parts in zip(*leaves):
+            shape = (ndev,) + parts[0].shape[1:]
+            sharding = NamedSharding(
+                mesh, P(axis, *([None] * (parts[0].ndim - 1))))
+            global_leaves.append(
+                jax.make_array_from_single_device_arrays(
+                    shape, sharding,
+                    [jax.device_put(p, d)
+                     for p, d in zip(parts, devices)]))
+        return jax.tree.unflatten(treedef, global_leaves)
 
     results = {}
     for start in range(0, len(items), ndev):
         group = items[start:start + ndev]
-        xs, ys, masks = subject_batch(group)
+        stats = subject_batch(group)
         corr = np.asarray(_subject_sweep_sharded(
-            xs, ys, masks, lambdas_arr, mesh, model, dims, use_ridge,
+            stats, lambdas_arr, mesh, model, dims, use_ridge,
             False))
         for i, (name, (xs_i, ys_i)) in enumerate(group):
             num_real = len(xs_i)

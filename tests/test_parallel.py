@@ -113,23 +113,25 @@ class TestNonDivisibleFileSharding:
         assert _mesh_file_padding(22, 30, mesh) == 32      # Respects floor.
         assert _mesh_file_padding(22, None, None) is None  # No mesh.
 
-    def test_arrays_carry_named_sharding_over_file_axis(self, rng, mesh):
+    def test_stats_carry_named_sharding_over_file_axis(self, rng, mesh):
+        """The moments-only sweep shards the [F, ...] MomentStats
+        leaves (not raw frames — those never reach the program)."""
+        import jax
         from jax.sharding import NamedSharding
         from telluride_decoding_tpu.sweep.engine import (
-            _mesh_file_padding, _pad_files, _shard_over_mesh,
-            pad_and_stack)
+            _mesh_file_padding, _shard_stats_over_mesh, per_file_stats)
         from telluride_decoding_tpu.parallel import create_mesh
         file_mesh = create_mesh(('file',))
         xs = [rng.randn(40, 3).astype(np.float32) for _ in range(22)]
         ys = [x @ rng.randn(3, 1).astype(np.float32) for x in xs]
         pad_to = _mesh_file_padding(len(xs), None, file_mesh)
-        xs_p, ys_p = _pad_files(xs, ys, pad_to)
-        stacked, masks = pad_and_stack(xs_p)
-        arrays = _shard_over_mesh([stacked, masks], file_mesh)
-        for a in arrays:
-            assert a.shape[0] == 24
-            assert isinstance(a.sharding, NamedSharding)
-            assert a.sharding.spec[0] == 'file'
+        stats = per_file_stats(xs, ys, want_syy=True,
+                               pad_files_to=pad_to)
+        stats = _shard_stats_over_mesh(stats, file_mesh)
+        for leaf in jax.tree.leaves(stats):
+            assert leaf.shape[0] == 24
+            assert isinstance(leaf.sharding, NamedSharding)
+            assert leaf.sharding.spec[0] == 'file'
 
     def test_22_files_sharded_equals_unsharded(self, rng, mesh):
         import warnings
