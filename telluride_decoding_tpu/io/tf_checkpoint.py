@@ -1,4 +1,4 @@
-"""TF-free reader for TensorFlow checkpoints (TensorBundle format).
+"""TF-free reader AND writer for TensorFlow checkpoints (TensorBundle).
 
 The reference persists models as Keras SavedModels; their weights live
 in a TensorBundle: ``variables.index`` (a LevelDB-style SSTable mapping
@@ -8,6 +8,13 @@ snappy block decompression, SSTable prefix-compressed blocks, and the
 BundleEntry wire format are implemented directly — enabling one-time
 migration of existing reference models into this framework
 (models.load_reference_saved_model).
+
+The writer side (write_tensor_bundle) emits the same format —
+uncompressed LevelDB table blocks with correct masked crc32c trailers,
+BundleHeader/BundleEntry protos, per-tensor data checksums — so
+weights trained here can be handed BACK to TensorFlow consumers
+(validated live against tf.train.load_checkpoint in
+tests/test_keras_export.py).
 
 Format references: leveldb table_format.md and
 tensorflow/core/util/tensor_bundle.
@@ -202,6 +209,170 @@ def _parse_bundle_entry(value: bytes) -> Dict:
         else:
             raise ValueError('BundleEntry: unexpected wire type %d' % wire)
     return entry
+
+
+# --------------------------------------------------------------------------
+# Writer side
+
+
+_DTYPE_CODES = {np.dtype('<f4'): 1, np.dtype('<f8'): 2,
+                np.dtype('<i4'): 3, np.dtype(object): 7,
+                np.dtype('<i8'): 9, np.dtype(bool): 10}
+
+
+def _varint_bytes(value: int) -> bytes:
+    from telluride_decoding_tpu.data.records import _write_varint
+    out = bytearray()
+    _write_varint(out, value)
+    return bytes(out)
+
+
+def _encode_shape_proto(shape) -> bytes:
+    """TensorShapeProto: repeated Dim(2){size(1)}."""
+    out = bytearray()
+    for dim in shape:
+        dim_msg = b'\x08' + _varint_bytes(int(dim))       # size = 1
+        out += b'\x12' + _varint_bytes(len(dim_msg)) + dim_msg
+    return bytes(out)
+
+
+def _encode_bundle_entry(dtype_code: int, shape, offset: int,
+                         size: int, crc: int) -> bytes:
+    """BundleEntryProto: dtype(1) shape(2) offset(4) size(5) crc32c(6)."""
+    out = bytearray()
+    out += b'\x08' + _varint_bytes(dtype_code)
+    shape_msg = _encode_shape_proto(shape)
+    out += b'\x12' + _varint_bytes(len(shape_msg)) + shape_msg
+    if offset:
+        out += b'\x20' + _varint_bytes(offset)
+    out += b'\x28' + _varint_bytes(size)
+    out += b'\x35' + struct.pack('<I', crc)               # fixed32
+    return bytes(out)
+
+
+def _encode_bundle_header(num_shards: int = 1) -> bytes:
+    """BundleHeaderProto: num_shards(1) endianness(2=LITTLE default)
+    version(3){producer(1)=1}."""
+    version_msg = b'\x08\x01'
+    return (b'\x08' + _varint_bytes(num_shards) +
+            b'\x1a' + _varint_bytes(len(version_msg)) + version_msg)
+
+
+def _encode_string_tensor(arr: np.ndarray):
+    """DT_STRING region + its entry checksum.
+
+    Layout (tensor_bundle.cc WriteStringTensor, verified against live
+    TF 2.21): varint lengths, a MASKED crc32c of the lengths AS A
+    uint32 ARRAY, then the concatenated string bytes. The
+    BundleEntry-level checksum covers (uint32 length words || masked
+    length-crc field || string bytes) — the region with lengths
+    re-encoded as fixed u32 words — so it is returned alongside."""
+    from telluride_decoding_tpu.data.records import masked_crc32c
+    values = [v if isinstance(v, bytes) else str(v).encode('utf-8')
+              for v in arr.reshape(-1)]
+    lengths = b''.join(_varint_bytes(len(v)) for v in values)
+    length_words = struct.pack('<%dI' % len(values),
+                               *[len(v) for v in values])
+    joined = b''.join(values)
+    crc_field = struct.pack('<I', masked_crc32c(length_words))
+    region = lengths + crc_field + joined
+    return region, masked_crc32c(length_words + crc_field + joined)
+
+
+def _block_bytes(entries: List[Tuple[bytes, bytes]]) -> bytes:
+    """One uncompressed LevelDB table block (no prefix compression:
+    shared=0 for every entry; single restart at 0)."""
+    out = bytearray()
+    for key, value in entries:
+        out += _varint_bytes(0)
+        out += _varint_bytes(len(key))
+        out += _varint_bytes(len(value))
+        out += key
+        out += value
+    out += struct.pack('<I', 0)       # restart offset 0
+    out += struct.pack('<I', 1)       # num_restarts
+    return bytes(out)
+
+
+def _append_block(out: bytearray, block: bytes) -> Tuple[int, int]:
+    """Appends block + trailer (type 0, masked crc over block+type);
+    returns the BlockHandle (offset, size)."""
+    from telluride_decoding_tpu.data.records import masked_crc32c
+    offset = len(out)
+    out += block
+    out += b'\x00'
+    out += struct.pack('<I', masked_crc32c(block + b'\x00'))
+    return offset, len(block)
+
+
+def write_tensor_bundle(prefix: str,
+                        tensors: Dict[str, np.ndarray]) -> None:
+    """Writes ``prefix + '.index'`` / ``prefix + '.data-00000-of-00001'``
+    — a TensorFlow-readable TensorBundle — without TensorFlow.
+
+    Accepts float32/float64/int32/int64/bool arrays and DT_STRING
+    object arrays (bytes or str elements). Keys are checkpoint names
+    (e.g. ``variables/0/.ATTRIBUTES/VARIABLE_VALUE``).
+    """
+    # Checksum conventions differ WITHIN the format: the BundleEntry
+    # crc32c field is MASKED (reader unmasks before comparing), the
+    # DT_STRING length-table crc is RAW, and LevelDB block trailers
+    # are MASKED. All three verified against live TF 2.21.
+    from telluride_decoding_tpu.data.records import masked_crc32c
+    data = bytearray()
+    entries: List[Tuple[bytes, bytes]] = []
+    for name in sorted(tensors):
+        arr = np.asarray(tensors[name])
+        if arr.dtype.kind in 'US':
+            arr = arr.astype(object)
+        entry_crc = None
+        if arr.dtype == object:
+            dtype_code = 7
+            raw, entry_crc = _encode_string_tensor(arr)
+        else:
+            if arr.dtype.kind == 'f' and arr.dtype.itemsize == 4:
+                arr = arr.astype('<f4')
+            elif arr.dtype.kind == 'f':
+                arr = arr.astype('<f8')
+            elif arr.dtype == bool:
+                pass
+            elif arr.dtype.kind in 'iu':
+                arr = arr.astype('<i8' if arr.dtype.itemsize > 4
+                                 else '<i4')
+            else:
+                raise TypeError('Unsupported dtype %s for %s' %
+                                (arr.dtype, name))
+            dtype_code = _DTYPE_CODES[arr.dtype]
+            raw = arr.tobytes()
+        offset = len(data)
+        data += raw
+        if entry_crc is None:
+            entry_crc = masked_crc32c(raw)
+        entries.append((
+            name.encode('utf-8'),
+            _encode_bundle_entry(dtype_code, arr.shape, offset,
+                                 len(raw), entry_crc)))
+    entries.sort()
+    entries.insert(0, (b'', _encode_bundle_header()))
+
+    index = bytearray()
+    data_off, data_size = _append_block(index, _block_bytes(entries))
+    meta_off, meta_size = _append_block(index, _block_bytes([]))
+    last_key = entries[-1][0]
+    data_handle = _varint_bytes(data_off) + _varint_bytes(data_size)
+    idx_off, idx_size = _append_block(
+        index, _block_bytes([(last_key, data_handle)]))
+    footer = bytearray()
+    footer += _varint_bytes(meta_off) + _varint_bytes(meta_size)
+    footer += _varint_bytes(idx_off) + _varint_bytes(idx_size)
+    footer += b'\x00' * (40 - len(footer))
+    footer += struct.pack('<Q', _TABLE_MAGIC)
+    index += footer
+
+    with open(prefix + '.data-00000-of-00001', 'wb') as f:
+        f.write(bytes(data))
+    with open(prefix + '.index', 'wb') as f:
+        f.write(bytes(index))
 
 
 def read_tensor_bundle(prefix: str) -> Dict[str, np.ndarray]:
