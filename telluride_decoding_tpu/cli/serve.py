@@ -122,8 +122,18 @@ class StreamingAttentionServer:
     def __init__(self, decoder: infer_decoder.Decoder,
                  eeg_channels: int, audio_channels: int = 1,
                  window_width: int = 100, window_step: int = 50,
-                 decision: str = 'wta', frame_rate: float = 100.0):
+                 decision: str = 'wta', frame_rate: float = 100.0,
+                 pipeline: bool = True):
         self._decoder = decoder
+        # Double-buffering: push() dispatches chunk k+1 BEFORE reading
+        # back chunk k's scores, so the device round trip (~RTT-bound
+        # through a tunnel, reference-free on-prem it's ~us) overlaps
+        # the next chunk's acquisition + host prep. Decisions for a
+        # chunk emerge one push later (call flush() at stream end);
+        # scores and decisions are value-identical to the synchronous
+        # path. pipeline=False restores chunk-synchronous behavior.
+        self._pipeline = pipeline
+        self._inflight = None
         self.audio_channels = audio_channels
         self.eeg_channels = eeg_channels
         params = decoder.decoding_model_params
@@ -177,6 +187,7 @@ class StreamingAttentionServer:
         n = min(self._pend_eeg.shape[0], self._pend_a1.shape[0],
                 self._pend_a2.shape[0], self._q1.shape[0],
                 self._q2.shape[0])
+        prev = self._inflight
         if n:
             stacked, self._pend_eeg = (self._pend_eeg[:n],
                                        self._pend_eeg[n:])
@@ -186,11 +197,36 @@ class StreamingAttentionServer:
             y2, self._q2 = self._q2[:n], self._q2[n:]
             # Both speakers in ONE device dispatch: the shared eeg
             # transform computes once and the chunk pays one dispatch
-            # round trip instead of two.
-            s1, s2 = self._decoder.infer_pair(stacked, a1_ctx, a2_ctx,
-                                              y1, y2)
+            # round trip instead of two. The dispatch is ASYNC (jax
+            # arrays come back immediately); the readback below only
+            # touches the PREVIOUS chunk's already-in-flight result.
+            dispatched = self._decoder.infer_pair(stacked, a1_ctx,
+                                                  a2_ctx, y1, y2)
+            if self._pipeline:
+                self._inflight = dispatched
+            else:
+                prev = dispatched
+                self._inflight = None
+        elif self._pipeline:
+            self._inflight = None
+        if prev is not None:
+            s1, s2 = prev
             self._store.add_data(np.asarray(s1).reshape(-1, 1),
                                  np.asarray(s2).reshape(-1, 1))
+        return self._drain(t0)
+
+    def flush(self) -> List[Dict]:
+        """Harvests the in-flight chunk at stream end (pipelined mode
+        defers each chunk's readback by one push)."""
+        t0 = time.perf_counter()
+        if self._inflight is not None:
+            s1, s2 = self._inflight
+            self._inflight = None
+            self._store.add_data(np.asarray(s1).reshape(-1, 1),
+                                 np.asarray(s2).reshape(-1, 1))
+        return self._drain(t0)
+
+    def _drain(self, t0: float) -> List[Dict]:
         decisions = []
         for w1, w2 in self._store.next_window():
             if w1 is None:
@@ -230,11 +266,14 @@ def serve_stream(model_dir: str, eeg: np.ndarray, audio1: np.ndarray,
         return a.T if a.shape[0] == 1 else a
     audio1 = orient(audio1)
     audio2 = orient(audio2)
+    # Replay mode chases THROUGHPUT: double-buffer so chunk k+1's host
+    # prep overlaps chunk k's in-flight dispatch (the readback then
+    # waits on an already-complete result instead of a fresh RTT).
     server = StreamingAttentionServer(
         decoder, eeg_channels=eeg.shape[1],
         audio_channels=audio1.shape[1], window_width=window_width,
         window_step=window_step, decision=decision,
-        frame_rate=frame_rate)
+        frame_rate=frame_rate, pipeline=True)
     all_decisions = []
     for start in range(0, eeg.shape[0], chunk_size):
         sl = slice(start, start + chunk_size)
@@ -242,6 +281,10 @@ def serve_stream(model_dir: str, eeg: np.ndarray, audio1: np.ndarray,
             all_decisions.append(record)
             if out_stream is not None:
                 out_stream.write(json.dumps(record) + '\n')
+    for record in server.flush():
+        all_decisions.append(record)
+        if out_stream is not None:
+            out_stream.write(json.dumps(record) + '\n')
     if all_decisions and out_stream is not None:
         lat = np.asarray([d['latency_ms'] for d in all_decisions])
         out_stream.write(json.dumps({
@@ -320,12 +363,25 @@ def serve_lines(model_dir: str, in_stream, *,
                   (error, line), file=sys.stderr)
             continue
         if server is None:
+            # Live mode chases decision FRESHNESS: pipelining would
+            # defer each chunk's decision until the NEXT chunk arrives
+            # (a whole acquisition period, e.g. 320 ms at
+            # chunk_size=32 / 100 Hz) to save one dispatch RTT —
+            # the wrong trade for real-time feedback, so the live
+            # protocol stays chunk-synchronous.
             server = StreamingAttentionServer(
                 decoder, eeg_channels=eeg.shape[1],
                 audio_channels=a1.shape[1],
                 window_width=window_width, window_step=window_step,
-                decision=decision, frame_rate=frame_rate)
+                decision=decision, frame_rate=frame_rate,
+                pipeline=False)
         for record in server.push(eeg, a1, a2):
+            decisions.append(record)
+            if out_stream is not None:
+                out_stream.write(json.dumps(record) + '\n')
+                out_stream.flush()
+    if server is not None:
+        for record in server.flush():
             decisions.append(record)
             if out_stream is not None:
                 out_stream.write(json.dumps(record) + '\n')

@@ -53,12 +53,16 @@ def pearson_correlation_first(x: jax.Array, y: jax.Array) -> jax.Array:
 
 def pearson_correlation_second(x: jax.Array, y: jax.Array) -> jax.Array:
     """Correlation of the second output dimension (reference metric)."""
-    if jnp.asarray(x).ndim >= 2 and jnp.asarray(x).shape[-1] < 2:
-        # JAX clamps out-of-range indices, which would silently return
-        # the FIRST dimension's correlation; the reference errors.
+    x = jnp.asarray(x)
+    # Normalize FIRST: a 1-D x expands to [N, 1] inside
+    # pearson_correlation, so without this the [1] index would clamp
+    # to dimension 0 and silently return the first-dim correlation —
+    # exactly the case the guard exists for (the reference errors).
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.shape[-1] < 2:
         raise ValueError('pearson_correlation_second needs >= 2 output '
-                         'dimensions, got shape %s.'
-                         % (jnp.asarray(x).shape,))
+                         'dimensions, got shape %s.' % (x.shape,))
     return pearson_correlation(x, y)[1]
 
 
