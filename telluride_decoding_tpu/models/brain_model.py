@@ -466,6 +466,24 @@ class _SgdModel(BrainModel):
         n = in1.shape[0]
         if n == 0:
             raise ValueError('Dataset produced no batches.')
+        # Documented boundary: SGD fits materialize the lag-stacked
+        # corpus on device (the whole-epoch lax.scan needs resident
+        # arrays) — unlike the deterministic families, which stream
+        # per-file covariance with bounded memory (--streaming_fit /
+        # auto-select). Warn when that residency is large so a
+        # jens-scale DNN fit fails loudly-in-advance rather than
+        # opaquely in the allocator.
+        total_bytes = in1.nbytes + in2.nbytes + out.nbytes
+        if total_bytes > int(float(os.environ.get(
+                'TDT_STREAMING_AUTO_BYTES', 1 << 30))):
+            import warnings
+            warnings.warn(
+                'SGD fit materializes %.1f GB of (lag-stacked) '
+                'training data on device; DNN/classifier models have '
+                'no bounded-memory streaming path (deterministic '
+                'linear/CCA fits do). Reduce context, subset '
+                'channels, or train on fewer files if this exceeds '
+                'HBM.' % (total_bytes / 2**30))
         if _keep_arrays:
             # Subclasses reuse the assembled arrays (e.g. the
             # batchnorm population-stats pass, DCCA's final CCA solve)

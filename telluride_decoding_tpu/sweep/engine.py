@@ -22,6 +22,7 @@ becomes one program launch.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -110,23 +111,54 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
                    per_file_y: Sequence[np.ndarray],
                    want_syy: bool,
                    pad_files_to: Optional[int] = None,
-                   frame_bucket: int = 4096) -> MomentStats:
-    """Stacked [F, ...] MomentStats WITHOUT a [F, N_max, D] raw stack.
+                   frame_bucket: int = 4096,
+                   batch_bytes: Optional[int] = None) -> MomentStats:
+    """Stacked [F, ...] MomentStats; the raw frames stay TRANSIENT.
 
-    Each file streams through one bucketed-shape moments program
-    (frames pad to a frame_bucket multiple with a validity mask, so a
-    ragged cohort reuses a handful of compilations) and only the
-    O(D^2) statistics stay resident — the raw frames are free the
-    moment their dispatch is queued. Dispatches are asynchronous, so
-    per-file launches pipeline over a high-latency link.
+    Two regimes, value-identical:
+
+      * batched (default whenever the padded [F, N_max, D] stack fits
+        ``batch_bytes``, env TDT_SWEEP_MOMENTS_BYTES, default 2 GB):
+        one pad_and_stack + ONE _stacked_moments dispatch — the raw
+        stack lives only for this call and is freed before the sweep
+        program runs. One dispatch matters: over a high-latency
+        dispatch link, per-file launches measured 20x slower.
+      * streaming (large corpora): one bucketed-shape moments program
+        per file (frames pad to a frame_bucket multiple with a
+        validity mask), so peak memory is ONE padded file; dispatches
+        are asynchronous and pipeline.
 
     Dummy files up to pad_files_to contribute exact-zero statistics
     (count 0), preserving leave-one-out totals.
     """
+    if batch_bytes is None:
+        try:
+            batch_bytes = int(float(os.environ.get(
+                'TDT_SWEEP_MOMENTS_BYTES', 2 << 30)))
+        except ValueError:
+            batch_bytes = 2 << 30
+    per_file_x = [_ensure_2d(x) for x in per_file_x]
+    per_file_y = [_ensure_2d(y) for y in per_file_y]
+    num_real = len(per_file_x)
+    max_n = max(x.shape[0] for x in per_file_x)
+    width = per_file_x[0].shape[1] + per_file_y[0].shape[1]
+    est = num_real * max_n * width * 4
+
+    if est <= batch_bytes:
+        xs, masks = pad_and_stack(per_file_x)
+        ys, _ = pad_and_stack(per_file_y)
+        stats = _stacked_moments(xs, ys, masks, want_syy=want_syy)
+        del xs, ys, masks   # Transient: freed before the sweep runs.
+        if pad_files_to and pad_files_to > num_real:
+            pad = pad_files_to - num_real
+            stats = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]),
+                stats)
+        return stats
+
     stats_list = []
     for x, y in zip(per_file_x, per_file_y):
-        x = _ensure_2d(x)
-        y = _ensure_2d(y)
         n = x.shape[0]
         padded = -(-n // frame_bucket) * frame_bucket
         if isinstance(x, jax.Array) or isinstance(y, jax.Array):

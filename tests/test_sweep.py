@@ -123,6 +123,21 @@ class TestMomentsOnlyEval:
             jnp.asarray(r1), jnp.asarray(r2), mask))
         np.testing.assert_allclose(r_stats, r_dense, rtol=1e-5)
 
+    def test_streaming_moments_equal_batched(self, rng):
+        """per_file_stats' bounded-memory per-file regime
+        (batch_bytes=0) must match the single-dispatch batched regime
+        exactly, dummy padding included."""
+        import jax
+        from telluride_decoding_tpu.sweep.engine import per_file_stats
+        xs, ys = _files(rng)
+        batched = per_file_stats(xs, ys, want_syy=True, pad_files_to=6)
+        streamed = per_file_stats(xs, ys, want_syy=True,
+                                  pad_files_to=6, batch_bytes=0)
+        for a, b in zip(jax.tree.leaves(batched),
+                        jax.tree.leaves(streamed)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-4)
+
     def test_sweep_has_no_frame_axis(self, rng):
         """The compiled ridge program's inputs are O(F D^2) stats —
         raw [F, N, D] frames never enter it."""
