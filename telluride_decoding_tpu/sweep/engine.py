@@ -111,6 +111,7 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
                    per_file_y: Sequence[np.ndarray],
                    want_syy: bool,
                    pad_files_to: Optional[int] = None,
+                   pad_frames_to: Optional[int] = None,
                    frame_bucket: int = 4096,
                    batch_bytes: Optional[int] = None) -> MomentStats:
     """Stacked [F, ...] MomentStats; the raw frames stay TRANSIENT.
@@ -140,13 +141,18 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
     per_file_x = [_ensure_2d(x) for x in per_file_x]
     per_file_y = [_ensure_2d(y) for y in per_file_y]
     num_real = len(per_file_x)
-    max_n = max(x.shape[0] for x in per_file_x)
+    max_n = max(max(x.shape[0] for x in per_file_x),
+                pad_frames_to or 0)
     width = per_file_x[0].shape[1] + per_file_y[0].shape[1]
     est = num_real * max_n * width * 4
 
     if est <= batch_bytes:
-        xs, masks = pad_and_stack(per_file_x)
-        ys, _ = pad_and_stack(per_file_y)
+        # pad_frames_to keeps the transient stack's shape CONSTANT
+        # across a ragged cohort, so _stacked_moments compiles once
+        # (each distinct length would otherwise recompile — seconds
+        # per shape through a remote-compile link).
+        xs, masks = pad_and_stack(per_file_x, pad_frames_to)
+        ys, _ = pad_and_stack(per_file_y, pad_frames_to)
         stats = _stacked_moments(xs, ys, masks, want_syy=want_syy)
         del xs, ys, masks   # Transient: freed before the sweep runs.
         if pad_files_to and pad_files_to > num_real:
@@ -569,19 +575,18 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
 
     pad_files_to forces a shared program shape so a whole ragged
     cohort reuses ONE compilation (padding contributes exact-zero
-    statistics and is sliced away from the result). pad_frames_to is
-    accepted for API stability but no longer affects program shape:
-    evaluation runs from per-file MomentStats, so raw frames never
-    enter the sweep program (frame lengths only pick the moment
-    accumulator's bucket).
+    statistics and is sliced away from the result). pad_frames_to
+    only shapes the TRANSIENT moments stack (one compile across
+    ragged lengths): evaluation runs from per-file MomentStats, so
+    raw frames never enter the sweep program itself.
     """
-    del pad_frames_to   # Frame dimension eliminated by moments-only eval.
     num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
     pad_files_to = _mesh_file_padding(num_real, pad_files_to, mesh)
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
     stacked = per_file_stats(per_file_x, per_file_y, want_syy=True,
-                             pad_files_to=pad_files_to)
+                             pad_files_to=pad_files_to,
+                             pad_frames_to=pad_frames_to)
     stacked = _shard_stats_over_mesh(stacked, mesh)
     total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
     corr = np.asarray(_ridge_sweep_program(
@@ -611,14 +616,15 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                         pad_frames_to: Optional[int] = None
                         ) -> SweepResult:
     """Leave-one-file-out CCA sweep (correlation of first canonical
-    pair on the held-out file) over a regularization grid."""
-    del pad_frames_to   # Frame dimension eliminated by moments-only eval.
+    pair on the held-out file) over a regularization grid.
+    pad_frames_to only shapes the transient moments stack."""
     num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
     pad_files_to = _mesh_file_padding(num_real, pad_files_to, mesh)
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
     stacked = per_file_stats(per_file_x, per_file_y, want_syy=True,
-                             pad_files_to=pad_files_to)
+                             pad_files_to=pad_files_to,
+                             pad_frames_to=pad_frames_to)
     stacked = _shard_stats_over_mesh(stacked, mesh)
     total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
     corr = np.asarray(_cca_sweep_program_chol(
@@ -704,9 +710,10 @@ def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
             with jax.default_device(devices[i]):
                 if i < len(group):
                     _, (xs_i, ys_i) = group[i]
-                    stats_i = per_file_stats(xs_i, ys_i,
-                                             want_syy=want_syy,
-                                             pad_files_to=pad_files_to)
+                    stats_i = per_file_stats(
+                        xs_i, ys_i, want_syy=want_syy,
+                        pad_files_to=pad_files_to,
+                        pad_frames_to=pad_frames_to)
                 else:
                     from telluride_decoding_tpu.ops.covariance import (
                         zeros_moments)
