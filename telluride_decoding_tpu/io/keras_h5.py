@@ -23,10 +23,10 @@ Every exported graph uses only stock layers, by construction:
   * classifier:  Concatenate(input_1, input_2) -> Dense stack
                  -> sigmoid                                  (exact)
 
-The unused reference inputs (input_2 / attended_speaker where a family
-ignores them) are kept in the graph so the exported model accepts the
-reference's standard feed dict
-({'input_1', 'input_2', 'attended_speaker'}).
+The graphs take the reference serving feed ({'input_1', 'input_2'};
+input_2 stays in the graph even where a family ignores it). Keras
+warns-and-ignores extra dict keys on functional models, so the
+reference's 3-key dataset feed (with attended_speaker) also works.
 
 Why HDF5 and not saved_model.pb: a SavedModel additionally requires a
 GraphDef of traced concrete functions plus a SavedObjectGraph whose
@@ -169,7 +169,6 @@ def _spec_linear(model) -> _GraphSpec:
     spec = _GraphSpec('model')
     spec.add_input('input_1', w.shape[0])
     spec.add_input('input_2', 1)
-    spec.add_input('attended_speaker', 1)
     spec.add_layer(_dense_layer('dense', w.shape[1], 'linear',
                                 'input_1'),
                    [('kernel', w), ('bias', b)])
@@ -186,7 +185,6 @@ def _spec_cca(model) -> _GraphSpec:
     spec = _GraphSpec('model')
     spec.add_input('input_1', rot1.shape[0])
     spec.add_input('input_2', rot2.shape[0])
-    spec.add_input('attended_speaker', 1)
     # (x - mean) @ rot == x @ rot + (-mean @ rot): stock Dense.
     spec.add_layer(_dense_layer('rot1', rot1.shape[1], 'linear',
                                 'input_1'),
@@ -208,7 +206,6 @@ def _spec_dnn(model) -> _GraphSpec:
     in_width = np.asarray(layers[0]['w']).shape[0]
     spec.add_input('input_1', in_width)
     spec.add_input('input_2', 1)
-    spec.add_input('attended_speaker', 1)
     prev = 'input_1'
     n_layers = len(layers)
     for i, layer in enumerate(layers):
@@ -264,7 +261,6 @@ def _spec_classifier(model) -> _GraphSpec:
     in1 = in_total - in2
     spec.add_input('input_1', in1)
     spec.add_input('input_2', in2)
-    spec.add_input('attended_speaker', 1)
     spec.add_layer(_concat_layer('concatenate',
                                  ['input_1', 'input_2']))
     prev = 'concatenate'
@@ -330,6 +326,27 @@ def export_keras_h5(model, path: str) -> None:
                 g.create_dataset(wn, data=arr)
         g = mw.create_group('top_level_model_weights')
         g.attrs.create('weight_names', [], dtype=str_dt)
+    # HDF5 carries config + weights only; the reference's Decoder
+    # additionally reads telluride_{metadata,inputs,output} variables
+    # off the model object (reference infer_decoder.py:278-286). Ship
+    # them as a sidecar so a reference-side user can reattach them —
+    # and, by saving the reattached model, obtain a REAL SavedModel
+    # with TF doing the tracing (README "Model artifact
+    # compatibility"; validated live in tests/test_keras_export.py):
+    #   model = tf.keras.models.load_model('exported.h5')
+    #   side = json.load(open('exported.telluride.json'))
+    #   for k, v in side.items():
+    #       setattr(model, k, tf.Variable(v))
+    #   model.save('saved_model_dir')
+    if getattr(model, 'telluride_metadata', None):
+        sidecar = {
+            'telluride_metadata': model.telluride_metadata,
+            'telluride_inputs': model.telluride_inputs or '',
+            'telluride_output': model.telluride_output or '',
+        }
+        base = path[:-3] if path.endswith('.h5') else path
+        with open(base + '.telluride.json', 'w') as f:
+            json.dump(sidecar, f, indent=1)
 
 
 def export_saved_model_variables(model, variables_dir: str) -> None:

@@ -156,8 +156,7 @@ class TestH5Structure:
             cfg = json.loads(f.attrs['model_config'])
             assert cfg['class_name'] == 'Functional'
             names = [l['name'] for l in cfg['config']['layers']]
-            assert names == ['input_1', 'input_2', 'attended_speaker',
-                             'dense']
+            assert names == ['input_1', 'input_2', 'dense']
             kernel = f['model_weights/dense/dense/kernel:0'][()]
             np.testing.assert_array_equal(kernel,
                                           np.asarray(model.params['w']))
@@ -276,6 +275,106 @@ class TestExportCli:
         from telluride_decoding_tpu.cli import export_keras
         with pytest.raises(SystemExit, match='model.json'):
             export_keras.app_main([str(tmp_path), 'out.h5'])
+
+
+_TF_SERVING_ROUNDTRIP = r"""
+import json, sys
+import numpy as np
+import tensorflow as tf
+
+sys.path.insert(0, %(ref_path)r)
+from telluride_decoding import infer_decoder
+
+spec = json.load(open(sys.argv[1]))
+probe = np.load(spec['probe'])
+
+# 1. Load the exported H5 and reattach the telluride metadata
+#    variables (the documented 3-line bridge), then save a REAL
+#    SavedModel with TF doing the tracing.
+model = tf.keras.models.load_model(spec['h5'])
+side = json.load(open(spec['sidecar']))
+for k, v in side.items():
+    setattr(model, k, tf.Variable(v))
+model.save(spec['saved_model_dir'])
+
+# 2. Drive the REFERENCE's serving stack end to end on it.
+dec = infer_decoder.create_decoder('linear', reduction='first')
+dec.load_decoding_model(spec['saved_model_dir'], {})
+dec.restore_parameters(spec['decoder_json'])
+scores = dec.infer_one({'input_1': tf.constant(probe['x1']),
+                        'input_2': tf.constant(probe['x2'])},
+                       tf.constant(probe['y']))
+np.savez(spec['out'], scores=np.asarray(scores))
+"""
+
+
+@tf_required
+class TestReferenceServingRoundTrip:
+
+    def test_reference_decoder_serves_our_model(self, rng, tmp_path):
+        """Full circle: a model trained HERE, exported with
+        tdt-export-keras, drives the REFERENCE's Decoder serving stack
+        (load_decoding_model + restore_parameters + infer_one) with
+        scores equal to this framework's decoder."""
+        from telluride_decoding_tpu.decode import infer_decoder as ours
+        bd, x1, x2 = _dataset(rng, out=1)
+        model = BrainModelLinearRegression(bd.create_dataset('train'),
+                                           regularization_lambda=0.01)
+        model.fit(bd.create_dataset('train'))
+        model.add_metadata(
+            {'pre_context': 0, 'post_context': 0,
+             'input2_pre_context': 0, 'input2_post_context': 0,
+             'dnn_regressor': 'linear'},
+            dataset=bd.create_dataset('train'))
+        native_dir = str(tmp_path / 'native')
+        model.save(native_dir)
+        dec = ours.create_decoder('linear', reduction='first')
+        dec.load_decoding_model(native_dir)
+        _, _, y, _ = bd.load_arrays('train')
+        dec.add_data_correlator(y, y)
+        decoder_json = os.path.join(native_dir, 'decoder_model.json')
+        dec.save_parameters(decoder_json)
+
+        h5 = str(tmp_path / 'exported.h5')
+        export_keras_h5(model, h5)
+        sidecar = str(tmp_path / 'exported.telluride.json')
+        assert os.path.exists(sidecar)
+
+        probe = str(tmp_path / 'probe.npz')
+        np.savez(probe, x1=x1[:128], x2=x2[:128, :1],
+                 y=y[:128])
+        out = str(tmp_path / 'ref_scores.npz')
+        spec = {'h5': h5, 'sidecar': sidecar,
+                'saved_model_dir': str(tmp_path / 'roundtrip_sm'),
+                'decoder_json': decoder_json, 'probe': probe,
+                'out': out}
+        spec_path = str(tmp_path / 'spec.json')
+        with open(spec_path, 'w') as f:
+            json.dump(spec, f)
+        script = str(tmp_path / 'serving.py')
+        with open(script, 'w') as f:
+            f.write(_TF_SERVING_ROUNDTRIP %
+                    {'ref_path': ab.REFERENCE_PATH})
+        proc = subprocess.run([sys.executable, script, spec_path],
+                              env=ab._worker_env(), capture_output=True,
+                              text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        ref_scores = np.load(out)['scores'].reshape(-1)
+        our_scores = np.asarray(dec.infer_one(
+            {'input_1': x1[:128], 'input_2': x2[:128, :1]},
+            y[:128])).reshape(-1)
+        assert ref_scores.shape == our_scores.shape
+        np.testing.assert_allclose(ref_scores, our_scores, atol=1e-4)
+
+        # Bonus: the round-tripped SavedModel also loads back through
+        # OUR TF-free migrate reader — the full circle closes.
+        from telluride_decoding_tpu.models.migrate import (
+            load_reference_saved_model)
+        back = load_reference_saved_model(spec['saved_model_dir'])
+        pred = back({'input_1': x1[:16], 'input_2': x2[:16, :1]})
+        direct = model({'input_1': x1[:16], 'input_2': x2[:16, :1]})
+        np.testing.assert_allclose(np.asarray(pred),
+                                   np.asarray(direct), atol=1e-5)
 
 
 @tf_required
