@@ -141,6 +141,27 @@ def test_synthetic_corpus_parity(workdir):
     assert by_field['probe/weight_0'].tdt < 1e-4
 
 
+class TestInferHarnessParity:
+    """The streaming-inference stack (windowed correlate -> decision
+    -> accuracy) against the executing reference: both sides run the
+    full window sweep on the SAME reference-trained SavedModel (ours
+    via the on-the-fly migrate reader) and the same two-speaker
+    bytes."""
+
+    def test_wta_window_sweep_exact(self, workdir):
+        rows, ref, tdt = ab.run_infer_ab(workdir, reduction='first',
+                                         decoder_type='wta')
+        _assert_rows(rows, 'infer/wta')
+        # Observed: identical to every digit at all six window sizes.
+        for d in rows:
+            assert d.delta < 0.02, (d.field, d.ref, d.tdt)
+
+    def test_ssd_window_sweep(self, workdir):
+        rows, _, _ = ab.run_infer_ab(workdir, reduction='first',
+                                     decoder_type='ssd')
+        _assert_rows(rows, 'infer/ssd')
+
+
 class TestLiveMigration:
 
     def test_linear_saved_model_migrates(self, linear_meg):

@@ -43,6 +43,9 @@ def main(config_path: str) -> None:
     tf.random.set_seed(config.get('seed', 0))
     np.random.seed(config.get('seed', 0))
 
+    if config.get('mode') == 'infer':
+        return _run_infer(config)
+
     my_flags = decoding.DecodingOptions().set_from_dict(config['flags'])
 
     # --- mirror of run_decoding_experiment (decoding.py:485-577) ---
@@ -131,6 +134,62 @@ def main(config_path: str) -> None:
             'summary_dir': my_flags.summary_dir,
             'n_weights': len(test_model.weights),
         }, f, indent=1)
+
+
+def _run_infer(config) -> None:
+    """Drives the reference's streaming-inference harness
+    (reference infer.py:327-464): window-size sweep of attention
+    accuracies on a trained model + two-speaker TFRecords."""
+    import matplotlib
+    matplotlib.use('agg')
+    from absl import flags
+    from telluride_decoding import brain_model
+    from telluride_decoding import cca
+    from telluride_decoding import infer
+    from telluride_decoding import infer_decoder
+
+    # run_reduction_test reads module flags (frame_rate,
+    # save_results_csv, decoder); mark them parsed with defaults.
+    flags.FLAGS(['_ab_ref_worker'])
+
+    # FINDING (documented in docs/ab_report.md): the reference's
+    # infer.load_model custom-object dict (infer.py:286-291) omits
+    # pearson_correlation_first/_second, so under TF 2.21 + legacy
+    # tf_keras the reference CANNOT load its own freshly-trained
+    # linear model (MeanMetricWrapper revival fails). Patch in the
+    # complete dict — the minimal fix the reference itself needs —
+    # and keep the rest of its stack untouched.
+    def fixed_load_model(model_dir, reducer):
+        model_object = infer_decoder.create_decoder(
+            model_dir.lower(), reduction=reducer)
+        object_dict = {
+            'pearson_correlation': brain_model.pearson_correlation,
+            'pearson_correlation_first':
+                brain_model.pearson_correlation_first,
+            'pearson_correlation_second':
+                brain_model.pearson_correlation_second,
+            'BrainCcaLayer': cca.BrainCcaLayer,
+            'cca_pearson_correlation_first':
+                cca.cca_pearson_correlation_first,
+        }
+        model_object.load_decoding_model(model_dir, object_dict)
+        import os
+        param_file = os.path.join(model_dir, 'decoder_model.json')
+        model_object.restore_parameters(param_file)
+        return model_object
+
+    infer.load_model = fixed_load_model
+
+    results = infer.run_reduction_test(
+        config['model_dir'], config['tf_dir'],
+        config['train_files'], config['test_files'],
+        config['reduction'], config['decoder_type'],
+        config['audio_label_1'], config['audio_label_2'],
+        plot_dir=None)
+    with open(config['out_json'], 'w') as f:
+        json.dump({'window_accuracy': {str(k): float(v)
+                                       for k, v in results.items()}},
+                  f, indent=1)
 
 
 if __name__ == '__main__':

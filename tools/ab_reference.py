@@ -428,6 +428,124 @@ def synthetic_flags(corpus_dir: str, **overrides) -> Dict:
     return flags
 
 
+def write_two_speaker_corpus(directory: str, *, n_train: int = 3000,
+                             n_test: int = 3000, seed: int = 777
+                             ) -> None:
+    """Seeded two-speaker AAD corpus (the reference infer tests'
+    invertible construction, reference test/infer_test.py): EEG is the
+    ATTENDED loudness (affine + noise); the test trial switches
+    attention at the midpoint. Fields: eeg, loudness, loudness2,
+    attend."""
+    from telluride_decoding_tpu.data import records
+    rng = np.random.RandomState(seed)
+    os.makedirs(directory, exist_ok=True)
+
+    def build(n, attend):
+        l1 = np.abs(rng.randn(n, 1)).astype(np.float32)
+        l2 = np.abs(rng.randn(n, 1)).astype(np.float32)
+        attended = np.where(attend[:, None].astype(bool), l2, l1)
+        eeg = (attended * 2.0 - 1.0 +
+               0.05 * rng.randn(n, 1)).astype(np.float32)
+        return {'eeg': eeg, 'loudness': l1, 'loudness2': l2,
+                'attend': attend[:, None].astype(np.float32)}
+
+    # File patterns match FULL PATHS in both frameworks (reference
+    # brain_data.py:254-323) — a directory like pytest's
+    # /tmp/pytest-of-root/... contains 'test', so the split names must
+    # be substrings that cannot appear in ambient paths.
+    records.convert_data_to_tfrecords(
+        build(n_train, np.zeros(n_train)),
+        os.path.join(directory, 'trainset.tfrecords'))
+    attend_test = (np.arange(n_test) >= n_test // 2).astype(np.float32)
+    records.convert_data_to_tfrecords(
+        build(n_test, attend_test),
+        os.path.join(directory, 'heldout.tfrecords'))
+
+
+def run_infer_ab(tmpdir: str, *, reduction: str = 'first',
+                 decoder_type: str = 'wta',
+                 accuracy_tol: float = 0.06) -> Tuple[List[Delta],
+                                                      Dict, Dict]:
+    """A/B of the streaming-inference harness: both frameworks run the
+    full window-size sweep (reference infer.run_reduction_test vs
+    cli.infer.run_reduction_test) on the SAME reference-trained model
+    and the same two-speaker bytes; per-window attention accuracies
+    must agree."""
+    corpus = os.path.join(tmpdir, 'two_speaker_corpus')
+    if not os.path.isdir(corpus):
+        write_two_speaker_corpus(corpus)
+    model_work = os.path.join(tmpdir, 'infer_model')
+    flags = {
+        'data': 'tfrecords',
+        'tfexample_dir': corpus,
+        'train_file_pattern': 'trainset',
+        'test_file_pattern': 'heldout',
+        'validate_file_pattern': 'heldout',
+        'input_field': 'eeg',
+        'output_field': 'loudness',
+        'attended_field': 'attend',
+        'dnn_regressor': 'linear',
+        'regularization_lambda': 1e-4,
+        'shuffle_buffer_size': 0,
+        'epoch_count': 5,
+    }
+    # Train ONCE, on the reference side: both harnesses then consume
+    # the identical SavedModel artifact (ours via the on-the-fly
+    # migrate reader) — any accuracy delta is the inference stack's.
+    # The directory NAME must contain the model family: the
+    # reference's create_decoder sniffs the type from the path
+    # (reference infer_decoder.py:635-666).
+    flags['saved_model_dir'] = os.path.join(model_work, 'linear_model')
+    ref_train = run_reference(flags, model_work, dump_npz=False,
+                              save_model=True)
+    model_dir = ref_train['saved_model_dir']
+
+    workdir = os.path.join(tmpdir, 'infer_ref')
+    os.makedirs(workdir, exist_ok=True)
+    config = {
+        'reference_path': REFERENCE_PATH,
+        'mode': 'infer',
+        'model_dir': model_dir,
+        'tf_dir': corpus,
+        'train_files': 'trainset',
+        'test_files': 'heldout',
+        'reduction': reduction,
+        'decoder_type': decoder_type,
+        'audio_label_1': 'loudness',
+        'audio_label_2': 'loudness2',
+        'out_json': os.path.join(workdir, 'worker_out.json'),
+    }
+    config_path = os.path.join(workdir, 'worker_config.json')
+    with open(config_path, 'w') as f:
+        json.dump(config, f)
+    proc = subprocess.run([sys.executable, _WORKER, config_path],
+                          env=_worker_env(), capture_output=True,
+                          text=True, timeout=900)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            'Reference infer worker failed (rc=%d).\nstderr:\n%s' %
+            (proc.returncode, proc.stderr[-4000:]))
+    with open(config['out_json']) as f:
+        ref = json.load(f)
+
+    from telluride_decoding_tpu.cli import infer as our_infer
+    ours = our_infer.run_reduction_test(
+        model_dir, corpus, 'trainset', 'heldout', reduction,
+        decoder_type, 'loudness', 'loudness2')
+    tdt = {'window_accuracy': {str(k): float(v)
+                               for k, v in ours.items()}}
+
+    rows = []
+    for window in sorted(ref['window_accuracy'], key=int):
+        rv = ref['window_accuracy'][window]
+        tv = tdt['window_accuracy'].get(window, float('nan'))
+        rows.append(Delta('infer/accuracy_w%s' % window, rv, tv,
+                          accuracy_tol, 'abs',
+                          'window-sweep attention accuracy, same '
+                          'reference-trained model + bytes'))
+    return rows, ref, tdt
+
+
 STANDARD_CONFIGS = ('linear_meg', 'linear_meg_context', 'cca_meg',
                     'linear_synthetic')
 
@@ -520,6 +638,11 @@ def main(argv: Sequence[str] = ()) -> int:
         rows, _, _ = run_ab(name.strip(), workdir, dprime_seeds=seeds,
                             save_model=True)
         all_rows[name] = rows
+        failures += sum(1 for d in rows if not d.ok)
+    for decoder_type in ('wta', 'ssd'):
+        rows, _, _ = run_infer_ab(workdir, reduction='first',
+                                  decoder_type=decoder_type)
+        all_rows['infer_%s' % decoder_type] = rows
         failures += sum(1 for d in rows if not d.ok)
     report = format_report(all_rows)
     print(report)
