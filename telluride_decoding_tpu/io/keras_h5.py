@@ -66,9 +66,7 @@ def _input_layer(name: str, width: int) -> Dict:
 
 
 def _dense_layer(name: str, units: int, activation: str,
-                 inbound: str, use_bias: bool = True,
-                 epsilon: Optional[float] = None) -> Dict:
-    del epsilon
+                 inbound: str, use_bias: bool = True) -> Dict:
     return {'class_name': 'Dense',
             'config': {'name': name, 'trainable': True,
                        'dtype': 'float32', 'units': int(units),
@@ -214,12 +212,8 @@ def _spec_dnn(model) -> _GraphSpec:
         last = i == n_layers - 1
         if bn is not None and not last:
             # Framework order: dense -> batchnorm -> relu
-            # (models/brain_model.py:594-610). Linear dense, then BN,
-            # then a relu via an Activation-free trick: Keras needs an
-            # explicit layer — use Dense with activation inside ONLY
-            # when no BN; with BN, emit dense(linear) + BN + relu
-            # carried by the BN's following dense... not possible —
-            # use an Activation layer.
+            # (models/brain_model.py:594-610), so the Dense stays
+            # linear and the relu gets its own Activation layer.
             name = 'dense_%d' % i
             spec.add_layer(_dense_layer(name, w.shape[1], 'linear',
                                         prev),

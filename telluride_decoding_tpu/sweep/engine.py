@@ -12,8 +12,12 @@ jobs that way). This engine is the TPU-native replacement:
   * The whole (lambda x held-out-file) grid solves and evaluates as a
     single jitted program — lambdas via vmap, files via vmap, sharded
     over the device mesh ('file' axis) with jax.sharding.
-  * Evaluation uses masked Pearson correlation so files of different
-    lengths batch with static shapes.
+  * Held-out evaluation is MOMENTS-ONLY: the Pearson r of a linear or
+    CCA prediction is a pure function of the held-out file's
+    MomentStats (quadratic forms with the solution), so raw frames
+    never enter the sweep programs — residency is O(files * D^2),
+    independent of recording length, and ragged cohorts share static
+    shapes for free.
 
 This is the flagship new capability: the codelab's 360-job shell sweep
 becomes one program launch.
