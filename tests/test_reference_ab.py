@@ -162,6 +162,17 @@ class TestInferHarnessParity:
         _assert_rows(rows, 'infer/ssd')
 
 
+def test_regression_jackknife_parity(workdir):
+    """The one-program sweep engine vs the reference's serial
+    per-(lambda, file) jackknife driver (regression.py:327-420) on a
+    corpus where the two evaluation protocols provably coincide
+    (file length == batch_size). Observed deltas ~1e-8."""
+    rows, ref, tdt = ab.run_regression_ab(workdir)
+    _assert_rows(rows, 'regression')
+    for d in rows:
+        assert d.delta < 1e-5, (d.field, d.ref, d.tdt)
+
+
 class TestLiveMigration:
 
     def test_linear_saved_model_migrates(self, linear_meg):

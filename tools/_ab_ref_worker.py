@@ -45,6 +45,8 @@ def main(config_path: str) -> None:
 
     if config.get('mode') == 'infer':
         return _run_infer(config)
+    if config.get('mode') == 'regression':
+        return _run_regression(config)
 
     my_flags = decoding.DecodingOptions().set_from_dict(config['flags'])
 
@@ -189,6 +191,28 @@ def _run_infer(config) -> None:
     with open(config['out_json'], 'w') as f:
         json.dump({'window_accuracy': {str(k): float(v)
                                        for k, v in results.items()}},
+                  f, indent=1)
+
+
+def _run_regression(config) -> None:
+    """Drives the reference's jackknife sweep
+    (reference regression.py:327-420): the full (lambda x held-out
+    file) grid, serially re-training per cell as the reference does."""
+    import matplotlib
+    matplotlib.use('agg')
+    from absl import flags
+    from telluride_decoding import decoding
+    from telluride_decoding import regression
+
+    flags.FLAGS(['_ab_ref_worker'])
+    my_flags = decoding.DecodingOptions().set_from_dict(config['flags'])
+    reg = regression.Regression(my_flags)
+    results = reg.jackknife_over_regularizations(
+        my_flags, list(config['lambdas']),
+        summary_base_dir=config['summary_base_dir'])
+    with open(config['out_json'], 'w') as f:
+        json.dump({'jackknife': {str(k): [float(v[0]), float(v[1])]
+                                 for k, v in results.items()}},
                   f, indent=1)
 
 

@@ -546,6 +546,88 @@ def run_infer_ab(tmpdir: str, *, reduction: str = 'first',
     return rows, ref, tdt
 
 
+def run_regression_ab(tmpdir: str, *,
+                      lambdas: Sequence[float] = (1e-4, 1e-2, 1.0),
+                      tol: float = 2e-3) -> Tuple[List[Delta],
+                                                  Dict, Dict]:
+    """A/B of the jackknife driver: the reference's serial
+    (lambda x held-out-file) grid (regression.py:327-420, one
+    train_and_test per cell) vs this framework's one-program sweep
+    engine, on the same bytes.
+
+    The corpus is built so the two evaluation protocols COINCIDE:
+    every file is exactly batch_size frames, so the reference's
+    drop-remainder batching drops nothing (training sees every frame)
+    and its per-batch metric mean is the whole-file Pearson r — the
+    same number the moments-only sweep computes. Deltas are then pure
+    float tolerance.
+    """
+    corpus = os.path.join(tmpdir, 'regression_corpus')
+    frames = 256
+    if not os.path.isdir(corpus):
+        write_synthetic_corpus(corpus, n_files=3, n_frames=frames,
+                               seed=4321)
+    flags = {
+        'data': 'tfrecords',
+        'tfexample_dir': corpus,
+        'input_field': 'eeg',
+        'output_field': 'envelope',
+        'attended_field': '',
+        'dnn_regressor': 'linear',
+        'shuffle_buffer_size': 0,
+        'batch_size': frames,
+        'epoch_count': 3,
+        'train_file_pattern': '',   # jackknife sets allbut per cell.
+        'test_file_pattern': '',
+        'validate_file_pattern': '',
+    }
+
+    workdir = os.path.join(tmpdir, 'regression_ref')
+    os.makedirs(workdir, exist_ok=True)
+    config = {
+        'reference_path': REFERENCE_PATH,
+        'mode': 'regression',
+        'flags': flags,
+        'lambdas': list(lambdas),
+        'summary_base_dir': os.path.join(workdir, 'summaries'),
+        'out_json': os.path.join(workdir, 'worker_out.json'),
+        'seed': 0,
+    }
+    config_path = os.path.join(workdir, 'worker_config.json')
+    with open(config_path, 'w') as f:
+        json.dump(config, f)
+    proc = subprocess.run([sys.executable, _WORKER, config_path],
+                          env=_worker_env(), capture_output=True,
+                          text=True, timeout=1800)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            'Reference regression worker failed (rc=%d).\nstderr:\n%s'
+            % (proc.returncode, proc.stderr[-4000:]))
+    with open(config['out_json']) as f:
+        ref = json.load(f)
+
+    from telluride_decoding_tpu.cli import decoding as our_decoding
+    from telluride_decoding_tpu.cli import regression as our_regression
+    my_flags = our_decoding.DecodingOptions().set_from_dict(flags)
+    reg = our_regression.Regression(my_flags)
+    ours = reg.jackknife_over_regularizations(
+        my_flags, list(lambdas),
+        summary_base_dir=os.path.join(tmpdir, 'regression_tdt'))
+    tdt = {'jackknife': {str(k): [float(v[0]), float(v[1])]
+                         for k, v in ours.items()}}
+
+    rows = []
+    for lamb in ref['jackknife']:
+        r_mean, r_std = ref['jackknife'][lamb]
+        t_mean, t_std = tdt['jackknife'].get(lamb, (float('nan'),) * 2)
+        rows.append(Delta('regression/mean_l%s' % lamb, r_mean, t_mean,
+                          tol, 'abs', 'jackknife mean r over held-out '
+                          'files'))
+        rows.append(Delta('regression/std_l%s' % lamb, r_std, t_std,
+                          tol, 'abs'))
+    return rows, ref, tdt
+
+
 STANDARD_CONFIGS = ('linear_meg', 'linear_meg_context', 'cca_meg',
                     'linear_synthetic')
 
@@ -644,6 +726,9 @@ def main(argv: Sequence[str] = ()) -> int:
                                   decoder_type=decoder_type)
         all_rows['infer_%s' % decoder_type] = rows
         failures += sum(1 for d in rows if not d.ok)
+    rows, _, _ = run_regression_ab(workdir)
+    all_rows['regression'] = rows
+    failures += sum(1 for d in rows if not d.ok)
     report = format_report(all_rows)
     print(report)
     if args.out:
