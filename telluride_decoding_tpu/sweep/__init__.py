@@ -7,6 +7,7 @@ from telluride_decoding_tpu.sweep.engine import (
     default_mesh,
     multi_subject_sweep,
     pad_and_stack,
+    per_file_stats,
     ridge_jackknife_sweep,
 )
 from telluride_decoding_tpu.sweep.checkpoint import (

@@ -124,8 +124,14 @@ def main(config_path: str) -> None:
         np.savez(config['dump_npz'], **arrays)
 
     def plain(d):
+        if hasattr(d, 'history'):    # Keras History (SGD model fits).
+            d = {k: v[-1] for k, v in d.history.items() if v}
+        try:
+            d = dict(d)
+        except TypeError:
+            return {}
         return {k: (float(v) if np.isscalar(v) or hasattr(v, 'item')
-                    else str(v)) for k, v in dict(d).items()}
+                    else str(v)) for k, v in d.items()}
 
     with open(config['out_json'], 'w') as f:
         json.dump({
