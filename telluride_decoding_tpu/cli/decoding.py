@@ -288,13 +288,19 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
                     not mismatch and not compat and
                     isinstance(test_brain_data, brain_data.TFExampleData))
     want_streaming = getattr(my_flags, 'streaming_fit', False)
-    if streaming_ok and not want_streaming:
+    sgd_model = isinstance(test_brain_model,
+                           (BrainModelDNN, BrainModelClassifier,
+                            BrainModelDCCA))
+    if streaming_ok and not want_streaming and not sgd_model:
         # Auto-select bounded memory: covariance-based fits never need
         # the dense host concatenation (a pre+1+post blow-up, 37x at
         # codelab width), so when the estimated lag-stacked corpus is
         # large, stream it even without --streaming_fit. The result is
         # value-identical (tests/test_streaming.py). Threshold
-        # override: TDT_STREAMING_AUTO_BYTES (0 disables).
+        # override: TDT_STREAMING_AUTO_BYTES (0 disables). SGD models
+        # are NOT auto-switched: their streaming fit draws a different
+        # (bounded-shuffle) batch stream than the dense fit, so the
+        # user opts in with --streaming_fit.
         try:
             # float() first so '1e9'-style values parse too.
             auto_bytes = int(float(
@@ -319,10 +325,12 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
                     auto_bytes / 2**30)
                 want_streaming = True
     if want_streaming and streaming_ok:
-        # Bounded-memory path: per-file streamed covariance (the train
-        # split is never concatenated on the host).
-        train_results = test_brain_model.fit_streaming(test_brain_data,
-                                                       'train')
+        # Bounded-memory path: per-file streamed covariance for the
+        # deterministic families; per-file minibatch streaming for the
+        # SGD families (the train split is never concatenated on the
+        # host either way).
+        train_results = test_brain_model.fit_streaming(
+            test_brain_data, 'train', epochs=epochs)
     else:
         if getattr(my_flags, 'streaming_fit', False):
             # The user asked for bounded memory; say loudly that the

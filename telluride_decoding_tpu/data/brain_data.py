@@ -365,13 +365,17 @@ class BrainData:
 
     # -- bounded-memory streaming -------------------------------------------
 
-    def iter_file_arrays(self, mode: str, temporal_context: bool = True):
+    def iter_file_arrays(self, mode: str, temporal_context: bool = True,
+                         filenames: Optional[Sequence[str]] = None):
         """Yields (filename, (in1, in2, out, attended)) one file at a
         time — the bounded-memory counterpart of load_arrays (the
         reference streams from disk via tf.data interleave,
         brain_data.py:725-760). Each file's arrays are free to be
-        dropped after use; nothing is concatenated."""
-        for filename in self._files_or_raise(mode):
+        dropped after use; nothing is concatenated. ``filenames``
+        overrides the mode's file list (callers that shuffle file
+        order per epoch, e.g. the streaming SGD fit)."""
+        for filename in (filenames if filenames is not None
+                         else self._files_or_raise(mode)):
             streams = self.file_arrays(filename, cache=False)
             if temporal_context and self._needs_context():
                 streams = self._add_context(*streams)

@@ -22,6 +22,7 @@ re-designed TPU-first:
 from __future__ import annotations
 
 import datetime
+import functools
 import json
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -405,12 +406,13 @@ class BrainModelLinearRegression(BrainModel):
         self._set_solution(solution)
         return {}
 
-    def fit_streaming(self, brain_data, mode: str = 'train'
-                      ) -> Dict[str, Any]:
+    def fit_streaming(self, brain_data, mode: str = 'train',
+                      epochs: int = 1, **kwargs) -> Dict[str, Any]:
         """Bounded-memory fit: per-file streamed covariance (one raw
         file of host memory at a time; lag stacking on device), then
         the same deterministic solve. Value-identical to fit() on the
         concatenated arrays."""
+        del epochs, kwargs  # Deterministic: one pass.
         stats = brain_data.streaming_moments(mode, y_source='output')
         solution = ridge.solve_ridge_from_moments(
             stats, lamb=self._regularization_lambda)
@@ -466,24 +468,21 @@ class _SgdModel(BrainModel):
         n = in1.shape[0]
         if n == 0:
             raise ValueError('Dataset produced no batches.')
-        # Documented boundary: SGD fits materialize the lag-stacked
-        # corpus on device (the whole-epoch lax.scan needs resident
-        # arrays) — unlike the deterministic families, which stream
-        # per-file covariance with bounded memory (--streaming_fit /
-        # auto-select). Warn when that residency is large so a
-        # jens-scale DNN fit fails loudly-in-advance rather than
-        # opaquely in the allocator.
+        # Documented boundary: the whole-epoch lax.scan fit
+        # materializes the lag-stacked corpus on device. Above the
+        # streaming threshold, point at fit_streaming (bounded memory:
+        # one file on the host, one minibatch on device) instead of
+        # failing opaquely in the allocator.
         total_bytes = in1.nbytes + in2.nbytes + out.nbytes
         if total_bytes > int(float(os.environ.get(
                 'TDT_STREAMING_AUTO_BYTES', 1 << 30))):
             import warnings
             warnings.warn(
                 'SGD fit materializes %.1f GB of (lag-stacked) '
-                'training data on device; DNN/classifier models have '
-                'no bounded-memory streaming path (deterministic '
-                'linear/CCA fits do). Reduce context, subset '
-                'channels, or train on fewer files if this exceeds '
-                'HBM.' % (total_bytes / 2**30))
+                'training data on device; consider fit_streaming '
+                '(--streaming_fit), which holds one file on the host '
+                'and one minibatch on device instead.'
+                % (total_bytes / 2**30))
         if _keep_arrays:
             # Subclasses reuse the assembled arrays (e.g. the
             # batchnorm population-stats pass, DCCA's final CCA solve)
@@ -552,6 +551,102 @@ class _SgdModel(BrainModel):
             (self.params, opt_state), keys, x1, x2, y)
         history = {'loss': [float(l) for l in np.asarray(losses)]}
         return history
+
+    def _streaming_step(self, opt, lr):
+        """Jitted single-batch SGD update, cached per (lr, loss) so a
+        whole streaming fit compiles exactly one step program (plus at
+        most one short-remainder shape). Buffers are donated: the
+        previous step's params/opt_state memory is reused in place."""
+        key = ('stream_step', lr, self._compiled.get('loss'))
+        fn = self._compiled.get(key)
+        if fn is None:
+            def step(params, opt_state, x1, x2, y, rng):
+                loss, grads = jax.value_and_grad(self._loss_fn)(
+                    params, {'input_1': x1, 'input_2': x2}, y, rng)
+                updates, opt_state = opt.update(grads, opt_state,
+                                                params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
+            fn = jax.jit(step, donate_argnums=(0, 1))
+            self._compiled[key] = fn
+        return fn
+
+    def fit_streaming(self, brain_data, mode: str = 'train',
+                      epochs: int = 1, batch_size: int = 512,
+                      seed: int = 0, **kwargs) -> Dict[str, Any]:
+        """Bounded-memory SGD fit: per-file streaming through a jitted
+        single-batch update.
+
+        fit() compiles each epoch into one lax.scan program but must
+        hold the whole lag-stacked corpus resident in HBM; this path
+        holds ONE file's context-stacked arrays on the host and ONE
+        minibatch on device — the streaming counterpart of the
+        reference's Keras fit over a tf.data file-interleave stream
+        (reference brain_data.py:725-760), which is equally bounded.
+
+        Shuffling is file order + a within-file permutation per epoch
+        (the streaming analogue of the reference's bounded
+        shuffle_buffer — neither is a global permutation). Leftover
+        rows carry across file boundaries so every batch is full; the
+        epoch's final partial batch is dropped (reference
+        drop_remainder parity). A corpus smaller than one batch
+        trains as a single short batch rather than silently fitting
+        nothing.
+        """
+        del kwargs
+        if self.params is None:
+            self.params = self._init_params(jax.random.PRNGKey(seed))
+        lr = self._compiled.get('learning_rate', 1e-3)
+        opt = optax.adam(lr)
+        opt_state = opt.init(self.params)
+        step = self._streaming_step(opt, lr)
+        base_key = jax.random.PRNGKey(seed + 1)
+        rng = np.random.RandomState(seed)
+        params = self.params
+        history = []
+        batch_counter = 0
+        for _ in range(epochs):
+            order = list(brain_data.filter_file_names(mode))
+            if not order:
+                raise ValueError('No files to process in mode %s.'
+                                 % mode)
+            rng.shuffle(order)
+            carry = None
+            losses = []
+            for _, (in1, in2, out, _) in brain_data.iter_file_arrays(
+                    mode, filenames=order):
+                perm = rng.permutation(in1.shape[0])
+                parts = (in1[perm], in2[perm], out[perm])
+                if carry is not None:
+                    parts = tuple(np.concatenate([c, p])
+                                  for c, p in zip(carry, parts))
+                n = parts[0].shape[0]
+                usable = (n // batch_size) * batch_size
+                for start in range(0, usable, batch_size):
+                    sl = slice(start, start + batch_size)
+                    key = jax.random.fold_in(base_key, batch_counter)
+                    batch_counter += 1
+                    params, opt_state, loss = step(
+                        params, opt_state,
+                        jnp.asarray(parts[0][sl]),
+                        jnp.asarray(parts[1][sl]),
+                        jnp.asarray(parts[2][sl]), key)
+                    losses.append(loss)
+                carry = (tuple(p[usable:] for p in parts)
+                         if usable < n else None)
+            if not losses:
+                if carry is None or carry[0].shape[0] == 0:
+                    raise ValueError('Dataset produced no batches.')
+                key = jax.random.fold_in(base_key, batch_counter)
+                batch_counter += 1
+                params, opt_state, loss = step(
+                    params, opt_state, jnp.asarray(carry[0]),
+                    jnp.asarray(carry[1]), jnp.asarray(carry[2]), key)
+                losses.append(loss)
+            history.append(float(np.mean(np.asarray(
+                [jax.device_get(l) for l in losses]))))
+        self.params = params
+        return {'loss': history}
 
 
 @register_model
@@ -699,6 +794,70 @@ class BrainModelDNN(_SgdModel):
                   for entry, (mean, var) in zip(self.params['bn'], stats)]
             self.params = dict(self.params, bn=bn)
         return history
+
+    def fit_streaming(self, brain_data, mode: str = 'train', **kwargs):
+        history = super().fit_streaming(brain_data, mode, **kwargs)
+        if self._batch_norm:
+            self._set_population_stats_streaming(brain_data, mode)
+        return history
+
+    def _preact(self, params, x, upto: int):
+        """Pre-normalization activation of hidden layer ``upto``, with
+        layers < upto normalized by their (already final) population
+        stats — exactly what the dense collect_stats pass computes,
+        where the full-split batch statistics ARE the population
+        statistics."""
+        layers = params['layers']
+        bn = params['bn']
+        for i in range(upto + 1):
+            x = jnp.dot(x, layers[i]['w'],
+                        preferred_element_type=jnp.float32) + layers[i]['b']
+            if i == upto:
+                return x
+            x = (x - bn[i]['mean']) * jax.lax.rsqrt(bn[i]['var'] + 1e-5)
+            x = x * bn[i]['gamma'] + bn[i]['beta']
+            x = jax.nn.relu(x)
+        return x
+
+    def _set_population_stats_streaming(self, brain_data, mode: str,
+                                        frame_bucket: int = 4096):
+        """Population batchnorm statistics with bounded memory.
+
+        Layer k's pre-normalization activations depend on layers < k
+        being normalized with their FINAL population stats, so the
+        layers resolve in order: one streamed pass per hidden layer
+        (files pad to frame_bucket multiples with a validity mask so
+        similar lengths share one compilation). Value-identical to the
+        dense single-pass collect up to float summation order."""
+        if not hasattr(self, '_preact_sums_jit'):
+            @functools.partial(jax.jit, static_argnames=('upto',))
+            def _preact_sums(params, x, valid, upto):
+                a = self._preact(params, x, upto)
+                m = valid[:, None]
+                return (jnp.sum(a * m, axis=0),
+                        jnp.sum(a * a * m, axis=0), jnp.sum(valid))
+            self._preact_sums_jit = _preact_sums
+        params = self.params
+        for k in range(len(self.num_hidden_list)):
+            acc_s = acc_ss = None
+            count = 0.0
+            for _, (in1, _, _, _) in brain_data.iter_file_arrays(mode):
+                n = in1.shape[0]
+                padded = -(-n // frame_bucket) * frame_bucket
+                xp = np.zeros((padded, in1.shape[1]), np.float32)
+                xp[:n] = in1
+                valid = (np.arange(padded) < n).astype(np.float32)
+                s, ss, c = self._preact_sums_jit(
+                    params, jnp.asarray(xp), jnp.asarray(valid), k)
+                acc_s = s if acc_s is None else acc_s + s
+                acc_ss = ss if acc_ss is None else acc_ss + ss
+                count += float(c)
+            mean = acc_s / count
+            var = jnp.maximum(acc_ss / count - mean * mean, 0.0)
+            bn = list(params['bn'])
+            bn[k] = dict(bn[k], mean=mean, var=var)
+            params = dict(params, bn=bn)
+        self.params = params
 
 
 @register_model

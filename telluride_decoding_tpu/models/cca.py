@@ -111,10 +111,12 @@ class BrainModelCCA(BrainModel):
         self._set_solution(solution)
         return {}
 
-    def fit_streaming(self, brain_data, mode: str = 'train'):
+    def fit_streaming(self, brain_data, mode: str = 'train',
+                      epochs: int = 1, **kwargs):
         """Bounded-memory fit: per-file streamed covariance of the
         (input_1, input_2) pair, then the same whitening + SVD solve.
         Value-identical to fit() on the concatenated arrays."""
+        del epochs, kwargs  # Deterministic: one covariance pass + SVD.
         stats = brain_data.streaming_moments(mode, y_source='input_2',
                                              want_syy=True)
         solution = cca_solver.solve_cca_from_moments(
@@ -230,6 +232,50 @@ class BrainModelDCCA(_SgdModel):
             self._fit_arrays = None
         solution = cca_solver.calculate_cca_parameters(
             h1, h2, dim=self._cca_dims, regularization=self._reg)
+        self.params = dict(self.params,
+                           mean1=solution.mean_x, mean2=solution.mean_y,
+                           rot1=solution.rot_x, rot2=solution.rot_y)
+        self.eigenvalues = np.asarray(solution.eigenvalues)
+        return history
+
+    def fit_streaming(self, brain_data, mode: str = 'train',
+                      epochs: int = 20, batch_size: int = 1024,
+                      seed: int = 0, **kwargs):
+        """Bounded-memory DCCA: streaming SGD for the towers, then the
+        final closed-form CCA solved from STREAMED MomentStats of the
+        tower outputs (cca_dims-wide, so the stats are tiny) — the
+        corpus is never concatenated."""
+        history = super().fit_streaming(brain_data, mode, epochs=epochs,
+                                        batch_size=batch_size,
+                                        seed=seed, **kwargs)
+        from telluride_decoding_tpu.ops.covariance import (
+            moments_from_arrays)
+        if not hasattr(self, '_tower_moments_jit'):
+            @jax.jit
+            def _tower_moments(params, x1, x2, valid):
+                h1, h2 = self._towers(
+                    params, {'input_1': x1, 'input_2': x2})
+                m = valid[:, None]
+                stats = moments_from_arrays(h1 * m, h2 * m,
+                                            want_syy=True)
+                return stats._replace(count=jnp.sum(valid))
+            self._tower_moments_jit = _tower_moments
+        bucket = 4096
+        total = None
+        for _, (in1, in2, _, _) in brain_data.iter_file_arrays(mode):
+            n = min(in1.shape[0], in2.shape[0])
+            padded = -(-n // bucket) * bucket
+            x1 = np.zeros((padded, in1.shape[1]), np.float32)
+            x1[:n] = in1[:n]
+            x2 = np.zeros((padded, in2.shape[1]), np.float32)
+            x2[:n] = in2[:n]
+            valid = (np.arange(padded) < n).astype(np.float32)
+            stats = self._tower_moments_jit(
+                self.params, jnp.asarray(x1), jnp.asarray(x2),
+                jnp.asarray(valid))
+            total = stats if total is None else total + stats
+        solution = cca_solver.solve_cca_from_moments(
+            total, dim=self._cca_dims, regularization=self._reg)
         self.params = dict(self.params,
                            mean1=solution.mean_x, mean2=solution.mean_y,
                            rot1=solution.rot_x, rot2=solution.rot_y)

@@ -206,6 +206,59 @@ def _tree_index(stats: MomentStats, index) -> MomentStats:
     return jax.tree.map(lambda a: a[index], stats)
 
 
+def _lam_chunk_units(num_files: int, dim_sq_elems: int,
+                     num_l: int) -> int:
+    """How many lambdas' factorizations to batch per dispatch.
+
+    Each lambda's transient is ~2 buffers (shifted covariance + its
+    Cholesky factor) of num_files x dim^2 floats. Batching lambdas
+    into one bigger batched-Cholesky dispatch rides the MXU harder:
+    measured on v5e at codelab scale (40 files, width 2553, 9
+    lambdas), chunk 3 runs the ridge grid 0.59 s -> 0.52 s and the
+    CCA grid 0.74 s -> 0.68 s (values equal to 7e-7); chunk 4+
+    REGRESSES (HBM pressure, 0.66-0.97 s — verified again after
+    integration: an 8 GB budget picked chunk 4 and reproduced the
+    regression exactly). The 7 GB default budget lands on chunk 3 at
+    codelab scale while letting small problems batch the whole grid.
+    Overrides: TDT_SWEEP_LAM_CHUNK (explicit count),
+    TDT_SWEEP_LAM_CHUNK_BYTES (budget). Called at trace time — all
+    inputs are static shapes."""
+    explicit = os.environ.get('TDT_SWEEP_LAM_CHUNK')
+    if explicit:
+        try:
+            return max(1, min(num_l, int(explicit)))
+        except ValueError:
+            pass
+    try:
+        budget = int(float(os.environ.get('TDT_SWEEP_LAM_CHUNK_BYTES',
+                                          7 << 30)))
+    except ValueError:
+        budget = 7 << 30
+    unit = 2 * num_files * dim_sq_elems * 4
+    return max(1, min(num_l, budget // max(unit, 1)))
+
+
+def _chunked_lam_map(eval_fn, lambdas: jax.Array, num_files: int,
+                     chunk: int) -> jax.Array:
+    """[L, F] grid via lax.map over lambda-chunks of batched evals.
+
+    Each step evaluates ``chunk`` lambdas x all files as ONE batched
+    program (vmap of vmap), so chunk*num_files Cholesky factorizations
+    land in a single dispatch. The lambda axis pads to a chunk
+    multiple with lambda=1 (always factorizable); padded rows are
+    sliced away."""
+    num_l = lambdas.shape[0]
+    pad = (-num_l) % chunk
+    lam_p = (jnp.concatenate([lambdas,
+                              jnp.ones((pad,), lambdas.dtype)])
+             if pad else lambdas)
+    out = jax.lax.map(
+        lambda lams: jax.vmap(lambda lamb: jax.vmap(
+            lambda f: eval_fn(f, lamb))(jnp.arange(num_files)))(lams),
+        lam_p.reshape(-1, chunk))
+    return out.reshape(-1, num_files)[:num_l]
+
+
 def _linear_r_from_stats(stats: MomentStats, w: jax.Array,
                          b: jax.Array) -> jax.Array:
     """Pearson r (first output column) of pred = x @ w + b on the
@@ -296,10 +349,12 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
         # build each file's symmetrized szz/n + szy/n ONCE ([F, D, D],
         # ~1 GB at codelab width — the same transient each lambda
         # iteration would materialize anyway) so the lambda loop only
-        # adds lamb*I and factors. Measured on v5e at codelab scale
-        # (40 files x 9 lambdas, width 2553): 0.74 s -> 0.65 s per
-        # sweep, against a batched-Cholesky floor of 0.37 s
-        # (~5.5 TFLOPS) for the same 360 factorizations.
+        # adds lamb*I and factors; the loop itself batches lambdas in
+        # chunks (_lam_chunk_units). Measured on v5e at codelab scale
+        # (40 files x 9 lambdas, width 2553): 0.74 s unhoisted ->
+        # 0.59 s hoisted -> 0.52 s chunked, against a batched-Cholesky
+        # floor of 0.37 s (~5.5 TFLOPS) for the same 360
+        # factorizations.
         from telluride_decoding_tpu.solvers.ridge import (
             _augmented_moments)
 
@@ -320,9 +375,9 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
                 _tree_index(stacked_stats, file_idx),
                 solution[:-1], solution[-1])
 
-        return jax.lax.map(
-            lambda lamb: jax.vmap(lambda f: eval_chol(f, lamb))(
-                jnp.arange(num_files)), lambdas)
+        chunk = _lam_chunk_units(num_files, cov_all.shape[-1] ** 2,
+                                 lambdas.shape[0])
+        return _chunked_lam_map(eval_chol, lambdas, num_files, chunk)
 
     def eval_one(file_idx, lamb):
         train_stats = _total_minus(stacked_stats, total, file_idx)
@@ -436,9 +491,9 @@ def _cca_sweep_program_chol(stacked_stats: MomentStats,
         return _cca_r_from_stats(_tree_index(stacked_stats, file_idx),
                                  rot_x[:, 0], rot_y[:, 0])
 
-    return jax.lax.map(
-        lambda lamb: jax.vmap(lambda f: eval_one(f, lamb))(
-            jnp.arange(num_files)), lambdas)
+    chunk = _lam_chunk_units(num_files, dx * dx + dy * dy,
+                             lambdas.shape[0])
+    return _chunked_lam_map(eval_one, lambdas, num_files, chunk)
 
 
 @functools.partial(jax.jit, static_argnames=('dims',))
