@@ -9,6 +9,11 @@ save path (reference decoding.py:571-576):
   * ``<dst>.h5`` (or the given .h5 path): a Keras HDF5 model that
     ``tf.keras.models.load_model`` loads with ZERO custom objects
     (io/keras_h5.py builds the functional graph from stock layers).
+  * with ``--saved-model``: a full SavedModel DIRECTORY —
+    saved_model.pb + keras_metadata.pb + variables/ — the reference's
+    native on-disk format, loadable by the same
+    ``tf.keras.models.load_model`` call the reference uses
+    (io/saved_model_pb.py; telluride metadata variables ride inside).
   * with ``--variables``: a ``variables/`` TensorBundle checkpoint
     (io/tf_checkpoint.write_tensor_bundle) carrying the weights and
     telluride metadata in the reference's fresh-checkpoint layout —
@@ -20,6 +25,7 @@ A decoder_model.json next to the source copies through unchanged
 
 Usage:
   python -m telluride_decoding_tpu.cli.export_keras SRC_DIR DST.h5
+  python -m telluride_decoding_tpu.cli.export_keras --saved-model SRC DST_DIR
   python -m telluride_decoding_tpu.cli.export_keras --variables SRC DST
 """
 
@@ -30,9 +36,21 @@ import shutil
 import sys
 
 
-def export(src_dir: str, dst: str, variables: bool = False) -> None:
+def export(src_dir: str, dst: str, variables: bool = False,
+           saved_model: bool = False) -> None:
     from telluride_decoding_tpu.models.brain_model import load_model
     model = load_model(src_dir)
+    if saved_model:
+        from telluride_decoding_tpu.io.saved_model_pb import (
+            export_saved_model)
+        export_saved_model(model, dst)
+        print('Wrote SavedModel directory to %s' % dst)
+        decoder_json = os.path.join(src_dir, 'decoder_model.json')
+        if os.path.exists(decoder_json):
+            shutil.copyfile(decoder_json,
+                            os.path.join(dst, 'decoder_model.json'))
+            print('Copied decoder parameters into %s' % dst)
+        return
     if variables:
         from telluride_decoding_tpu.io.keras_h5 import (
             export_saved_model_variables)
@@ -59,18 +77,22 @@ def app_main(argv=None):
     variables = '--variables' in argv
     if variables:
         argv.remove('--variables')
-    if len(argv) != 2:
+    saved_model = '--saved-model' in argv
+    if saved_model:
+        argv.remove('--saved-model')
+    if len(argv) != 2 or (variables and saved_model):
         raise SystemExit(
-            'usage: export_keras [--variables] SRC_MODEL_DIR DST\n'
+            'usage: export_keras [--saved-model | --variables] '
+            'SRC_MODEL_DIR DST\n'
             '  DST is a .h5 path (default) or a directory '
-            '(--variables).')
+            '(--saved-model / --variables).')
     src, dst = argv
     if not os.path.exists(os.path.join(src, 'model.json')):
         raise SystemExit('%s does not look like a native model '
                          'directory (no model.json).' % src)
     if variables:
         os.makedirs(dst, exist_ok=True)
-    export(src, dst, variables=variables)
+    export(src, dst, variables=variables, saved_model=saved_model)
 
 
 if __name__ == '__main__':

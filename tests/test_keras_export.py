@@ -32,6 +32,8 @@ from telluride_decoding_tpu.io.keras_h5 import (  # noqa: E402
     export_keras_h5,
     export_saved_model_variables,
 )
+from telluride_decoding_tpu.io.saved_model_pb import (  # noqa: E402
+    export_saved_model)
 from telluride_decoding_tpu.io.tf_checkpoint import (  # noqa: E402
     read_tensor_bundle,
     write_tensor_bundle,
@@ -167,6 +169,60 @@ class TestH5Structure:
             export_keras_h5(model, '/tmp/never.h5')
 
 
+class TestSavedModelStructure:
+    """TF-free checks of the hand-written SavedModel DIRECTORY
+    (io/saved_model_pb): container layout, checkpoint keys, and a
+    round trip through this package's OWN readers."""
+
+    def test_directory_layout_and_checkpoint_keys(self, rng, tmp_path):
+        bd, x1, x2 = _dataset(rng)
+        model = BrainModelLinearRegression(bd.create_dataset('train'),
+                                           regularization_lambda=0.01)
+        model.fit(bd.create_dataset('train'))
+        model.add_metadata({'kind': 'sm'})
+        out = str(tmp_path / 'sm')
+        export_saved_model(model, out)
+        for rel in ('saved_model.pb', 'keras_metadata.pb',
+                    'variables/variables.index',
+                    'variables/variables.data-00000-of-00001',
+                    'assets'):
+            assert os.path.exists(os.path.join(out, rel)), rel
+        back = read_tensor_bundle(os.path.join(out, 'variables',
+                                               'variables'))
+        np.testing.assert_array_equal(
+            back['layer_with_weights-0/kernel/.ATTRIBUTES/'
+                 'VARIABLE_VALUE'],
+            np.asarray(model.params['w']))
+        # The reader deliberately skips the internal object-graph
+        # entry; assert it is on the wire via the raw index.
+        with open(os.path.join(out, 'variables', 'variables.index'),
+                  'rb') as f:
+            assert b'CHECKPOINTABLE_OBJECT_GRAPH' in f.read()
+        meta = back['telluride_metadata/.ATTRIBUTES/VARIABLE_VALUE']
+        assert json.loads(meta.reshape(-1)[0]) == {'kind': 'sm'}
+
+    def test_linear_reads_back_through_own_migrate_reader(
+            self, rng, tmp_path):
+        from telluride_decoding_tpu.models.migrate import (
+            load_reference_saved_model)
+        bd, x1, x2 = _dataset(rng)
+        model = BrainModelLinearRegression(bd.create_dataset('train'),
+                                           regularization_lambda=0.01)
+        model.fit(bd.create_dataset('train'))
+        out = str(tmp_path / 'sm')
+        export_saved_model(model, out)
+        back = load_reference_saved_model(out)
+        pred = back({'input_1': x1[:32], 'input_2': x2[:32, :1]})
+        direct = model({'input_1': x1[:32], 'input_2': x2[:32, :1]})
+        np.testing.assert_array_equal(np.asarray(pred),
+                                      np.asarray(direct))
+
+    def test_unfit_model_refuses(self):
+        model = BrainModelLinearRegression(input_width=4, output_width=1)
+        with pytest.raises(ValueError, match='fit or loaded'):
+            export_saved_model(model, '/tmp/never_sm')
+
+
 # -- Live TF validation (skips without TF) ---------------------------------
 
 
@@ -237,6 +293,108 @@ class TestLiveKerasLoad:
         assert np.abs(tf_pred - np.asarray(ours)).max() < 1e-5
 
 
+_TF_DECODER_DIRECT = r"""
+import json, sys
+import numpy as np
+import tensorflow as tf
+
+sys.path.insert(0, %(ref_path)r)
+from telluride_decoding import infer_decoder
+
+spec = json.load(open(sys.argv[1]))
+probe = np.load(spec['probe'])
+dec = infer_decoder.create_decoder('linear', reduction='first')
+dec.load_decoding_model(spec['saved_model_dir'], {})
+model = dec._decoding_model
+pred = model.predict({'input_1': probe['x1'], 'input_2': probe['x2']},
+                     verbose=0)
+np.savez(spec['out'], pred=np.asarray(pred),
+         meta=np.frombuffer(model.telluride_metadata.numpy(),
+                            dtype=np.uint8))
+"""
+
+
+@tf_required
+class TestLiveSavedModelLoad:
+    """The full SavedModel DIRECTORY written WITHOUT TensorFlow loads
+    in live TF through the exact call the reference uses
+    (tf.keras.models.load_model on the directory; reference
+    infer_decoder.py:277, decoding.py:571-576)."""
+
+    def _roundtrip(self, tmp_path, model, x1, x2, tol=1e-5):
+        out = str(tmp_path / 'sm')
+        export_saved_model(model, out)
+        tf_pred = _tf_load_and_predict(tmp_path, out, x1[:64], x2[:64])
+        ours = model({'input_1': x1[:64], 'input_2': x2[:64]})
+        assert np.abs(tf_pred - np.asarray(ours)).max() < tol
+
+    def test_linear(self, rng, tmp_path):
+        bd, x1, x2 = _dataset(rng)
+        model = BrainModelLinearRegression(bd.create_dataset('train'),
+                                           regularization_lambda=0.01)
+        model.fit(bd.create_dataset('train'))
+        self._roundtrip(tmp_path, model, x1, x2)
+
+    def test_cca(self, rng, tmp_path):
+        bd, x1, x2 = _dataset(rng)
+        model = BrainModelCCA(bd.create_dataset('train'), cca_dims=2,
+                              regularization_lambda=0.1)
+        model.fit(bd.create_dataset('train'))
+        self._roundtrip(tmp_path, model, x1, x2)
+
+    def test_dnn_batchnorm(self, rng, tmp_path):
+        bd, x1, x2 = _dataset(rng)
+        model = BrainModelDNN(bd.create_dataset('train'), [8, 5],
+                              batch_norm=True)
+        model.compile(learning_rate=1e-3)
+        model.fit(bd.create_dataset('train'), epochs=2)
+        self._roundtrip(tmp_path, model, x1, x2, tol=1e-4)
+
+    def test_classifier(self, rng, tmp_path):
+        bd, x1, x2 = _dataset(rng)
+        model = BrainModelClassifier(bd.create_dataset('train'), [8])
+        model.compile(learning_rate=1e-3)
+        model.fit(bd.create_dataset('train'), epochs=2)
+        self._roundtrip(tmp_path, model, x1, x2)
+
+    def test_reference_decoder_loads_directory_directly(
+            self, rng, tmp_path):
+        """The reference's Decoder.load_decoding_model consumes our
+        directory with NO intermediate TF re-save, and the telluride
+        metadata variable is restored as the model attribute the
+        reference's serving stack reads."""
+        bd, x1, x2 = _dataset(rng, out=1)
+        model = BrainModelLinearRegression(bd.create_dataset('train'),
+                                           regularization_lambda=0.01)
+        model.fit(bd.create_dataset('train'))
+        model.add_metadata(
+            {'decoder': 'direct', 'pre_context': 0, 'post_context': 0,
+             'input2_pre_context': 0, 'input2_post_context': 0,
+             'dnn_regressor': 'linear'},
+            dataset=bd.create_dataset('train'))
+        out_dir = str(tmp_path / 'sm')
+        export_saved_model(model, out_dir)
+        probe = str(tmp_path / 'probe.npz')
+        np.savez(probe, x1=x1[:64], x2=x2[:64])
+        out = str(tmp_path / 'direct_out.npz')
+        spec_path = str(tmp_path / 'spec.json')
+        with open(spec_path, 'w') as f:
+            json.dump({'saved_model_dir': out_dir, 'probe': probe,
+                       'out': out}, f)
+        script = str(tmp_path / 'direct.py')
+        with open(script, 'w') as f:
+            f.write(_TF_DECODER_DIRECT % {'ref_path': ab.REFERENCE_PATH})
+        proc = subprocess.run([sys.executable, script, spec_path],
+                              env=ab._worker_env(), capture_output=True,
+                              text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        got = np.load(out)
+        ours = model({'input_1': x1[:64], 'input_2': x2[:64]})
+        assert np.abs(got['pred'] - np.asarray(ours)).max() < 1e-5
+        meta = bytes(got['meta']).decode('utf-8')
+        assert json.loads(meta)['decoder'] == 'direct'
+
+
 class TestExportCli:
 
     def test_cli_exports_h5_and_decoder_sidecar(self, rng, tmp_path):
@@ -270,6 +428,22 @@ class TestExportCli:
         np.testing.assert_array_equal(
             back['variables/0/.ATTRIBUTES/VARIABLE_VALUE'],
             np.asarray(model.params['w']))
+
+    def test_cli_saved_model_mode(self, rng, tmp_path):
+        from telluride_decoding_tpu.cli import export_keras
+        bd, x1, x2 = _dataset(rng)
+        model = BrainModelLinearRegression(bd.create_dataset('train'),
+                                           regularization_lambda=0.01)
+        model.fit(bd.create_dataset('train'))
+        src = str(tmp_path / 'native')
+        model.save(src)
+        with open(os.path.join(src, 'decoder_model.json'), 'w') as f:
+            f.write('{"decoder": "params"}')
+        dst = str(tmp_path / 'sm')
+        export_keras.app_main(['--saved-model', src, dst])
+        assert os.path.exists(os.path.join(dst, 'saved_model.pb'))
+        assert os.path.exists(os.path.join(dst, 'keras_metadata.pb'))
+        assert os.path.exists(os.path.join(dst, 'decoder_model.json'))
 
     def test_cli_rejects_non_model_dir(self, tmp_path):
         from telluride_decoding_tpu.cli import export_keras
