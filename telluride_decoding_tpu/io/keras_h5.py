@@ -22,6 +22,8 @@ Every exported graph uses only stock layers, by construction:
                  inference; dropout is a train-time-only transform)
   * classifier:  Concatenate(input_1, input_2) -> Dense stack
                  -> sigmoid                                  (exact)
+  * DCCA:        per-input ReLU Dense towers -> the same CCA
+                 Dense(rot) fold -> Concatenate               (exact)
 
 The graphs take the reference serving feed ({'input_1', 'input_2'};
 input_2 stays in the graph even where a family ignores it). Keras
@@ -195,6 +197,54 @@ def _spec_cca(model) -> _GraphSpec:
     return spec
 
 
+def _spec_dcca(model) -> _GraphSpec:
+    """DCCA inference is stock layers end to end: each tower is a
+    ReLU Dense stack with a linear final Dense, and the post-hoc CCA
+    ``(h - mean) @ rot`` folds into one more Dense exactly as in
+    _spec_cca. Concatenate joins the canonical outputs."""
+    p = model.params
+    spec = _GraphSpec('model')
+    spec.add_input('input_1',
+                   np.asarray(p['tower1'][0]['w']).shape[0])
+    spec.add_input('input_2',
+                   np.asarray(p['tower2'][0]['w']).shape[0])
+
+    def tower(layers, rot, mean, input_name, suffix):
+        """Returns [(config, weights)] for one tower, ending in the
+        folded CCA Dense."""
+        out = []
+        prev = input_name
+        n = len(layers)
+        for i, layer in enumerate(layers):
+            w = np.asarray(layer['w'], np.float32)
+            b = np.asarray(layer['b'], np.float32).reshape(-1)
+            name = 'dense_t%s_%d' % (suffix, i)
+            activation = 'linear' if i == n - 1 else 'relu'
+            out.append((_dense_layer(name, w.shape[1], activation,
+                                     prev),
+                        [('kernel', w), ('bias', b)]))
+            prev = name
+        rot = np.asarray(rot, np.float32)
+        mean = np.asarray(mean, np.float32).reshape(-1)
+        out.append((_dense_layer('rot%s' % suffix, rot.shape[1],
+                                 'linear', prev),
+                    [('kernel', rot), ('bias', -mean @ rot)]))
+        return out
+
+    t1 = tower(p['tower1'], p['rot1'], p['mean1'], 'input_1', '1')
+    t2 = tower(p['tower2'], p['rot2'], p['mean2'], 'input_2', '2')
+    # Emit in Keras's topological (depth) order — the two towers
+    # interleaved level by level (they always share the hidden-layer
+    # structure). The legacy loader numbers layer_with_weights-<k> by
+    # model.layers order, and the checkpoint keys must agree with it.
+    for (c1, w1), (c2, w2) in zip(t1, t2):
+        spec.add_layer(c1, w1)
+        spec.add_layer(c2, w2)
+    spec.add_layer(_concat_layer('concatenate', ['rot1', 'rot2']))
+    spec.output_layer = 'concatenate'
+    return spec
+
+
 def _spec_dnn(model) -> _GraphSpec:
     layers = model.params['layers'] if isinstance(model.params, dict) \
         else model.params
@@ -276,13 +326,10 @@ def _build_spec(model) -> _GraphSpec:
     kind = type(model).__name__
     if kind == 'BrainModelLinearRegression':
         return _spec_linear(model)
-    if kind in ('BrainModelCCA', 'BrainModelDCCA'):
-        if kind == 'BrainModelDCCA':
-            raise ValueError(
-                'BrainModelDCCA has nonlinear towers with no stock-'
-                'layer equivalent in the reference; export the final '
-                'CCA rotations via its cca_model instead.')
+    if kind == 'BrainModelCCA':
         return _spec_cca(model)
+    if kind == 'BrainModelDCCA':
+        return _spec_dcca(model)
     if kind == 'BrainModelDNN':
         return _spec_dnn(model)
     if kind == 'BrainModelClassifier':
@@ -293,8 +340,8 @@ def _build_spec(model) -> _GraphSpec:
 def export_keras_h5(model, path: str) -> None:
     """Writes ``model`` as a Keras HDF5 file loadable by
     ``tf.keras.models.load_model`` (legacy tf_keras) with no custom
-    objects. Raises ValueError for families with no stock-layer
-    equivalent (DCCA)."""
+    objects. Every persistable family exports (linear, CCA, DNN,
+    classifier, DCCA)."""
     import h5py   # TF-free; a transitive dependency of the ecosystem.
     if model.params is None:
         raise ValueError('Model must be fit or loaded before export.')

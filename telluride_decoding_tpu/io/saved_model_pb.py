@@ -391,8 +391,8 @@ def _trackable_graph_bytes(g: _GraphBuilder) -> bytes:
 def export_saved_model(model, out_dir: str) -> None:
     """Writes ``model`` as a SavedModel directory that
     ``tf.keras.models.load_model`` (legacy tf_keras) loads with no
-    custom objects — without TensorFlow. Raises ValueError for
-    families with no stock-layer equivalent (DCCA)."""
+    custom objects — without TensorFlow. Every persistable family
+    exports (linear, CCA, DNN, classifier, DCCA)."""
     from telluride_decoding_tpu.io.tf_checkpoint import (
         write_tensor_bundle)
     if model.params is None:

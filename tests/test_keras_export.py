@@ -44,6 +44,8 @@ from telluride_decoding_tpu.models import (  # noqa: E402
     BrainModelDNN,
     BrainModelLinearRegression,
 )
+from telluride_decoding_tpu.models.cca import (  # noqa: E402
+    BrainModelDCCA)
 from telluride_decoding_tpu.data.brain_data import (  # noqa: E402
     TestBrainData)
 
@@ -292,6 +294,20 @@ class TestLiveKerasLoad:
         ours = model({'input_1': x1[:64], 'input_2': x2[:64]})
         assert np.abs(tf_pred - np.asarray(ours)).max() < 1e-5
 
+    def test_dcca_h5_loads_and_predicts(self, rng, tmp_path):
+        """DCCA exports too: the ReLU towers and the folded CCA
+        rotation are all stock layers (io/keras_h5._spec_dcca)."""
+        bd, x1, x2 = _dataset(rng)
+        model = BrainModelDCCA(bd.create_dataset('train'), cca_dims=2,
+                               hidden_units=[8, 5])
+        model.compile(learning_rate=1e-3)
+        model.fit(bd.create_dataset('train'), epochs=2)
+        path = tmp_path / 'dcca.h5'
+        export_keras_h5(model, str(path))
+        tf_pred = _tf_load_and_predict(tmp_path, path, x1[:64], x2[:64])
+        ours = model({'input_1': x1[:64], 'input_2': x2[:64]})
+        assert np.abs(tf_pred - np.asarray(ours)).max() < 1e-5
+
 
 _TF_DECODER_DIRECT = r"""
 import json, sys
@@ -353,6 +369,17 @@ class TestLiveSavedModelLoad:
     def test_classifier(self, rng, tmp_path):
         bd, x1, x2 = _dataset(rng)
         model = BrainModelClassifier(bd.create_dataset('train'), [8])
+        model.compile(learning_rate=1e-3)
+        model.fit(bd.create_dataset('train'), epochs=2)
+        self._roundtrip(tmp_path, model, x1, x2)
+
+    def test_dcca(self, rng, tmp_path):
+        """The interleaved tower emission order matches the legacy
+        loader's depth-sorted layer_with_weights numbering — weights
+        land on the right layers (io/keras_h5._spec_dcca)."""
+        bd, x1, x2 = _dataset(rng)
+        model = BrainModelDCCA(bd.create_dataset('train'), cca_dims=2,
+                               hidden_units=[8, 5])
         model.compile(learning_rate=1e-3)
         model.fit(bd.create_dataset('train'), epochs=2)
         self._roundtrip(tmp_path, model, x1, x2)
