@@ -162,6 +162,21 @@ class TestInferHarnessParity:
         _assert_rows(rows, 'infer/ssd')
 
 
+def test_infer_reverse_interchange(workdir):
+    """REVERSE interchange at the full-driver level: a model trained
+    HERE, exported as a SavedModel directory by io/saved_model_pb.py
+    (no TF in the write path), drives the reference's entire
+    infer.run_reduction_test window sweep; accuracies match this
+    framework's own harness on the native artifact."""
+    rows, ref, tdt = ab.run_infer_reverse_ab(workdir,
+                                             reduction='first',
+                                             decoder_type='wta')
+    assert rows, 'reverse interchange produced no window rows'
+    _assert_rows(rows, 'infer_reverse/wta')
+    for d in rows:
+        assert d.delta < 0.02, (d.field, d.ref, d.tdt)
+
+
 def test_regression_jackknife_parity(workdir):
     """The one-program sweep engine vs the reference's serial
     per-(lambda, file) jackknife driver (regression.py:327-420) on a

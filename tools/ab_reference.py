@@ -176,6 +176,12 @@ def run_rebuild(flags: Dict, workdir: str, *,
 
     decoding.write_experiment_summary(my_flags, train_results,
                                       test_results, dprimes[0])
+    # Mirror of the worker's add_metadata call (reference
+    # decoding.py:548): the saved artifact carries the experiment
+    # flags + I/O shapes, which the reference's Decoder serving stack
+    # requires (reference infer_decoder.py:278-287).
+    model.add_metadata(dataclasses.asdict(my_flags),
+                       dataset=data.spec_dataset())
     if my_flags.saved_model_dir:
         model.save(my_flags.saved_model_dir)
         first_decoder.save_parameters(
@@ -462,6 +468,40 @@ def write_two_speaker_corpus(directory: str, *, n_train: int = 3000,
         os.path.join(directory, 'heldout.tfrecords'))
 
 
+def _reference_infer_sweep(workdir: str, model_dir: str, corpus: str,
+                           reduction: str,
+                           decoder_type: str) -> Dict:
+    """Runs the reference's infer.run_reduction_test (window-size
+    sweep, reference infer.py:327-464) in the TF subprocess against
+    ``model_dir`` and returns its parsed window-accuracy dict."""
+    os.makedirs(workdir, exist_ok=True)
+    config = {
+        'reference_path': REFERENCE_PATH,
+        'mode': 'infer',
+        'model_dir': model_dir,
+        'tf_dir': corpus,
+        'train_files': 'trainset',
+        'test_files': 'heldout',
+        'reduction': reduction,
+        'decoder_type': decoder_type,
+        'audio_label_1': 'loudness',
+        'audio_label_2': 'loudness2',
+        'out_json': os.path.join(workdir, 'worker_out.json'),
+    }
+    config_path = os.path.join(workdir, 'worker_config.json')
+    with open(config_path, 'w') as f:
+        json.dump(config, f)
+    proc = subprocess.run([sys.executable, _WORKER, config_path],
+                          env=_worker_env(), capture_output=True,
+                          text=True, timeout=900)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            'Reference infer worker failed (rc=%d).\nstderr:\n%s' %
+            (proc.returncode, proc.stderr[-4000:]))
+    with open(config['out_json']) as f:
+        return json.load(f)
+
+
 def run_infer_ab(tmpdir: str, *, reduction: str = 'first',
                  decoder_type: str = 'wta',
                  accuracy_tol: float = 0.06) -> Tuple[List[Delta],
@@ -501,32 +541,8 @@ def run_infer_ab(tmpdir: str, *, reduction: str = 'first',
     model_dir = ref_train['saved_model_dir']
 
     workdir = os.path.join(tmpdir, 'infer_ref')
-    os.makedirs(workdir, exist_ok=True)
-    config = {
-        'reference_path': REFERENCE_PATH,
-        'mode': 'infer',
-        'model_dir': model_dir,
-        'tf_dir': corpus,
-        'train_files': 'trainset',
-        'test_files': 'heldout',
-        'reduction': reduction,
-        'decoder_type': decoder_type,
-        'audio_label_1': 'loudness',
-        'audio_label_2': 'loudness2',
-        'out_json': os.path.join(workdir, 'worker_out.json'),
-    }
-    config_path = os.path.join(workdir, 'worker_config.json')
-    with open(config_path, 'w') as f:
-        json.dump(config, f)
-    proc = subprocess.run([sys.executable, _WORKER, config_path],
-                          env=_worker_env(), capture_output=True,
-                          text=True, timeout=900)
-    if proc.returncode != 0:
-        raise RuntimeError(
-            'Reference infer worker failed (rc=%d).\nstderr:\n%s' %
-            (proc.returncode, proc.stderr[-4000:]))
-    with open(config['out_json']) as f:
-        ref = json.load(f)
+    ref = _reference_infer_sweep(workdir, model_dir, corpus,
+                                 reduction, decoder_type)
 
     from telluride_decoding_tpu.cli import infer as our_infer
     ours = our_infer.run_reduction_test(
@@ -543,6 +559,73 @@ def run_infer_ab(tmpdir: str, *, reduction: str = 'first',
                           accuracy_tol, 'abs',
                           'window-sweep attention accuracy, same '
                           'reference-trained model + bytes'))
+    return rows, ref, tdt
+
+
+def run_infer_reverse_ab(tmpdir: str, *, reduction: str = 'first',
+                         decoder_type: str = 'wta',
+                         accuracy_tol: float = 0.06
+                         ) -> Tuple[List[Delta], Dict, Dict]:
+    """REVERSE interchange A/B: a model trained by THIS framework,
+    exported as a full SavedModel directory (io/saved_model_pb.py,
+    no TensorFlow involved in the write), drives the REFERENCE's
+    entire streaming-inference harness (infer.run_reduction_test,
+    reference infer.py:327-464) end to end — while this framework
+    runs its own harness on the native artifact. Window accuracies
+    from the two stacks, each consuming its own on-disk format of the
+    SAME trained weights + LDA decoder parameters, must agree.
+
+    Together with run_infer_ab (reference-trained model through OUR
+    reader) this closes the interchange loop in both directions at
+    the full-driver level."""
+    corpus = os.path.join(tmpdir, 'two_speaker_corpus')
+    if not os.path.isdir(corpus):
+        write_two_speaker_corpus(corpus)
+    work = os.path.join(tmpdir, 'infer_reverse')
+    flags = {
+        'data': 'tfrecords',
+        'tfexample_dir': corpus,
+        'train_file_pattern': 'trainset',
+        'test_file_pattern': 'heldout',
+        'validate_file_pattern': 'heldout',
+        'input_field': 'eeg',
+        'output_field': 'loudness',
+        'attended_field': 'attend',
+        'dnn_regressor': 'linear',
+        'regularization_lambda': 1e-4,
+        'shuffle_buffer_size': 0,
+        'epoch_count': 5,
+        # The reference's create_decoder sniffs the model family from
+        # the directory path (reference infer_decoder.py:635-666).
+        'saved_model_dir': os.path.join(work, 'native', 'linear_model'),
+    }
+    tdt_train = run_rebuild(flags, os.path.join(work, 'tdt'),
+                            dump_npz=False, save_model=True)
+    native_dir = tdt_train['saved_model_dir']
+
+    exported = os.path.join(work, 'exported', 'linear_model')
+    from telluride_decoding_tpu.cli import export_keras
+    export_keras.export(native_dir, exported, saved_model=True)
+
+    ref = _reference_infer_sweep(os.path.join(work, 'ref'), exported,
+                                 corpus, reduction, decoder_type)
+
+    from telluride_decoding_tpu.cli import infer as our_infer
+    ours = our_infer.run_reduction_test(
+        native_dir, corpus, 'trainset', 'heldout', reduction,
+        decoder_type, 'loudness', 'loudness2')
+    tdt = {'window_accuracy': {str(k): float(v)
+                               for k, v in ours.items()}}
+
+    rows = []
+    for window in sorted(ref['window_accuracy'], key=int):
+        rv = ref['window_accuracy'][window]
+        tv = tdt['window_accuracy'].get(window, float('nan'))
+        rows.append(Delta('rev_infer/accuracy_w%s' % window, rv, tv,
+                          accuracy_tol, 'abs',
+                          'reference harness on OUR exported '
+                          'SavedModel vs our harness on the native '
+                          'artifact'))
     return rows, ref, tdt
 
 
@@ -726,6 +809,9 @@ def main(argv: Sequence[str] = ()) -> int:
                                   decoder_type=decoder_type)
         all_rows['infer_%s' % decoder_type] = rows
         failures += sum(1 for d in rows if not d.ok)
+    rows, _, _ = run_infer_reverse_ab(workdir)
+    all_rows['infer_reverse'] = rows
+    failures += sum(1 for d in rows if not d.ok)
     rows, _, _ = run_regression_ab(workdir)
     all_rows['regression'] = rows
     failures += sum(1 for d in rows if not d.ok)
