@@ -59,6 +59,24 @@ def define_flags():
     flags.DEFINE_bool('subject_parallel', True,
                       'Shard the subject axis over the device mesh '
                       '(falls back to serial on one device).')
+    flags.DEFINE_integer('num_partitions', 0,
+                         'Split the cohort over this many independent '
+                         'processes (multi-host scaling; 0 = off). '
+                         'Each process runs the subjects whose sorted '
+                         'rank %% num_partitions == partition_index '
+                         'and the partitions join exactly via part '
+                         'files (or one DCN collective under '
+                         'jax.distributed).')
+    flags.DEFINE_integer('partition_index', -1,
+                         'This process\'s shard (0-based). Defaults '
+                         'to jax.process_index() when a '
+                         'jax.distributed group is initialized.')
+    flags.DEFINE_string('partition_dir', None,
+                        'Shared directory for partition part files '
+                        '(defaults to the cohort_csv_file directory).')
+    flags.DEFINE_float('partition_wait_s', 1200.0,
+                       'How long partition 0 waits for the other '
+                       'partitions\' part files before failing.')
 
 
 def discover_subjects(cohort_dir: Optional[str],
@@ -168,6 +186,76 @@ def run_cohort_sweep(my_flags, subjects: Dict[str, str],
     return results, (mean, std)
 
 
+def run_partitioned_cohort(my_flags, subjects: Dict[str, str],
+                           regularization_list,
+                           partition_index: int, num_partitions: int,
+                           partition_dir: str,
+                           subject_parallel: bool = True,
+                           cohort_csv_file: Optional[str] = None,
+                           cohort_plot_file: Optional[str] = None,
+                           results_csv_file: Optional[str] = None,
+                           partition_wait_s: float = 1200.0):
+    """One partition's share of a multi-process cohort sweep.
+
+    Runs this partition's subjects (round-robin by sorted name, so
+    every process derives the same assignment with no coordination),
+    publishes the partition's per-lambda sufficient statistics, and —
+    on partition 0 — joins all partitions into the exact cohort
+    summary (mean/std identical to the single-process sweep up to
+    float64 addition order). The join uses one DCN collective when a
+    jax.distributed group is active, else atomic part files in
+    ``partition_dir`` (the reference's own join-by-files operational
+    model, doc/DecodingCodelab.md:432-503). Returns
+    ({local subject: SweepResult}, (mean, std) or None on non-joining
+    workers).
+    """
+    import jax
+    from telluride_decoding_tpu.parallel import multihost
+    mine = multihost.partition_subjects(subjects, partition_index,
+                                        num_partitions)
+    if mine:
+        results, _ = run_cohort_sweep(
+            my_flags, mine, regularization_list,
+            subject_parallel=subject_parallel,
+            results_csv_file=results_csv_file)
+    else:
+        # Over-partitioned cohort: this shard holds no subjects but
+        # still participates in the join with exact-zero statistics.
+        results = {}
+    use_dcn = jax.process_count() > 1
+    if use_dcn:
+        mean, std = multihost.allgather_summary(regularization_list,
+                                                results)
+        summary = ((mean, std) if partition_index == 0 else None)
+    else:
+        multihost.write_part(partition_dir, partition_index,
+                             regularization_list, results)
+        summary = None
+        if partition_index == 0:
+            mean, std, joined = multihost.join_parts(
+                partition_dir, num_partitions,
+                lambdas=regularization_list,
+                timeout_s=partition_wait_s)
+            logging.info('joined %d partitions covering subjects: %s',
+                         num_partitions, ', '.join(joined))
+            summary = (mean, std)
+    if summary is not None:
+        mean, std = summary
+        if cohort_csv_file:
+            write_cohort_csv(
+                cohort_csv_file,
+                np.asarray(regularization_list, np.float64), mean, std)
+        if cohort_plot_file:
+            from telluride_decoding_tpu.utils import plot_util
+            os.makedirs(os.path.dirname(cohort_plot_file) or '.',
+                        exist_ok=True)
+            plot_util.plot_mean_std(
+                'cohort (%d partitions)' % num_partitions,
+                np.asarray(regularization_list, np.float64), mean, std,
+                png_file_name=cohort_plot_file)
+    return results, summary
+
+
 def main(argv):
     if len(argv) > 1:
         logging.warning('WARNING: Non-flag arguments: %s', argv)
@@ -184,15 +272,50 @@ def main(argv):
     subjects = discover_subjects(FLAGS.cohort_dir, FLAGS.subject_dir)
     regularization_list = regression.parse_regularization_values(
         FLAGS.regularization_list)
-    results, (mean, std) = run_cohort_sweep(
-        my_flags, subjects, regularization_list,
-        subject_parallel=FLAGS.subject_parallel,
-        cohort_csv_file=FLAGS.cohort_csv_file,
-        cohort_plot_file=FLAGS.cohort_plot_file,
-        results_csv_file=FLAGS.results_csv_file)
+    from telluride_decoding_tpu.parallel import multihost
+    multihost.initialize()   # env-driven (TDT_COORDINATOR); no-op else.
+    import jax
+    num_partitions = FLAGS.num_partitions
+    partition_index = FLAGS.partition_index
+    if num_partitions <= 0 and jax.process_count() > 1:
+        num_partitions = jax.process_count()
+    if num_partitions > 1:
+        if partition_index < 0:
+            if jax.process_count() > 1:
+                partition_index = jax.process_index()
+            else:
+                raise ValueError(
+                    '--num_partitions needs --partition_index (or a '
+                    'jax.distributed group to derive it from).')
+        partition_dir = FLAGS.partition_dir or os.path.dirname(
+            FLAGS.cohort_csv_file or '') or '.'
+        results, summary = run_partitioned_cohort(
+            my_flags, subjects, regularization_list,
+            partition_index=partition_index,
+            num_partitions=num_partitions,
+            partition_dir=partition_dir,
+            subject_parallel=FLAGS.subject_parallel,
+            cohort_csv_file=FLAGS.cohort_csv_file,
+            cohort_plot_file=FLAGS.cohort_plot_file,
+            results_csv_file=FLAGS.results_csv_file,
+            partition_wait_s=FLAGS.partition_wait_s)
+        if summary is None:
+            print('Partition %d/%d done: %d subjects swept.'
+                  % (partition_index, num_partitions, len(results)))
+            return
+        mean, std = summary
+        num_named = '%d partitions' % num_partitions
+    else:
+        results, (mean, std) = run_cohort_sweep(
+            my_flags, subjects, regularization_list,
+            subject_parallel=FLAGS.subject_parallel,
+            cohort_csv_file=FLAGS.cohort_csv_file,
+            cohort_plot_file=FLAGS.cohort_plot_file,
+            results_csv_file=FLAGS.results_csv_file)
+        num_named = '%d subjects' % len(results)
     best = int(np.argmax(mean))
-    print('Cohort sweep over %d subjects, %d lambdas:' %
-          (len(results), len(mean)))
+    print('Cohort sweep over %s, %d lambdas:' %
+          (num_named, len(mean)))
     for lamb, m, s in zip(regularization_list, mean, std):
         marker = '  <-- best' if float(
             np.asarray(regularization_list)[best]) == float(lamb) else ''

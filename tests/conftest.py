@@ -61,6 +61,29 @@ def cpu_subprocess_env():
     return env
 
 
+def write_cohort_tree(tmp_path, rng, num_subjects=3, trials=3, n=400,
+                      channels=4):
+    """A tiny multi-subject cohort of TFRecord dirs with a planted
+    lag-stacked linear model (post_context=4) — shared by the cohort
+    and multihost driver tests."""
+    from telluride_decoding_tpu.data import records
+    from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+    root = tmp_path / 'cohort'
+    w = rng.randn(channels * 5, 1).astype(np.float32)
+    for s in range(num_subjects):
+        d = root / ('subject%02d' % s)
+        d.mkdir(parents=True)
+        for t in range(trials):
+            frames = n + 13 * t + 7 * s   # Ragged.
+            eeg = rng.randn(frames, channels).astype(np.float32)
+            intensity = (lag_stack_np(eeg, 0, 4) @ w +
+                         0.05 * rng.randn(frames, 1).astype(np.float32))
+            records.convert_data_to_tfrecords(
+                {'eeg': eeg, 'intensity': intensity.astype(np.float32)},
+                str(d / ('trial%02d.tfrecords' % t)))
+    return str(root)
+
+
 def build_impaired_tree(rng, root, frames=200, channels=4,
                         num_trials=48, num_dual=32):
     """One subject's BIDS-like tree in the jens_impaired dataset layout

@@ -12,24 +12,7 @@ import pytest
 
 from telluride_decoding_tpu.data import records
 
-
-def _write_cohort(tmp_path, rng, num_subjects=3, trials=3, n=400,
-                  channels=4):
-    root = tmp_path / 'cohort'
-    w = rng.randn(channels * 5, 1).astype(np.float32)  # post_context=4.
-    for s in range(num_subjects):
-        d = root / ('subject%02d' % s)
-        d.mkdir(parents=True)
-        for t in range(trials):
-            frames = n + 13 * t + 7 * s   # Ragged.
-            eeg = rng.randn(frames, channels).astype(np.float32)
-            from telluride_decoding_tpu.ops.lagstack import lag_stack_np
-            intensity = (lag_stack_np(eeg, 0, 4) @ w +
-                         0.05 * rng.randn(frames, 1).astype(np.float32))
-            records.convert_data_to_tfrecords(
-                {'eeg': eeg, 'intensity': intensity.astype(np.float32)},
-                str(d / ('trial%02d.tfrecords' % t)))
-    return str(root)
+from conftest import write_cohort_tree as _write_cohort
 
 
 class TestCohortDriver:
