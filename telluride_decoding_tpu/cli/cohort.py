@@ -211,6 +211,15 @@ def run_partitioned_cohort(my_flags, subjects: Dict[str, str],
     """
     import jax
     from telluride_decoding_tpu.parallel import multihost
+    if 1 < jax.process_count() != num_partitions:
+        # The collective join reduces over the PROCESS group; a
+        # different partition count would leave subject shards nobody
+        # computes (or double-counts) while the allgather still
+        # "succeeds".
+        raise ValueError(
+            'num_partitions=%d but the jax.distributed group has %d '
+            'processes; they must match.'
+            % (num_partitions, jax.process_count()))
     mine = multihost.partition_subjects(subjects, partition_index,
                                         num_partitions)
     if mine:
@@ -232,10 +241,15 @@ def run_partitioned_cohort(my_flags, subjects: Dict[str, str],
                              regularization_list, results)
         summary = None
         if partition_index == 0:
+            expected = {
+                i: sorted(multihost.partition_subjects(
+                    subjects, i, num_partitions))
+                for i in range(num_partitions)}
             mean, std, joined = multihost.join_parts(
                 partition_dir, num_partitions,
                 lambdas=regularization_list,
-                timeout_s=partition_wait_s)
+                timeout_s=partition_wait_s,
+                expected_shards=expected)
             logging.info('joined %d partitions covering subjects: %s',
                          num_partitions, ', '.join(joined))
             summary = (mean, std)

@@ -474,8 +474,14 @@ class _SgdModel(BrainModel):
         # one file on the host, one minibatch on device) instead of
         # failing opaquely in the allocator.
         total_bytes = in1.nbytes + in2.nbytes + out.nbytes
-        if total_bytes > int(float(os.environ.get(
-                'TDT_STREAMING_AUTO_BYTES', 1 << 30))):
+        try:
+            # float() first so '1e9'-style values parse; same contract
+            # as cli/decoding.py (0 disables the threshold).
+            warn_bytes = int(float(os.environ.get(
+                'TDT_STREAMING_AUTO_BYTES', 1 << 30)))
+        except ValueError:
+            warn_bytes = 1 << 30
+        if warn_bytes > 0 and total_bytes > warn_bytes:
             import warnings
             warnings.warn(
                 'SGD fit materializes %.1f GB of (lag-stacked) '
@@ -631,6 +637,12 @@ class _SgdModel(BrainModel):
                         jnp.asarray(parts[0][sl]),
                         jnp.asarray(parts[1][sl]),
                         jnp.asarray(parts[2][sl]), key)
+                    # Track live buffers every step: the donated step
+                    # just invalidated the previous params, so a
+                    # mid-fit exception (e.g. an unreadable later
+                    # file) must not leave self.params pointing at
+                    # deleted arrays.
+                    self.params = params
                     losses.append(loss)
                 carry = (tuple(p[usable:] for p in parts)
                          if usable < n else None)
@@ -642,6 +654,7 @@ class _SgdModel(BrainModel):
                 params, opt_state, loss = step(
                     params, opt_state, jnp.asarray(carry[0]),
                     jnp.asarray(carry[1]), jnp.asarray(carry[2]), key)
+                self.params = params
                 losses.append(loss)
             history.append(float(np.mean(np.asarray(
                 [jax.device_get(l) for l in losses]))))
@@ -842,11 +855,10 @@ class BrainModelDNN(_SgdModel):
             acc_s = acc_ss = None
             count = 0.0
             for _, (in1, _, _, _) in brain_data.iter_file_arrays(mode):
-                n = in1.shape[0]
-                padded = -(-n // frame_bucket) * frame_bucket
-                xp = np.zeros((padded, in1.shape[1]), np.float32)
-                xp[:n] = in1
-                valid = (np.arange(padded) < n).astype(np.float32)
+                from telluride_decoding_tpu.ops.covariance import (
+                    pad_to_bucket)
+                (xp,), valid = pad_to_bucket([in1], in1.shape[0],
+                                             frame_bucket)
                 s, ss, c = self._preact_sums_jit(
                     params, jnp.asarray(xp), jnp.asarray(valid), k)
                 acc_s = s if acc_s is None else acc_s + s

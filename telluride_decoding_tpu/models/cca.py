@@ -248,6 +248,7 @@ class BrainModelDCCA(_SgdModel):
         history = super().fit_streaming(brain_data, mode, epochs=epochs,
                                         batch_size=batch_size,
                                         seed=seed, **kwargs)
+        from telluride_decoding_tpu.ops import covariance
         from telluride_decoding_tpu.ops.covariance import (
             moments_from_arrays)
         if not hasattr(self, '_tower_moments_jit'):
@@ -264,12 +265,8 @@ class BrainModelDCCA(_SgdModel):
         total = None
         for _, (in1, in2, _, _) in brain_data.iter_file_arrays(mode):
             n = min(in1.shape[0], in2.shape[0])
-            padded = -(-n // bucket) * bucket
-            x1 = np.zeros((padded, in1.shape[1]), np.float32)
-            x1[:n] = in1[:n]
-            x2 = np.zeros((padded, in2.shape[1]), np.float32)
-            x2[:n] = in2[:n]
-            valid = (np.arange(padded) < n).astype(np.float32)
+            (x1, x2), valid = covariance.pad_to_bucket(
+                [in1, in2], n, bucket)
             stats = self._tower_moments_jit(
                 self.params, jnp.asarray(x1), jnp.asarray(x2),
                 jnp.asarray(valid))

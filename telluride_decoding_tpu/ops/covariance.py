@@ -13,10 +13,11 @@ data-parallel story for every deterministic solver in the framework.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class MomentStats(NamedTuple):
@@ -65,6 +66,29 @@ def zeros_moments(dx: int, dy: int, dtype=jnp.float32) -> MomentStats:
         syy=jnp.zeros((dy, dy), dtype),
         sxy=jnp.zeros((dx, dy), dtype),
     )
+
+
+def pad_to_bucket(arrays: Sequence[np.ndarray], n: int, bucket: int
+                  ) -> Tuple[list, np.ndarray]:
+    """Zero-pads host [N_i, D] arrays to the next ``bucket`` multiple
+    of rows and returns (padded_list, valid) with valid the [padded]
+    0/1 mask of the first ``n`` rows.
+
+    Bucketing quantizes lengths so similar-length files share ONE
+    compiled program (each distinct length would otherwise recompile —
+    seconds per shape over a remote-compile link); the mask keeps the
+    masked statistics exact. Shared by the streaming-fit paths (DCCA
+    tower moments, batchnorm population stats) and the sweep engine's
+    bounded-memory moments regime.
+    """
+    padded_n = -(-max(n, 1) // bucket) * bucket
+    out = []
+    for a in arrays:
+        p = np.zeros((padded_n, a.shape[1]), np.float32)
+        p[:n] = np.asarray(a[:n], np.float32)
+        out.append(p)
+    valid = (np.arange(padded_n) < n).astype(np.float32)
+    return out, valid
 
 
 def _chunk_moments(x: jax.Array, y: jax.Array,

@@ -128,6 +128,7 @@ def write_part(part_dir: str, index: int, lambdas: Sequence[float],
 def join_parts(part_dir: str, count: int,
                lambdas: Optional[Sequence[float]] = None,
                timeout_s: float = 1200.0, poll_s: float = 0.5,
+               expected_shards: Optional[dict] = None,
                ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     """Waits for all ``count`` part files and reduces them exactly.
 
@@ -136,6 +137,14 @@ def join_parts(part_dir: str, count: int,
     naming the missing partitions, and ValueError on a lambda-grid
     mismatch between parts (two partitions swept different grids —
     joining them would average incomparable rows).
+
+    ``expected_shards`` ({index: sorted subject names}) guards against
+    STALE parts in a reused directory: a leftover part file from an
+    earlier run over a different cohort or partitioning fails loudly
+    instead of silently joining into the summary. (A stale part from
+    an identical cohort/grid run is indistinguishable by content —
+    call clean_parts before reusing a directory when the underlying
+    data may have changed.)
     """
     deadline = time.monotonic() + timeout_s
     want = {part_path(part_dir, i) for i in range(count)}
@@ -162,6 +171,15 @@ def join_parts(part_dir: str, count: int,
             raise ValueError(
                 'part %d swept lambdas %s, expected %s'
                 % (i, payload['lambdas'], ref_lambdas))
+        if (expected_shards is not None
+                and sorted(payload['subjects'])
+                != sorted(expected_shards.get(i, []))):
+            raise ValueError(
+                'part %d covers subjects %s but this run assigned %s '
+                'to it — stale part file from an earlier run? '
+                '(clean_parts(%r) removes leftovers)'
+                % (i, payload['subjects'],
+                   sorted(expected_shards.get(i, [])), part_dir))
         stats = np.stack([np.asarray(payload[k], np.float64)
                           for k in ('n', 'sum', 'sumsq')])
         total = stats if total is None else total + stats
@@ -218,11 +236,17 @@ def allgather_summary(lambdas: Sequence[float], results
     cohort_summary."""
     from jax.experimental import multihost_utils
     if results:
-        stats = summary_stats(results).astype(np.float32)
+        stats = summary_stats(results)
     else:
-        stats = np.zeros((3, len(lambdas)), np.float32)
-    gathered = np.asarray(multihost_utils.process_allgather(stats),
-                          np.float64)
+        stats = np.zeros((3, len(lambdas)))
+    # The float64 statistics ride the collective as raw uint32 pairs:
+    # without jax_enable_x64 a float64 array would be silently
+    # truncated to float32, making the DCN join lose precision the
+    # filesystem join (JSON, float64) keeps. Same-endianness hosts
+    # assumed (a pod, not a heterogeneous cluster).
+    bits = np.ascontiguousarray(stats).view(np.uint32)
+    gathered = np.asarray(multihost_utils.process_allgather(bits))
     if gathered.ndim == 2:        # Single-process group.
         gathered = gathered[None]
-    return reduce_stats(np.sum(gathered, axis=0))
+    stats_all = np.ascontiguousarray(gathered).view(np.float64)
+    return reduce_stats(np.sum(stats_all, axis=0))

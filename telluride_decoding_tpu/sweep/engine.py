@@ -85,6 +85,12 @@ def pad_and_stack(arrays: Sequence[np.ndarray],
     for i, a in enumerate(arrays):
         mask[i, :a.shape[0]] = 1.0
     if all_on_device:
+        # Per-file pads compile ONE tiny program per distinct
+        # (length, max_n) pair and the stack's shape is length-
+        # independent — the smallest compile-key surface for ragged
+        # file sets. (Uniform-length sets never reach here from
+        # per_file_stats: _uniform_file_moments fuses stack+moments
+        # into one dispatch with no padding at all.)
         stacked = jnp.stack(
             [jnp.pad(a.astype(jnp.float32),
                      ((0, max_n - a.shape[0]), (0, 0)))
@@ -95,6 +101,25 @@ def pad_and_stack(arrays: Sequence[np.ndarray],
     for i, a in enumerate(arrays):
         stacked[i, :a.shape[0]] = np.asarray(a)
     return jnp.asarray(stacked), jnp.asarray(mask)
+
+
+@functools.partial(jax.jit, static_argnames=('want_syy',))
+def _uniform_file_moments(xs, ys, want_syy: bool) -> MomentStats:
+    """Per-file MomentStats for files that all SHARE one length:
+    stack + moments fused into ONE program on the raw [F, N, D] stack,
+    no padding or masks (zero-pad rows contribute zero sums anyway,
+    and the count is the static N). The output stats shapes are
+    length-INDEPENDENT, so every downstream sweep program stays
+    shape-stable across a ragged cohort even though this program keys
+    on (F, N, D). One dispatch and one compile key per distinct
+    cohort shape — the per-file pad+stack staging it replaces issued
+    2F+1 dispatches, which dominated the whole moments phase over a
+    high-latency dispatch link (measured ~1 s of a 1.7 s cohort
+    subject on the remote-TPU tunnel)."""
+    x = jnp.stack([jnp.asarray(a, jnp.float32) for a in xs])
+    y = jnp.stack([jnp.asarray(a, jnp.float32) for a in ys])
+    return jax.vmap(lambda xi, yi: moments_from_arrays(
+        xi, yi, want_syy=want_syy))(x, y)
 
 
 @functools.partial(jax.jit, static_argnames=('want_syy',))
@@ -151,14 +176,26 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
     est = num_real * max_n * width * 4
 
     if est <= batch_bytes:
-        # pad_frames_to keeps the transient stack's shape CONSTANT
-        # across a ragged cohort, so _stacked_moments compiles once
-        # (each distinct length would otherwise recompile — seconds
-        # per shape through a remote-compile link).
-        xs, masks = pad_and_stack(per_file_x, pad_frames_to)
-        ys, _ = pad_and_stack(per_file_y, pad_frames_to)
-        stats = _stacked_moments(xs, ys, masks, want_syy=want_syy)
-        del xs, ys, masks   # Transient: freed before the sweep runs.
+        x_lens = {x.shape[0] for x in per_file_x}
+        y_lens = {y.shape[0] for y in per_file_y}
+        if len(x_lens) == 1 and x_lens == y_lens:
+            # Uniform file lengths (fixed-duration trials — the
+            # common cohort layout): one fused stack+moments dispatch,
+            # no padding. Stats shapes are length-independent, so the
+            # sweep programs compile once regardless.
+            stats = _uniform_file_moments(tuple(per_file_x),
+                                          tuple(per_file_y),
+                                          want_syy=want_syy)
+        else:
+            # Ragged lengths: pad to a shared transient stack so the
+            # masked moments program compiles once (pad_frames_to
+            # keeps its shape constant across a ragged cohort; each
+            # distinct length would otherwise recompile — seconds per
+            # shape through a remote-compile link).
+            xs, masks = pad_and_stack(per_file_x, pad_frames_to)
+            ys, _ = pad_and_stack(per_file_y, pad_frames_to)
+            stats = _stacked_moments(xs, ys, masks, want_syy=want_syy)
+            del xs, ys, masks   # Transient: freed before the sweep.
         if pad_files_to and pad_files_to > num_real:
             pad = pad_files_to - num_real
             stats = jax.tree.map(
@@ -177,10 +214,9 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
             yp = jnp.pad(jnp.asarray(y, jnp.float32),
                          ((0, padded - y.shape[0]), (0, 0)))
         else:
-            xp = np.zeros((padded, x.shape[1]), np.float32)
-            xp[:n] = x
-            yp = np.zeros((padded, y.shape[1]), np.float32)
-            yp[:y.shape[0]] = np.asarray(y)
+            from telluride_decoding_tpu.ops.covariance import (
+                pad_to_bucket)
+            (xp, yp), _ = pad_to_bucket([x, y], n, frame_bucket)
         valid = _bucket_valid(n, padded)
         stats_list.append(blocked_moments(
             jnp.asarray(xp), jnp.asarray(yp), want_syy=want_syy,
@@ -266,6 +302,15 @@ def _linear_r_from_stats(stats: MomentStats, w: jax.Array,
 
     Requires stats built with want_syy=True (uses syy[0, 0]). A
     zero-count dummy file comes out 0, matching the masked evaluator.
+
+    Numerical boundary (applies to _cca_r_from_stats too): variances
+    come from UNCENTERED float32 second moments (var = s2 - s^2/n), so
+    a signal with DC offset mu >> std sigma cancels ~(mu/sigma)^2
+    significant digits; accuracy degrades past mu/sigma ~ 100 and is
+    meaningless by ~3000 (float32 eps 1e-7). The ingest pipeline
+    z-scores globally (io/ingest.py BrainExperiment), so production
+    data is near zero-mean; pinned by
+    tests/test_sweep.py::test_moments_eval_tolerates_dc_offset.
     """
     w0 = w[:, 0]
     b0 = b[0]
@@ -435,10 +480,10 @@ def _ridge_sweep_program(stacked_stats: MomentStats, total: MomentStats,
             jnp.arange(num_files)), lambdas)
 
 
-@functools.partial(jax.jit, static_argnames=('dims',))
+@jax.jit
 def _cca_sweep_program_chol(stacked_stats: MomentStats,
                             total: MomentStats,
-                            lambdas: jax.Array, dims: int):
+                            lambdas: jax.Array):
     """CCA grid with Cholesky whitening — the default fast path.
 
     Canonical correlations are invariant to the whitening choice (any
@@ -496,9 +541,9 @@ def _cca_sweep_program_chol(stacked_stats: MomentStats,
     return _chunked_lam_map(eval_one, lambdas, num_files, chunk)
 
 
-@functools.partial(jax.jit, static_argnames=('dims',))
+@jax.jit
 def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
-                       lambdas: jax.Array, dims: int):
+                       lambdas: jax.Array):
     """CCA grid with eigendecomposition reuse across the lambda axis.
 
     (cov + lamb*I) shares eigenvectors with cov — only the eigenvalues
@@ -676,7 +721,15 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                         ) -> SweepResult:
     """Leave-one-file-out CCA sweep (correlation of first canonical
     pair on the held-out file) over a regularization grid.
-    pad_frames_to only shapes the transient moments stack."""
+    pad_frames_to only shapes the transient moments stack.
+
+    ``dims`` is accepted for API symmetry with the CCA model family
+    but does NOT affect the sweep: the metric is the FIRST canonical
+    pair, matching the reference jackknife's
+    cca_pearson_correlation_first (reference regression.py:463-482
+    presets select that metric regardless of cca_dimensions). It is
+    deliberately NOT threaded into the jitted programs, where a
+    static arg would recompile the identical program per value."""
     num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
     pad_files_to = _mesh_file_padding(num_real, pad_files_to, mesh)
@@ -687,24 +740,24 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     stacked = _shard_stats_over_mesh(stacked, mesh)
     total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
     corr = np.asarray(_cca_sweep_program_chol(
-        stacked, total, lambdas_arr, dims=dims))
+        stacked, total, lambdas_arr))
     if not np.isfinite(corr[:, :num_real]).all():
         # Cholesky failed (rank-deficient covariance with lamb == 0):
         # retry with the eigendecomposition program, which zeroes
         # degenerate directions instead.
         corr = np.asarray(_cca_sweep_program(
-            stacked, total, lambdas_arr, dims=dims))
+            stacked, total, lambdas_arr))
     return SweepResult(corr[:, :num_real],
                        np.asarray(lambdas),
                        file_names or ['file%d' % i
                                       for i in range(num_real)])
 
 
-@functools.partial(jax.jit, static_argnames=('mesh', 'model', 'dims',
+@functools.partial(jax.jit, static_argnames=('mesh', 'model',
                                              'use_ridge', 'force_eig'))
 def _subject_sweep_sharded(stats: MomentStats, lambdas: jax.Array,
                            mesh: 'jax.sharding.Mesh', model: str,
-                           dims: int, use_ridge: bool,
+                           use_ridge: bool,
                            force_eig: bool) -> jax.Array:
     """[S, L, F] correlations with the SUBJECT axis sharded over the
     mesh, from [S, F, ...] per-file MomentStats alone.
@@ -725,10 +778,8 @@ def _subject_sweep_sharded(stats: MomentStats, lambdas: jax.Array,
             total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
             if model == 'cca':
                 if force_eig:
-                    return _cca_sweep_program(stacked, total, lambdas,
-                                              dims=dims)
-                return _cca_sweep_program_chol(stacked, total, lambdas,
-                                               dims=dims)
+                    return _cca_sweep_program(stacked, total, lambdas)
+                return _cca_sweep_program_chol(stacked, total, lambdas)
             return _ridge_sweep_program(stacked, total, lambdas,
                                         use_ridge=use_ridge,
                                         force_eig=force_eig)
@@ -800,8 +851,7 @@ def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
         group = items[start:start + ndev]
         stats = subject_batch(group)
         corr = np.asarray(_subject_sweep_sharded(
-            stats, lambdas_arr, mesh, model, dims, use_ridge,
-            False))
+            stats, lambdas_arr, mesh, model, use_ridge, False))
         for i, (name, (xs_i, ys_i)) in enumerate(group):
             num_real = len(xs_i)
             sub_corr = corr[i, :num_l, :num_real]

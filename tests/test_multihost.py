@@ -96,6 +96,27 @@ class TestPartJoin:
         with pytest.raises(ValueError, match='swept lambdas'):
             multihost.join_parts(str(tmp_path), 2)
 
+    def test_stale_part_from_other_cohort_rejected(self, tmp_path, rng):
+        """A leftover part covering a DIFFERENT subject shard (reused
+        partition_dir) fails loudly instead of silently joining."""
+        results = _fake_results(rng, subjects=('sA', 'sB'))
+        lambdas = results['sA'].lambdas
+        multihost.write_part(str(tmp_path), 0, lambdas,
+                             {'sA': results['sA']})
+        # Stale worker part from an earlier, larger cohort.
+        multihost.write_part(str(tmp_path), 1, lambdas,
+                             {'sZ': results['sB']})
+        with pytest.raises(ValueError, match='stale part'):
+            multihost.join_parts(
+                str(tmp_path), 2,
+                expected_shards={0: ['sA'], 1: ['sB']})
+        # Matching shards join fine.
+        multihost.write_part(str(tmp_path), 1, lambdas,
+                             {'sB': results['sB']})
+        mean, _, joined = multihost.join_parts(
+            str(tmp_path), 2, expected_shards={0: ['sA'], 1: ['sB']})
+        assert joined == ['sA', 'sB']
+
     def test_clean_parts(self, tmp_path, rng):
         results = _fake_results(rng, subjects=('s00',))
         multihost.write_part(str(tmp_path), 0, results['s00'].lambdas,
@@ -243,9 +264,10 @@ class TestDistributedCollectiveJoin:
                                  for v in lines['MEAN'].split(',')])
             got_std = np.array([float(v)
                                 for v in lines['STD'].split(',')])
-            # float32 collective payload bounds the tolerance.
-            np.testing.assert_allclose(got_mean, want_mean, atol=1e-6)
-            np.testing.assert_allclose(got_std, want_std, atol=1e-6)
+            # Exact float64 join (payload rides as raw uint32 pairs);
+            # tolerance bounded only by the %.9f print format.
+            np.testing.assert_allclose(got_mean, want_mean, atol=2e-9)
+            np.testing.assert_allclose(got_std, want_std, atol=2e-9)
 
     def test_initialize_noop_without_env(self, monkeypatch):
         monkeypatch.delenv('TDT_COORDINATOR', raising=False)

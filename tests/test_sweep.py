@@ -196,6 +196,57 @@ class TestCcaSweep:
                     ysp[f], pred, masks[f]))
         np.testing.assert_allclose(ch, lu, atol=2e-3)
 
+    def test_uniform_fused_moments_match_masked_path(self, rng):
+        """per_file_stats routes uniform-length file sets through the
+        fused single-dispatch stack+moments program (no padding); its
+        stats must equal the ragged masked path element-for-element
+        (forced here by perturbing one file's length)."""
+        from telluride_decoding_tpu.sweep.engine import per_file_stats
+        uniform = [rng.randn(50, 4).astype(np.float32)
+                   for _ in range(3)]
+        ys = [x[:, :2] * 2.0 + 1.0 for x in uniform]
+        fused = per_file_stats(uniform, ys, want_syy=True)
+        # Same data through the masked path: pad_frames_to > N with a
+        # ragged length set is impossible with identical values, so
+        # instead compare against _stacked_moments directly.
+        import jax
+        import jax.numpy as jnp
+        from telluride_decoding_tpu.sweep.engine import (
+            _stacked_moments, pad_and_stack)
+        xsp, masks = pad_and_stack(uniform, pad_frames_to=64)
+        ysp, _ = pad_and_stack(ys, pad_frames_to=64)
+        masked = _stacked_moments(xsp, ysp, masks, want_syy=True)
+        for got, want in zip(jax.tree.leaves(fused),
+                             jax.tree.leaves(masked)):
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(want), atol=1e-4)
+        # A ragged set takes the masked path end-to-end and agrees on
+        # the shared prefix statistics.
+        ragged = uniform[:2] + [rng.randn(47, 4).astype(np.float32)]
+        ys_r = [x[:, :2] * 2.0 + 1.0 for x in ragged]
+        stats_r = per_file_stats(ragged, ys_r, want_syy=True)
+        np.testing.assert_allclose(np.asarray(stats_r.sxx[0]),
+                                   np.asarray(fused.sxx[0]), atol=1e-4)
+        assert float(stats_r.count[2]) == 47.0
+
+    def test_moments_eval_tolerates_dc_offset(self, rng):
+        """Moments-only Pearson uses uncentered float32 second moments;
+        the documented boundary is mu/sigma ~ 100. Pin that a planted
+        model is still recovered accurately with a DC offset of 100
+        standard deviations on BOTH x and y (beyond anything the
+        z-scoring ingest produces)."""
+        n, dx = 4000, 6
+        w = rng.randn(dx, 1).astype(np.float32)
+        xs, ys = [], []
+        for _ in range(3):
+            x = rng.randn(n, dx).astype(np.float32)
+            y = x @ w + 0.05 * rng.randn(n, 1).astype(np.float32)
+            xs.append(x + 100.0)               # mu/sigma = 100.
+            ys.append(y + 100.0 * float(np.std(y)))
+        res = ridge_jackknife_sweep(xs, ys, [1e-4, 1e-2])
+        assert np.isfinite(res.correlations).all()
+        assert np.all(res.correlations > 0.95), res.correlations
+
     def test_ridge_singular_lambda0_falls_back_to_eig(self, rng):
         """lamb=0 on an exactly singular covariance has no unique
         solution (Cholesky and LU both NaN); the sweep retries with the
@@ -231,10 +282,9 @@ class TestCcaSweep:
         stacked = _stacked_moments(xsp, ysp, masks, want_syy=True)
         total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
         lambdas = jnp.asarray([1e-3, 0.1, 10.0], jnp.float32)
-        eig = np.asarray(_cca_sweep_program(stacked, total, lambdas,
-                                            dims=2))
+        eig = np.asarray(_cca_sweep_program(stacked, total, lambdas))
         chol = np.asarray(_cca_sweep_program_chol(
-            stacked, total, lambdas, dims=2))
+            stacked, total, lambdas))
         np.testing.assert_allclose(chol, eig, atol=2e-3)
 
     def test_chol_nan_falls_back_to_eig(self, rng):

@@ -109,11 +109,20 @@ def main(config_path: str) -> None:
         # shuffles, reference brain_data.py:358-359) — a deterministic
         # probe batch for cross-framework prediction parity.
         probe = test_brain_data.create_dataset('program_test')
+        x1 = None
         for inputs, y in probe.take(1):
             x1 = inputs['input_1'].numpy()
             x2 = inputs['input_2'].numpy()
             att = inputs['attended_speaker'].numpy()
             y = y.numpy()
+        if x1 is None:
+            # drop_remainder yields ZERO batches when the test split
+            # is shorter than batch_size — name the cause instead of
+            # dying with a NameError below.
+            raise ValueError(
+                'probe dump: the drop-remainder test split produced '
+                'no batches (test split shorter than batch_size=%d?)'
+                % my_flags.batch_size)
         pred = test_model.predict(
             {'input_1': x1, 'input_2': x2, 'attended_speaker': att},
             verbose=0)
