@@ -113,17 +113,26 @@ def load_cohort(subjects: Dict[str, str], my_flags
     """
     import dataclasses
     cohort = {}
+    context = None
+    use_raw = regression.device_context_enabled()
     for name, data_dir in subjects.items():
         sub_flags = dataclasses.replace(my_flags,
                                         tfexample_dir=data_dir)
         bd = regression.get_brain_data_object(sub_flags)
         files = sorted(bd.all_files())
         helper = regression.Regression(sub_flags)
-        xs, ys = helper._per_file_arrays(bd, files)
+        if use_raw:
+            # Raw streams; the engine lag-stacks on device (fused into
+            # the moments pass), so the cohort's host residency and
+            # upload stay at raw-channel width. The spec depends only
+            # on flags, so it is identical across subjects.
+            xs, ys, context = helper._per_file_raw(bd, files)
+        else:
+            xs, ys = helper._per_file_arrays(bd, files)
         cohort[name] = (xs, ys)
         logging.info('subject %s: %d trials from %s', name, len(files),
                      data_dir)
-    return cohort
+    return cohort, context
 
 
 def write_cohort_csv(path: str, lambdas, mean, std):
@@ -154,13 +163,13 @@ def run_cohort_sweep(my_flags, subjects: Dict[str, str],
             "(linear, linear_with_bias, cca), not %r. Run "
             'tdt-regression per subject for SGD models.'
             % my_flags.dnn_regressor)
-    cohort = load_cohort(subjects, my_flags)
+    cohort, context = load_cohort(subjects, my_flags)
     mesh = engine.default_mesh('subject')
     model = ('cca' if my_flags.dnn_regressor == 'cca' else 'ridge')
     results = engine.multi_subject_sweep(
         cohort, regularization_list, model=model,
         dims=my_flags.cca_dimensions, mesh=mesh,
-        subject_parallel=subject_parallel)
+        subject_parallel=subject_parallel, context=context)
     mean, std = engine.cohort_summary(results)
     if results_csv_file:
         # Per-subject rows in the reference csv_util layout

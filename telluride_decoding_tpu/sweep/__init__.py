@@ -1,6 +1,7 @@
 """Mesh-parallel parameter sweeps (lambda grids, jackknife)."""
 
 from telluride_decoding_tpu.sweep.engine import (
+    ContextSpec,
     SweepResult,
     cca_jackknife_sweep,
     cohort_summary,

@@ -36,6 +36,7 @@ import numpy as np
 from telluride_decoding_tpu.ops.covariance import (MomentStats,
                                                    blocked_moments,
                                                    moments_from_arrays)
+from telluride_decoding_tpu.ops.lagstack import lag_stack, lag_stack_np
 from telluride_decoding_tpu.solvers.ridge import solve_ridge_from_moments
 
 
@@ -45,6 +46,34 @@ def _ensure_2d(a):
         return a
     return a[:, None] if isinstance(a, jax.Array) else \
         np.asarray(a)[:, None]
+
+
+class ContextSpec(NamedTuple):
+    """Lag-window context applied ON DEVICE inside the moments pass.
+
+    With a context spec, sweep entry points take RAW (un-stacked)
+    per-file streams and fuse the lag expansion into the moments
+    program — only the raw channels cross the host->device link, a
+    (pre+1+post)x transfer and host-memory saving (37x for the
+    codelab's 2553-wide stacks). Semantics are identical to host-side
+    ``lag_stack_np`` + truncation (reference brain_data.py:425-483
+    windowing): the caller supplies each file's raw x with exactly
+    ``n_i + x_post`` rows (zero-padded up if the source stream ends at
+    the zip-truncation point ``n_i``) and raw y with ``n_i + y_post``
+    rows, where ``n_i`` is the file's common (zip-truncated) frame
+    count. cli.regression.Regression._per_file_raw produces exactly
+    this layout.
+    """
+
+    x_pre: int = 0
+    x_post: int = 0
+    y_pre: int = 0
+    y_post: int = 0
+
+    def stacked_widths(self, dx_raw: int, dy_raw: int
+                       ) -> Tuple[int, int]:
+        return (dx_raw * (self.x_pre + 1 + self.x_post),
+                dy_raw * (self.y_pre + 1 + self.y_post))
 
 
 class SweepResult(NamedTuple):
@@ -122,6 +151,36 @@ def _uniform_file_moments(xs, ys, want_syy: bool) -> MomentStats:
         xi, yi, want_syy=want_syy))(x, y)
 
 
+@functools.partial(jax.jit, static_argnames=('want_syy', 'ctx'))
+def _stacked_moments_ctx(xs: jax.Array, ys: jax.Array,
+                         n_valid: jax.Array, want_syy: bool,
+                         ctx: ContextSpec) -> MomentStats:
+    """Per-file MomentStats with the lag expansion fused on device.
+
+    xs: [F, N + x_post, dx_raw] RAW frames (zero rows beyond each
+    file's true data); ys: [F, N + y_post, dy_raw]; n_valid: [F] true
+    frame counts. Each file is lag-stacked on device (zero-padded
+    edges, identical to lag_stack_np) and truncated to the common
+    frame axis; rows >= n_i are masked out, which is exact because
+    multiplying by a 0/1 mask zeroes their contribution to every sum.
+    The stacked [N, D*(pre+1+post)] matrix exists only as a transient
+    inside this program — it never crosses the link or touches host
+    memory.
+    """
+    n_frames = xs.shape[1] - ctx.x_post
+
+    def one(x, y, n):
+        xc = lag_stack(x, ctx.x_pre, ctx.x_post)[:n_frames]
+        if ctx.y_pre or ctx.y_post:
+            yc = lag_stack(y, ctx.y_pre, ctx.y_post)[:n_frames]
+        else:
+            yc = y[:n_frames]
+        m = (jnp.arange(n_frames) < n).astype(xc.dtype)[:, None]
+        stats = moments_from_arrays(xc * m, yc * m, want_syy=want_syy)
+        return stats._replace(count=jnp.asarray(n, stats.count.dtype))
+    return jax.vmap(one)(xs, ys, n_valid)
+
+
 @functools.partial(jax.jit, static_argnames=('want_syy',))
 def _stacked_moments(xs: jax.Array, ys: jax.Array, masks: jax.Array,
                      want_syy: bool) -> MomentStats:
@@ -136,13 +195,40 @@ def _stacked_moments(xs: jax.Array, ys: jax.Array, masks: jax.Array,
     return jax.vmap(one)(xs, ys, masks)
 
 
+def _pad_stats_files(stats: MomentStats, pad_files_to: Optional[int],
+                     num_real: int) -> MomentStats:
+    """Appends zero-statistics dummy files up to pad_files_to (exact:
+    they contribute nothing to leave-one-out totals)."""
+    if pad_files_to and pad_files_to > num_real:
+        pad = pad_files_to - num_real
+        stats = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]),
+            stats)
+    return stats
+
+
+def _host_stack_context(per_file_x, per_file_y, ctx: ContextSpec):
+    """Host-side fallback of the device lag expansion (bounded-memory
+    regime): value-identical lag_stack_np + truncation to n_i."""
+    n_list = [x.shape[0] - ctx.x_post for x in per_file_x]
+    xs = [lag_stack_np(x, ctx.x_pre, ctx.x_post)[:n]
+          if (ctx.x_pre or ctx.x_post) else x[:n]
+          for x, n in zip(per_file_x, n_list)]
+    ys = [lag_stack_np(y, ctx.y_pre, ctx.y_post)[:n]
+          if (ctx.y_pre or ctx.y_post) else y[:n]
+          for y, n in zip(per_file_y, n_list)]
+    return xs, ys
+
+
 def per_file_stats(per_file_x: Sequence[np.ndarray],
                    per_file_y: Sequence[np.ndarray],
                    want_syy: bool,
                    pad_files_to: Optional[int] = None,
                    pad_frames_to: Optional[int] = None,
                    frame_bucket: int = 4096,
-                   batch_bytes: Optional[int] = None) -> MomentStats:
+                   batch_bytes: Optional[int] = None,
+                   context: Optional[ContextSpec] = None) -> MomentStats:
     """Stacked [F, ...] MomentStats; the raw frames stay TRANSIENT.
 
     Two regimes, value-identical:
@@ -160,6 +246,14 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
 
     Dummy files up to pad_files_to contribute exact-zero statistics
     (count 0), preserving leave-one-out totals.
+
+    With ``context`` (a ContextSpec with any nonzero lag), the inputs
+    are RAW streams in the ContextSpec layout and the lag expansion
+    runs on device fused into the moments program (only raw channels
+    cross the link); ``pad_frames_to`` then refers to the COMMON
+    (zip-truncated) frame axis. The bounded-memory regime falls back
+    to host-side stacking per file (value-identical), keeping its
+    one-padded-file peak.
     """
     if batch_bytes is None:
         try:
@@ -170,6 +264,43 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
     per_file_x = [_ensure_2d(x) for x in per_file_x]
     per_file_y = [_ensure_2d(y) for y in per_file_y]
     num_real = len(per_file_x)
+
+    ctx = context if context is not None and any(context) else None
+    if ctx is not None:
+        n_list = [x.shape[0] - ctx.x_post for x in per_file_x]
+        for i, (y, n) in enumerate(zip(per_file_y, n_list)):
+            if y.shape[0] - ctx.y_post != n:
+                raise ValueError(
+                    'context layout violated for file %d: raw x has '
+                    '%d rows (n=%d with x_post=%d) but raw y has %d '
+                    'rows, expected n + y_post = %d'
+                    % (i, per_file_x[i].shape[0], n, ctx.x_post,
+                       y.shape[0], n + ctx.y_post))
+        x_w, y_w = ctx.stacked_widths(per_file_x[0].shape[1],
+                                      per_file_y[0].shape[1])
+        n_common = max(max(n_list), pad_frames_to or 0)
+        # The regime decision budgets the DEVICE-resident transient
+        # (the stacked [F, N, D_stacked] matrices inside the fused
+        # program), not the much smaller raw transfer.
+        if num_real * n_common * (x_w + y_w) * 4 <= batch_bytes:
+            def pad_raw(arrs, target):
+                out = np.zeros((len(arrs), target, arrs[0].shape[1]),
+                               np.float32)
+                for i, a in enumerate(arrs):
+                    out[i, :a.shape[0]] = np.asarray(a, np.float32)
+                return jnp.asarray(out)
+            stats = _stacked_moments_ctx(
+                pad_raw(per_file_x, n_common + ctx.x_post),
+                pad_raw(per_file_y, n_common + ctx.y_post),
+                jnp.asarray(n_list, jnp.float32),
+                want_syy=want_syy, ctx=ctx)
+            return _pad_stats_files(stats, pad_files_to, num_real)
+        # Bounded-memory regime: stack on host per file (one padded
+        # file at a time below) — value-identical, old transfer size.
+        # pad_frames_to keeps its meaning: stacked lengths ARE the
+        # common-axis lengths n_i.
+        per_file_x, per_file_y = _host_stack_context(
+            per_file_x, per_file_y, ctx)
     max_n = max(max(x.shape[0] for x in per_file_x),
                 pad_frames_to or 0)
     width = per_file_x[0].shape[1] + per_file_y[0].shape[1]
@@ -196,13 +327,7 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
             ys, _ = pad_and_stack(per_file_y, pad_frames_to)
             stats = _stacked_moments(xs, ys, masks, want_syy=want_syy)
             del xs, ys, masks   # Transient: freed before the sweep.
-        if pad_files_to and pad_files_to > num_real:
-            pad = pad_files_to - num_real
-            stats = jax.tree.map(
-                lambda a: jnp.concatenate(
-                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]),
-                stats)
-        return stats
+        return _pad_stats_files(stats, pad_files_to, num_real)
 
     stats_list = []
     for x, y in zip(per_file_x, per_file_y):
@@ -667,7 +792,8 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                           mesh: Optional['jax.sharding.Mesh'] = None,
                           use_ridge: bool = True,
                           pad_files_to: Optional[int] = None,
-                          pad_frames_to: Optional[int] = None
+                          pad_frames_to: Optional[int] = None,
+                          context: Optional[ContextSpec] = None
                           ) -> SweepResult:
     """Leave-one-file-out ridge sweep over a lambda grid, one program.
 
@@ -690,7 +816,8 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
     stacked = per_file_stats(per_file_x, per_file_y, want_syy=True,
                              pad_files_to=pad_files_to,
-                             pad_frames_to=pad_frames_to)
+                             pad_frames_to=pad_frames_to,
+                             context=context)
     stacked = _shard_stats_over_mesh(stacked, mesh)
     total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
     corr = np.asarray(_ridge_sweep_program(
@@ -717,7 +844,8 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                         file_names: Optional[List[str]] = None,
                         mesh: Optional['jax.sharding.Mesh'] = None,
                         pad_files_to: Optional[int] = None,
-                        pad_frames_to: Optional[int] = None
+                        pad_frames_to: Optional[int] = None,
+                        context: Optional[ContextSpec] = None
                         ) -> SweepResult:
     """Leave-one-file-out CCA sweep (correlation of first canonical
     pair on the held-out file) over a regularization grid.
@@ -736,7 +864,8 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
     stacked = per_file_stats(per_file_x, per_file_y, want_syy=True,
                              pad_files_to=pad_files_to,
-                             pad_frames_to=pad_frames_to)
+                             pad_frames_to=pad_frames_to,
+                             context=context)
     stacked = _shard_stats_over_mesh(stacked, mesh)
     total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
     corr = np.asarray(_cca_sweep_program_chol(
@@ -791,7 +920,8 @@ def _subject_sweep_sharded(stats: MomentStats, lambdas: jax.Array,
 
 
 def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
-                            use_ridge, pad_files_to, pad_frames_to):
+                            use_ridge, pad_files_to, pad_frames_to,
+                            context: Optional[ContextSpec] = None):
     """Runs the cohort in subject-sharded groups of mesh-size chunks.
 
     Each subject's per-file MomentStats are computed directly ON its
@@ -815,6 +945,8 @@ def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
         """[S, F, ...] MomentStats sharded subject-per-device."""
         dx = _ensure_2d(group[0][1][0][0]).shape[1]
         dy = _ensure_2d(group[0][1][1][0]).shape[1]
+        if context is not None and any(context):
+            dx, dy = context.stacked_widths(dx, dy)
         shards = []   # Per-device stats trees, each [1, F, ...].
         for i in range(ndev):
             with jax.default_device(devices[i]):
@@ -823,7 +955,8 @@ def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
                     stats_i = per_file_stats(
                         xs_i, ys_i, want_syy=want_syy,
                         pad_files_to=pad_files_to,
-                        pad_frames_to=pad_frames_to)
+                        pad_frames_to=pad_frames_to,
+                        context=context)
                 else:
                     from telluride_decoding_tpu.ops.covariance import (
                         zeros_moments)
@@ -867,12 +1000,12 @@ def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
                     retry = cca_jackknife_sweep(
                         xs_i, ys_i, lambdas, dims=dims,
                         pad_files_to=pad_files_to,
-                        pad_frames_to=pad_frames_to)
+                        pad_frames_to=pad_frames_to, context=context)
                 else:
                     retry = ridge_jackknife_sweep(
                         xs_i, ys_i, lambdas, use_ridge=use_ridge,
                         pad_files_to=pad_files_to,
-                        pad_frames_to=pad_frames_to)
+                        pad_frames_to=pad_frames_to, context=context)
                 sub_corr = retry.correlations
             results[name] = SweepResult(
                 sub_corr, np.asarray(lambdas),
@@ -885,7 +1018,8 @@ def multi_subject_sweep(subjects, lambdas: Sequence[float],
                         mesh: Optional['jax.sharding.Mesh'] = None,
                         use_ridge: bool = True,
                         shared_shapes: bool = True,
-                        subject_parallel: bool = False):
+                        subject_parallel: bool = False,
+                        context: Optional[ContextSpec] = None):
     """Per-subject jackknife x lambda grids for a whole cohort.
 
     ``subjects`` maps subject name -> (per_file_x, per_file_y). Each
@@ -906,31 +1040,36 @@ def multi_subject_sweep(subjects, lambdas: Sequence[float],
     """
     items = (list(subjects.items()) if hasattr(subjects, 'items')
              else list(subjects))
+    # With a context spec the arrays are raw and pad_frames_to is in
+    # COMMON-axis units: n_i = raw x length - x_post.
+    x_post = context.x_post if context is not None else 0
     pad_files_to = pad_frames_to = None
     if shared_shapes and len(items) > 1:
         pad_files_to = max(len(xs) for _, (xs, _) in items)
         pad_frames_to = max(x.shape[0] for _, (xs, _) in items
-                            for x in xs)
+                            for x in xs) - x_post
     if (subject_parallel and mesh is not None
             and mesh.devices.shape[0] > 1):
         pad_files_to = pad_files_to or max(len(xs)
                                            for _, (xs, _) in items)
-        pad_frames_to = pad_frames_to or max(x.shape[0]
-                                             for _, (xs, _) in items
-                                             for x in xs)
+        pad_frames_to = pad_frames_to or (
+            max(x.shape[0] for _, (xs, _) in items for x in xs)
+            - x_post)
         return _subject_parallel_sweep(items, lambdas, model, dims,
                                        mesh, use_ridge, pad_files_to,
-                                       pad_frames_to)
+                                       pad_frames_to, context=context)
     results = {}
     for name, (xs, ys) in items:
         if model == 'cca':
             results[name] = cca_jackknife_sweep(
                 xs, ys, lambdas, dims=dims, mesh=mesh,
-                pad_files_to=pad_files_to, pad_frames_to=pad_frames_to)
+                pad_files_to=pad_files_to, pad_frames_to=pad_frames_to,
+                context=context)
         else:
             results[name] = ridge_jackknife_sweep(
                 xs, ys, lambdas, mesh=mesh, use_ridge=use_ridge,
-                pad_files_to=pad_files_to, pad_frames_to=pad_frames_to)
+                pad_files_to=pad_files_to, pad_frames_to=pad_frames_to,
+                context=context)
     return results
 
 
