@@ -64,6 +64,14 @@ from __graft_entry__ import flagship_params as _params  # noqa: E402
 WINDOW = 100
 BASELINE_WINDOWS_PER_SEC = 2000.0
 DIAG_BUDGET_S = float(os.environ.get('TDT_BENCH_DIAG_BUDGET_S', '240'))
+# CI smoke knobs (tests/test_bench_smoke.py): TDT_BENCH_DIAG_SCALE
+# shrinks every diagnostic stage's shapes by the given factor and
+# TDT_BENCH_DIAG_FORCE=1 runs the TPU-only stages on CPU too, so the
+# WHOLE diagnostics path executes in CI at toy sizes — guarding
+# against engine-signature drift that only a real-TPU run would
+# otherwise catch. Production runs leave both unset.
+DIAG_SCALE = float(os.environ.get('TDT_BENCH_DIAG_SCALE', '1'))
+DIAG_FORCE = os.environ.get('TDT_BENCH_DIAG_FORCE', '') not in ('', '0')
 
 
 def _decode_windows(params, x1, x2):
@@ -99,6 +107,9 @@ def sync(value):
 
 NUM_WINDOWS = 512
 REPS = 50
+if DIAG_SCALE < 1:   # CI smoke: shrink the headline batch too.
+    NUM_WINDOWS = max(8, round(512 * DIAG_SCALE))
+    REPS = max(2, round(50 * DIAG_SCALE))
 
 
 @jax.jit
@@ -241,7 +252,9 @@ def run_diagnostics(params, x1, x2):
     # (The reference documents ~1 hour per fit on a workstation.)
     from telluride_decoding_tpu.sweep.engine import (
         _ridge_sweep_program, per_file_stats)
-    num_files, frames, width = 40, 3300, 2553
+    num_files = max(4, round(40 * DIAG_SCALE))
+    frames = max(64, round(3300 * DIAG_SCALE))
+    width = max(8, round(2553 * DIAG_SCALE))
     datakeys = jax.random.split(jax.random.PRNGKey(3), num_files)
 
     @jax.jit
@@ -280,7 +293,7 @@ def run_diagnostics(params, x1, x2):
     def full_cca_sweep():
         stacked = per_file_stats(xs_list, ys_list, want_syy=True)
         total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
-        return _cca_sweep_program_chol(stacked, total, lambdas9, dims=1)
+        return _cca_sweep_program_chol(stacked, total, lambdas9)
 
     sync(full_cca_sweep())  # Warm-up compile.
     t0 = time.perf_counter()
@@ -289,6 +302,56 @@ def run_diagnostics(params, x1, x2):
     _diag('codelab_cca_sweep_s=%.2f (360 CCA fits, target <60s)'
           % cca_sweep_s)
     del xs_list, ys_list
+    if over_budget('device-context ingest'):
+        return
+
+    # Stage 5: the driver ingest A/B — host lag-stacking + stacked
+    # upload (the pre-r4 workflow) vs raw upload + on-device fused
+    # lag expansion (engine.ContextSpec, the default). One codelab
+    # subject: 40 trials x 3300 frames, 69 raw channels x 37 lags =
+    # width 2553. The data starts as HOST numpy, like the real cohort
+    # driver's records — this is the path the cohort bench above
+    # deliberately excludes (its synthetic data is device-resident).
+    if jax.devices()[0].platform != 'tpu' and not DIAG_FORCE:
+        _diag('device-context ingest A/B skipped (not on TPU: the '
+              'measurement is the host->device transfer)')
+        return
+    from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+    from telluride_decoding_tpu.sweep.engine import ContextSpec
+    lags = 37
+    chans = max(2, round(69 * DIAG_SCALE))
+    ctx37 = ContextSpec(0, lags - 1, 0, 0)
+    rng_b = np.random.RandomState(7)
+    raw_xs = [rng_b.randn(frames + lags - 1, chans).astype(np.float32)
+              for _ in range(num_files)]
+    raw_ys = [rng_b.randn(frames, 1).astype(np.float32)
+              for _ in range(num_files)]
+
+    def ingest_host():
+        xs = [lag_stack_np(x, 0, lags - 1)[:frames] for x in raw_xs]
+        return per_file_stats(xs, raw_ys, want_syy=True)
+
+    def ingest_device():
+        return per_file_stats(raw_xs, raw_ys, want_syy=True,
+                              context=ctx37)
+
+    sync(ingest_device().sxx)   # Warm-up compile.
+    t0 = time.perf_counter()
+    sync(ingest_device().sxx)
+    dev_ctx_s = time.perf_counter() - t0
+    if over_budget('host-stacked ingest A/B arm'):
+        _diag('ingest_device_context_s=%.2f (host arm skipped: budget)'
+              % dev_ctx_s)
+        return
+    sync(ingest_host().sxx)     # Warm-up compile.
+    t0 = time.perf_counter()
+    sync(ingest_host().sxx)
+    host_ctx_s = time.perf_counter() - t0
+    _diag('ingest_moments_s: device_context=%.2f host_stacked=%.2f '
+          '(one %d-trial subject at width %d from host numpy; raw '
+          'upload is 37x smaller)'
+          % (dev_ctx_s, host_ctx_s, num_files, chans * lags))
+    del raw_xs, raw_ys
     if over_budget('cohort sweep'):
         return
 
@@ -300,18 +363,19 @@ def run_diagnostics(params, x1, x2):
     # generated and dropped per subject to bound HBM. TPU only
     # (minutes of matmuls on CPU). Emits a progress line every few
     # subjects and honors the budget between subjects.
-    if jax.devices()[0].platform != 'tpu':
+    if jax.devices()[0].platform != 'tpu' and not DIAG_FORCE:
         _diag('cohort sweep skipped (not on TPU)')
         return
     from telluride_decoding_tpu.sweep.engine import ridge_jackknife_sweep
-    num_subjects = 22
+    num_subjects = max(2, round(22 * DIAG_SCALE))
     cohort_s = 0.0
     corr_peak = 0.0
     done = 0
     for s in range(num_subjects):
         if over_budget('cohort subjects %d..%d' % (s, num_subjects - 1)):
             break
-        frames_s = frames - (s % 5) * 37   # Ragged cohort.
+        # Ragged cohort (delta scaled so toy frames stay positive).
+        frames_s = frames - (s % 5) * max(1, round(37 * DIAG_SCALE))
         keys = jax.random.split(jax.random.PRNGKey(100 + s), num_files)
         xs_s, ys_s = [], []
         for k in keys:
