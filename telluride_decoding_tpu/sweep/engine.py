@@ -785,6 +785,79 @@ def _shard_stats_over_mesh(stats: MomentStats,
     return jax.tree.unflatten(treedef, _shard_over_mesh(leaves, mesh))
 
 
+class _InFlightSweep(NamedTuple):
+    """A dispatched-but-not-read-back jackknife grid.
+
+    Splitting dispatch from finalize lets the serial multi-subject
+    loop software-pipeline: subject k+1's host staging + raw upload +
+    program dispatch proceed while subject k's grid is still
+    computing on device (np.asarray is the only blocking step).
+    ``stacked``/``total`` are retained so the rare NaN fallback can
+    re-dispatch the eig program without recomputing moments.
+    """
+
+    corr: jax.Array            # In-flight [L, F_padded] correlations.
+    stacked: MomentStats
+    total: MomentStats
+    lambdas: np.ndarray
+    lambdas_arr: jax.Array
+    num_real: int
+    file_names: Optional[List[str]]
+    model: str                 # 'ridge' | 'cca'
+    use_ridge: bool
+
+
+def _dispatch_sweep(model: str,
+                    per_file_x, per_file_y, lambdas,
+                    file_names=None, mesh=None, use_ridge=True,
+                    pad_files_to=None, pad_frames_to=None,
+                    context=None) -> _InFlightSweep:
+    """Moments + grid dispatch for one subject; returns without
+    blocking on the device result."""
+    num_real = len(per_file_x)
+    per_file_y = [_ensure_2d(y) for y in per_file_y]
+    pad_files_to = _mesh_file_padding(num_real, pad_files_to, mesh)
+    lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
+    stacked = per_file_stats(per_file_x, per_file_y, want_syy=True,
+                             pad_files_to=pad_files_to,
+                             pad_frames_to=pad_frames_to,
+                             context=context)
+    stacked = _shard_stats_over_mesh(stacked, mesh)
+    total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
+    if model == 'cca':
+        corr = _cca_sweep_program_chol(stacked, total, lambdas_arr)
+    else:
+        corr = _ridge_sweep_program(stacked, total, lambdas_arr,
+                                    use_ridge=use_ridge)
+    return _InFlightSweep(corr, stacked, total,
+                          np.asarray(lambdas), lambdas_arr, num_real,
+                          file_names, model, use_ridge)
+
+
+def _finalize_sweep(inflight: _InFlightSweep) -> SweepResult:
+    """Blocks on the dispatched grid; applies the NaN->eig fallback."""
+    num_real = inflight.num_real
+    corr = np.asarray(inflight.corr)
+    if not np.isfinite(corr[:, :num_real]).all():
+        # Rank-deficient covariance with lamb == 0 breaks Cholesky
+        # and LU alike: the eig program zeroes degenerate directions
+        # instead (the pseudoinverse answer). Only the ridge family
+        # has a distinct eig program — for shrinkage (use_ridge=False)
+        # force_eig is a no-op, so retrying would recompile the
+        # identical program.
+        if inflight.model == 'cca':
+            corr = np.asarray(_cca_sweep_program(
+                inflight.stacked, inflight.total, inflight.lambdas_arr))
+        elif inflight.use_ridge:
+            corr = np.asarray(_ridge_sweep_program(
+                inflight.stacked, inflight.total, inflight.lambdas_arr,
+                use_ridge=inflight.use_ridge, force_eig=True))
+    return SweepResult(corr[:, :num_real],
+                       inflight.lambdas,
+                       inflight.file_names or
+                       ['file%d' % i for i in range(num_real)])
+
+
 def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                           per_file_y: Sequence[np.ndarray],
                           lambdas: Sequence[float],
@@ -797,8 +870,9 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
                           ) -> SweepResult:
     """Leave-one-file-out ridge sweep over a lambda grid, one program.
 
-    per_file_x[i]: lag-stacked input of file i ([N_i, Dx]);
-    per_file_y[i]: target ([N_i, Dy] or [N_i]). Returns
+    per_file_x[i]: lag-stacked input of file i ([N_i, Dx]) — or RAW
+    [N_i + x_post, dx] streams with ``context`` (on-device lag
+    expansion); per_file_y[i]: target ([N_i, Dy] or [N_i]). Returns
     correlations[num_lambdas, num_files] where entry (l, f) is the test
     correlation of a model trained on all files but f with
     regularization lambdas[l].
@@ -810,31 +884,11 @@ def ridge_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     ragged lengths): evaluation runs from per-file MomentStats, so
     raw frames never enter the sweep program itself.
     """
-    num_real = len(per_file_x)
-    per_file_y = [_ensure_2d(y) for y in per_file_y]
-    pad_files_to = _mesh_file_padding(num_real, pad_files_to, mesh)
-    lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
-    stacked = per_file_stats(per_file_x, per_file_y, want_syy=True,
-                             pad_files_to=pad_files_to,
-                             pad_frames_to=pad_frames_to,
-                             context=context)
-    stacked = _shard_stats_over_mesh(stacked, mesh)
-    total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
-    corr = np.asarray(_ridge_sweep_program(
-        stacked, total, lambdas_arr, use_ridge=use_ridge))
-    if use_ridge and not np.isfinite(corr[:, :num_real]).all():
-        # No unique solution (rank-deficient covariance with lamb == 0
-        # breaks Cholesky and LU alike): the eig program zeroes
-        # degenerate directions instead. Only the ridge family has an
-        # eig fallback — for shrinkage (use_ridge=False) force_eig is
-        # a no-op, so retrying would recompile the identical program.
-        corr = np.asarray(_ridge_sweep_program(
-            stacked, total, lambdas_arr,
-            use_ridge=use_ridge, force_eig=True))
-    return SweepResult(corr[:, :num_real],
-                       np.asarray(lambdas),
-                       file_names or ['file%d' % i
-                                      for i in range(num_real)])
+    return _finalize_sweep(_dispatch_sweep(
+        'ridge', per_file_x, per_file_y, lambdas,
+        file_names=file_names, mesh=mesh, use_ridge=use_ridge,
+        pad_files_to=pad_files_to, pad_frames_to=pad_frames_to,
+        context=context))
 
 
 def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
@@ -858,28 +912,12 @@ def cca_jackknife_sweep(per_file_x: Sequence[np.ndarray],
     presets select that metric regardless of cca_dimensions). It is
     deliberately NOT threaded into the jitted programs, where a
     static arg would recompile the identical program per value."""
-    num_real = len(per_file_x)
-    per_file_y = [_ensure_2d(y) for y in per_file_y]
-    pad_files_to = _mesh_file_padding(num_real, pad_files_to, mesh)
-    lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
-    stacked = per_file_stats(per_file_x, per_file_y, want_syy=True,
-                             pad_files_to=pad_files_to,
-                             pad_frames_to=pad_frames_to,
-                             context=context)
-    stacked = _shard_stats_over_mesh(stacked, mesh)
-    total = jax.tree.map(lambda s: jnp.sum(s, axis=0), stacked)
-    corr = np.asarray(_cca_sweep_program_chol(
-        stacked, total, lambdas_arr))
-    if not np.isfinite(corr[:, :num_real]).all():
-        # Cholesky failed (rank-deficient covariance with lamb == 0):
-        # retry with the eigendecomposition program, which zeroes
-        # degenerate directions instead.
-        corr = np.asarray(_cca_sweep_program(
-            stacked, total, lambdas_arr))
-    return SweepResult(corr[:, :num_real],
-                       np.asarray(lambdas),
-                       file_names or ['file%d' % i
-                                      for i in range(num_real)])
+    del dims
+    return _finalize_sweep(_dispatch_sweep(
+        'cca', per_file_x, per_file_y, lambdas,
+        file_names=file_names, mesh=mesh,
+        pad_files_to=pad_files_to, pad_frames_to=pad_frames_to,
+        context=context))
 
 
 @functools.partial(jax.jit, static_argnames=('mesh', 'model',
@@ -1058,18 +1096,24 @@ def multi_subject_sweep(subjects, lambdas: Sequence[float],
         return _subject_parallel_sweep(items, lambdas, model, dims,
                                        mesh, use_ridge, pad_files_to,
                                        pad_frames_to, context=context)
+    # Software-pipelined serial loop (depth 2): subject k+1's host
+    # staging + upload + dispatch overlap subject k's on-device grid
+    # (np.asarray in _finalize_sweep is the only blocking step). Peak
+    # HBM holds two subjects' MomentStats — O(F * D^2) each.
+    del dims
     results = {}
+    pending: Optional[Tuple[str, _InFlightSweep]] = None
     for name, (xs, ys) in items:
-        if model == 'cca':
-            results[name] = cca_jackknife_sweep(
-                xs, ys, lambdas, dims=dims, mesh=mesh,
-                pad_files_to=pad_files_to, pad_frames_to=pad_frames_to,
-                context=context)
-        else:
-            results[name] = ridge_jackknife_sweep(
-                xs, ys, lambdas, mesh=mesh, use_ridge=use_ridge,
-                pad_files_to=pad_files_to, pad_frames_to=pad_frames_to,
-                context=context)
+        inflight = _dispatch_sweep(
+            'cca' if model == 'cca' else 'ridge', xs, ys, lambdas,
+            mesh=mesh, use_ridge=use_ridge,
+            pad_files_to=pad_files_to, pad_frames_to=pad_frames_to,
+            context=context)
+        if pending is not None:
+            results[pending[0]] = _finalize_sweep(pending[1])
+        pending = (name, inflight)
+    if pending is not None:
+        results[pending[0]] = _finalize_sweep(pending[1])
     return results
 
 
