@@ -313,49 +313,53 @@ def run_diagnostics(params, x1, x2):
     # driver's records — this is the path the cohort bench above
     # deliberately excludes (its synthetic data is device-resident).
     if jax.devices()[0].platform != 'tpu' and not DIAG_FORCE:
+        # Skip only THIS stage (the measurement is the host->device
+        # transfer); later stages still print their own markers.
         _diag('device-context ingest A/B skipped (not on TPU: the '
               'measurement is the host->device transfer)')
-        return
-    from telluride_decoding_tpu.ops.lagstack import lag_stack_np
-    from telluride_decoding_tpu.sweep.engine import ContextSpec
-    lags = 37
-    chans = max(2, round(69 * DIAG_SCALE))
-    ctx37 = ContextSpec(0, lags - 1, 0, 0)
-    rng_b = np.random.RandomState(7)
-    raw_xs = [rng_b.randn(frames + lags - 1, chans).astype(np.float32)
-              for _ in range(num_files)]
-    raw_ys = [rng_b.randn(frames, 1).astype(np.float32)
-              for _ in range(num_files)]
+    else:
+        from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+        from telluride_decoding_tpu.sweep.engine import ContextSpec
+        lags = 37
+        chans = max(2, round(69 * DIAG_SCALE))
+        ctx37 = ContextSpec(0, lags - 1, 0, 0)
+        rng_b = np.random.RandomState(7)
+        raw_xs = [rng_b.randn(frames + lags - 1,
+                              chans).astype(np.float32)
+                  for _ in range(num_files)]
+        raw_ys = [rng_b.randn(frames, 1).astype(np.float32)
+                  for _ in range(num_files)]
 
-    def ingest_host():
-        xs = [lag_stack_np(x, 0, lags - 1)[:frames] for x in raw_xs]
-        return per_file_stats(xs, raw_ys, want_syy=True)
+        def ingest_host():
+            xs = [lag_stack_np(x, 0, lags - 1)[:frames]
+                  for x in raw_xs]
+            return per_file_stats(xs, raw_ys, want_syy=True)
 
-    def ingest_device():
-        return per_file_stats(raw_xs, raw_ys, want_syy=True,
-                              context=ctx37)
+        def ingest_device():
+            return per_file_stats(raw_xs, raw_ys, want_syy=True,
+                                  context=ctx37)
 
-    sync(ingest_device().sxx)   # Warm-up compile.
-    t0 = time.perf_counter()
-    sync(ingest_device().sxx)
-    dev_ctx_s = time.perf_counter() - t0
-    if over_budget('host-stacked ingest A/B arm'):
-        _diag('ingest_device_context_s=%.2f (host arm skipped: budget)'
-              % dev_ctx_s)
-        return
-    sync(ingest_host().sxx)     # Warm-up compile.
-    t0 = time.perf_counter()
-    sync(ingest_host().sxx)
-    host_ctx_s = time.perf_counter() - t0
-    _diag('ingest_moments_s: device_context=%.2f host_stacked=%.2f '
-          '(one %d-trial subject at width %d from host numpy; raw '
-          'upload is 37x smaller)'
-          % (dev_ctx_s, host_ctx_s, num_files, chans * lags))
-    del raw_xs, raw_ys
+        sync(ingest_device().sxx)   # Warm-up compile.
+        t0 = time.perf_counter()
+        sync(ingest_device().sxx)
+        dev_ctx_s = time.perf_counter() - t0
+        if over_budget('host-stacked ingest A/B arm'):
+            _diag('ingest_device_context_s=%.2f (host arm skipped: '
+                  'budget)' % dev_ctx_s)
+            return
+        sync(ingest_host().sxx)     # Warm-up compile.
+        t0 = time.perf_counter()
+        sync(ingest_host().sxx)
+        host_ctx_s = time.perf_counter() - t0
+        _diag('ingest_moments_s: device_context=%.2f '
+              'host_stacked=%.2f (one %d-trial subject at width %d '
+              'from host numpy; raw upload is 37x smaller)'
+              % (dev_ctx_s, host_ctx_s, num_files, chans * lags))
+        del raw_xs, raw_ys
     if over_budget('cohort sweep'):
         return
 
-    # Stage 5: full-cohort sweep at codelab scale: 22 subjects x 40
+    # Stage 6: full-cohort sweep at codelab scale: 22 subjects x 40
     # trials x 9 lambdas (7920 model fits at width 2553 — the
     # codelab's ENTIRE experiment, which the reference runs as days of
     # shell jobs). Subjects are ragged (trial lengths differ) but pad

@@ -105,11 +105,16 @@ def discover_subjects(cohort_dir: Optional[str],
 
 
 def load_cohort(subjects: Dict[str, str], my_flags
-                ) -> Dict[str, Tuple[list, list]]:
-    """Loads every subject's per-trial lag-stacked (x, y) arrays.
+                ) -> Tuple[Dict[str, Tuple[list, list]],
+                           Optional['engine.ContextSpec']]:
+    """Loads every subject's per-trial (x, y) arrays.
 
-    Reuses the regression driver's data path (same fields, contexts,
-    and CCA-vs-ridge stream selection as a single-subject sweep).
+    Returns ({subject: (xs, ys)}, context). By default the arrays are
+    RAW un-stacked streams and ``context`` is the engine ContextSpec
+    for the on-device lag expansion; with TDT_DEVICE_CONTEXT=0 they
+    are host-lag-stacked and ``context`` is None. Reuses the
+    regression driver's data path (same fields, contexts, and
+    CCA-vs-ridge stream selection as a single-subject sweep).
     """
     import dataclasses
     cohort = {}

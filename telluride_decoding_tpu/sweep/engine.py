@@ -208,16 +208,16 @@ def _pad_stats_files(stats: MomentStats, pad_files_to: Optional[int],
     return stats
 
 
-def _host_stack_context(per_file_x, per_file_y, ctx: ContextSpec):
-    """Host-side fallback of the device lag expansion (bounded-memory
-    regime): value-identical lag_stack_np + truncation to n_i."""
-    n_list = [x.shape[0] - ctx.x_post for x in per_file_x]
-    xs = [lag_stack_np(x, ctx.x_pre, ctx.x_post)[:n]
-          if (ctx.x_pre or ctx.x_post) else x[:n]
-          for x, n in zip(per_file_x, n_list)]
-    ys = [lag_stack_np(y, ctx.y_pre, ctx.y_post)[:n]
-          if (ctx.y_pre or ctx.y_post) else y[:n]
-          for y, n in zip(per_file_y, n_list)]
+def _host_stack_one(x, y, ctx: ContextSpec):
+    """Host-side fallback of the device lag expansion for ONE file
+    (bounded-memory regime): value-identical lag_stack_np +
+    truncation to n_i. Called per file inside the streaming loop so
+    peak host memory stays at one stacked file."""
+    n = x.shape[0] - ctx.x_post
+    xs = (lag_stack_np(x, ctx.x_pre, ctx.x_post)[:n]
+          if (ctx.x_pre or ctx.x_post) else x[:n])
+    ys = (lag_stack_np(y, ctx.y_pre, ctx.y_post)[:n]
+          if (ctx.y_pre or ctx.y_post) else y[:n])
     return xs, ys
 
 
@@ -295,18 +295,20 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
                 jnp.asarray(n_list, jnp.float32),
                 want_syy=want_syy, ctx=ctx)
             return _pad_stats_files(stats, pad_files_to, num_real)
-        # Bounded-memory regime: stack on host per file (one padded
-        # file at a time below) — value-identical, old transfer size.
-        # pad_frames_to keeps its meaning: stacked lengths ARE the
-        # common-axis lengths n_i.
-        per_file_x, per_file_y = _host_stack_context(
-            per_file_x, per_file_y, ctx)
+        # Bounded-memory regime: fall through to the streaming loop,
+        # which stacks each file on the host right before its moments
+        # dispatch (_host_stack_one) — value-identical, and peak host
+        # memory stays at ONE stacked file.
     max_n = max(max(x.shape[0] for x in per_file_x),
                 pad_frames_to or 0)
     width = per_file_x[0].shape[1] + per_file_y[0].shape[1]
     est = num_real * max_n * width * 4
 
-    if est <= batch_bytes:
+    # A context spec only reaches here in the bounded-memory regime
+    # (its batched branch returned above): the raw arrays' smaller
+    # footprint must not re-route them into the batched path, which
+    # would treat them as pre-stacked.
+    if est <= batch_bytes and ctx is None:
         x_lens = {x.shape[0] for x in per_file_x}
         y_lens = {y.shape[0] for y in per_file_y}
         if len(x_lens) == 1 and x_lens == y_lens:
@@ -331,6 +333,8 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
 
     stats_list = []
     for x, y in zip(per_file_x, per_file_y):
+        if ctx is not None:
+            x, y = _host_stack_one(x, y, ctx)
         n = x.shape[0]
         padded = -(-n // frame_bucket) * frame_bucket
         if isinstance(x, jax.Array) or isinstance(y, jax.Array):

@@ -135,6 +135,46 @@ class TestContextSweeps:
                                        atol=1e-4, err_msg=name)
 
 
+class TestPerFileRawSemantics:
+
+    def test_negative_offset_with_short_in1_matches_add_context(
+            self, rng, monkeypatch):
+        """_add_context does NOT slice the attended stream for
+        negative input_offset; _per_file_raw must mirror that. With
+        in1 strictly shorter than in2/out (attended following in1's
+        length), slicing attended would shrink the zip-truncated n by
+        |offset| and silently drop frames (review finding)."""
+        from telluride_decoding_tpu.cli import decoding as dec
+        from telluride_decoding_tpu.cli import regression as reg
+        from telluride_decoding_tpu.data.brain_data import TestBrainData
+        from telluride_decoding_tpu.sweep.engine import per_file_stats
+
+        in1 = rng.randn(90, 3).astype(np.float32)
+        in2 = rng.randn(97, 2).astype(np.float32)
+        out = rng.randn(97, 1).astype(np.float32)
+        att = rng.randn(90, 1).astype(np.float32)
+        bd = TestBrainData('in1', 'out', 100.0, pre_context=1,
+                           post_context=4, in2_fields='in2',
+                           input_offset=-3)
+        monkeypatch.setattr(bd, 'file_arrays',
+                            lambda filename, cache=True:
+                            (in1, in2, out, att))
+        my_flags = dec.DecodingOptions().set_from_dict(dict(
+            dnn_regressor='linear', input_field='in1',
+            output_field='out', pre_context=1, post_context=4,
+            input_offset=-3))
+        helper = reg.RegressionLinear(my_flags)
+        xs, ys, ctx = helper._per_file_raw(bd, ['f1'])
+        # Host reference: _add_context's stack-then-truncate.
+        h_in1, h_in2, h_out, h_att = bd._add_context(in1, in2, out, att)
+        assert xs[0].shape[0] - ctx.x_post == h_in1.shape[0]
+        s_dev = per_file_stats(xs, ys, want_syy=True, context=ctx)
+        s_host = per_file_stats([h_in1], [h_out], want_syy=True)
+        for name, a, b in zip(s_dev._fields, s_dev, s_host):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, err_msg=name)
+
+
 class TestCliDeviceContext:
 
     def _write_corpus(self, rng, d, with_in2=False):
