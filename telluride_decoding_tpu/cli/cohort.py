@@ -37,6 +37,7 @@ import numpy as np
 from telluride_decoding_tpu.cli import decoding
 from telluride_decoding_tpu.cli import regression
 from telluride_decoding_tpu.data import brain_data
+from telluride_decoding_tpu.data import records
 from telluride_decoding_tpu.sweep import engine
 
 FLAGS = flags.FLAGS
@@ -59,6 +60,13 @@ def define_flags():
     flags.DEFINE_bool('subject_parallel', True,
                       'Shard the subject axis over the device mesh '
                       '(falls back to serial on one device).')
+    flags.DEFINE_bool('streaming_cohort', True,
+                      'Load subjects through a prefetching streaming '
+                      'loader (host residency bounded at ~2 subjects; '
+                      'subject k+1 ingests while subject k sweeps on '
+                      'device). Falls back to eager whole-cohort '
+                      'loading when the cheap shape prescan cannot '
+                      'run (on-the-fly field specs).')
     flags.DEFINE_integer('num_partitions', 0,
                          'Split the cohort over this many independent '
                          'processes (multi-host scaling; 0 = off). '
@@ -116,28 +124,127 @@ def load_cohort(subjects: Dict[str, str], my_flags
     regression driver's data path (same fields, contexts, and
     CCA-vs-ridge stream selection as a single-subject sweep).
     """
-    import dataclasses
     cohort = {}
-    context = None
     use_raw = regression.device_context_enabled()
     for name, data_dir in subjects.items():
-        sub_flags = dataclasses.replace(my_flags,
-                                        tfexample_dir=data_dir)
-        bd = regression.get_brain_data_object(sub_flags)
-        files = sorted(bd.all_files())
-        helper = regression.Regression(sub_flags)
-        if use_raw:
-            # Raw streams; the engine lag-stacks on device (fused into
-            # the moments pass), so the cohort's host residency and
-            # upload stay at raw-channel width. The spec depends only
-            # on flags, so it is identical across subjects.
-            xs, ys, context = helper._per_file_raw(bd, files)
-        else:
-            xs, ys = helper._per_file_arrays(bd, files)
-        cohort[name] = (xs, ys)
-        logging.info('subject %s: %d trials from %s', name, len(files),
-                     data_dir)
+        # Raw streams (default): the engine lag-stacks on device
+        # (fused into the moments pass), so the cohort's host
+        # residency and upload stay at raw-channel width. The spec
+        # depends only on flags, so it is identical across subjects.
+        name, arrays = _load_subject(name, data_dir, my_flags, use_raw)
+        cohort[name] = arrays
+    context = cohort_context(my_flags) if use_raw else None
     return cohort, context
+
+
+def _load_subject(name: str, data_dir: str, my_flags, use_raw: bool):
+    """One subject's per-trial (x, y) arrays (raw or host-stacked)."""
+    import dataclasses
+    sub_flags = dataclasses.replace(my_flags, tfexample_dir=data_dir)
+    bd = regression.get_brain_data_object(sub_flags)
+    files = sorted(bd.all_files())
+    helper = regression.Regression(sub_flags)
+    if use_raw:
+        xs, ys, _ = helper._per_file_raw(bd, files)
+    else:
+        xs, ys = helper._per_file_arrays(bd, files)
+    logging.info('subject %s: %d trials from %s', name, len(files),
+                 data_dir)
+    return name, (xs, ys)
+
+
+def cohort_context(my_flags) -> 'engine.ContextSpec':
+    """The engine ContextSpec the raw loader implies, from flags alone
+    (identical to what Regression._per_file_raw derives per subject —
+    the spec depends only on the context flags, never the data)."""
+    cca = my_flags.dnn_regressor == 'cca'
+    return engine.ContextSpec(
+        my_flags.pre_context, my_flags.post_context,
+        my_flags.input2_pre_context if cca else 0,
+        my_flags.input2_post_context if cca else 0)
+
+
+def prescan_cohort(subjects: Dict[str, str], my_flags
+                   ) -> Optional[Tuple[int, int]]:
+    """Shared sweep-program shape from TFRecord record counts alone.
+
+    Returns (pad_files_to, pad_frames_to) — max trials per subject and
+    max common (zip-truncated) frames per trial — without decoding any
+    features: every telluride TFRecord example is one frame of every
+    field, so a file's common frame count is its record count minus
+    |input_offset| (the native codec counts+validates at ~GB/s). This
+    is what lets the streaming loader exist: the cohort's shared
+    program shape is known before any subject's arrays are.
+
+    Returns None (caller falls back to eager loading) when the
+    count-based estimate cannot be trusted: an on-the-fly field spec
+    (``field(params)``) runs a Preprocessor that may change stream
+    lengths, and a corrupt file defers its error to the real loader.
+    """
+    import dataclasses
+    if not subjects:
+        return None
+    max_files = 0
+    max_count = 0
+    for _, data_dir in subjects.items():
+        sub_flags = dataclasses.replace(my_flags, tfexample_dir=data_dir)
+        bd = regression.get_brain_data_object(sub_flags)
+        if (any(s is not None for s in (bd._in1_specs or []))
+                or any(s is not None for s in (bd._in2_specs or []))
+                or bd._out_spec is not None):
+            return None
+        files = bd.all_files()
+        max_files = max(max_files, len(files))
+        for f in files:
+            count, error = records.count_tfrecords(f)
+            if error:
+                return None
+            max_count = max(max_count, count)
+    frames = max_count - abs(getattr(bd, 'input_offset', 0))
+    if max_files == 0 or frames <= 0:
+        return None
+    return max_files, frames
+
+
+def iter_cohort(subjects: Dict[str, str], my_flags, prefetch: bool = True):
+    """Streams subjects one at a time with background prefetch.
+
+    Yields (name, (xs, ys)) in ``subjects`` order. A daemon thread
+    ingests subject k+1 (TFRecord decode + field selection) while the
+    consumer — the sweep engine's depth-2 dispatch pipeline — runs
+    subject k on device, so host residency stays at ~2 subjects'
+    raw arrays instead of the whole cohort (the eager load_cohort
+    holds every subject at once: ~3 GB at jens scale). Loader
+    exceptions re-raise in the consumer.
+    """
+    import queue
+    import threading
+    use_raw = regression.device_context_enabled()
+    items = list(subjects.items())
+    if not prefetch:
+        for name, data_dir in items:
+            yield _load_subject(name, data_dir, my_flags, use_raw)
+        return
+    q: 'queue.Queue' = queue.Queue(maxsize=1)
+
+    def worker():
+        try:
+            for name, data_dir in items:
+                q.put(('item',
+                       _load_subject(name, data_dir, my_flags, use_raw)))
+            q.put(('done', None))
+        except BaseException as e:   # Re-raised on the consumer side.
+            q.put(('error', e))
+
+    threading.Thread(target=worker, daemon=True,
+                     name='tdt-cohort-prefetch').start()
+    while True:
+        kind, val = q.get()
+        if kind == 'done':
+            return
+        if kind == 'error':
+            raise val
+        yield val
 
 
 def write_cohort_csv(path: str, lambdas, mean, std):
@@ -153,9 +260,20 @@ def run_cohort_sweep(my_flags, subjects: Dict[str, str],
                      subject_parallel: bool = True,
                      cohort_csv_file: Optional[str] = None,
                      cohort_plot_file: Optional[str] = None,
-                     results_csv_file: Optional[str] = None):
+                     results_csv_file: Optional[str] = None,
+                     streaming: Optional[bool] = None):
     """The whole cohort's sweep; returns ({subject: SweepResult},
-    (mean, std) per lambda)."""
+    (mean, std) per lambda).
+
+    ``streaming`` (default on; --nostreaming_cohort / env
+    TDT_STREAMING_COHORT=0 disable) feeds the sweep through the
+    prefetching per-subject loader: host residency is bounded at ~2
+    subjects and subject k+1's TFRecord ingest overlaps subject k's
+    on-device grid. Results are value-identical to eager loading (the
+    prescan derives the SAME shared program shape the eager path
+    would). Falls back to eager automatically when the prescan cannot
+    trust record counts (on-the-fly field specs).
+    """
     if my_flags.dnn_regressor not in ('linear', 'linear_with_bias',
                                       'cca'):
         # Silently running a ridge sweep for a requested DNN/DCCA
@@ -168,13 +286,30 @@ def run_cohort_sweep(my_flags, subjects: Dict[str, str],
             "(linear, linear_with_bias, cca), not %r. Run "
             'tdt-regression per subject for SGD models.'
             % my_flags.dnn_regressor)
-    cohort, context = load_cohort(subjects, my_flags)
+    if streaming is None:
+        streaming = os.environ.get(
+            'TDT_STREAMING_COHORT', '1').lower() not in ('0', 'off',
+                                                         'false')
     mesh = engine.default_mesh('subject')
     model = ('cca' if my_flags.dnn_regressor == 'cca' else 'ridge')
-    results = engine.multi_subject_sweep(
-        cohort, regularization_list, model=model,
-        dims=my_flags.cca_dimensions, mesh=mesh,
-        subject_parallel=subject_parallel, context=context)
+    pads = prescan_cohort(subjects, my_flags) if streaming else None
+    if pads is not None:
+        use_raw = regression.device_context_enabled()
+        context = cohort_context(my_flags) if use_raw else None
+        results = engine.multi_subject_sweep(
+            iter_cohort(subjects, my_flags), regularization_list,
+            model=model, dims=my_flags.cca_dimensions, mesh=mesh,
+            subject_parallel=subject_parallel, context=context,
+            pad_files_to=pads[0], pad_frames_to=pads[1])
+    else:
+        if streaming:
+            logging.info('cohort prescan unavailable (field specs or '
+                         'unreadable records); loading eagerly.')
+        cohort, context = load_cohort(subjects, my_flags)
+        results = engine.multi_subject_sweep(
+            cohort, regularization_list, model=model,
+            dims=my_flags.cca_dimensions, mesh=mesh,
+            subject_parallel=subject_parallel, context=context)
     mean, std = engine.cohort_summary(results)
     if results_csv_file:
         # Per-subject rows in the reference csv_util layout
@@ -208,7 +343,8 @@ def run_partitioned_cohort(my_flags, subjects: Dict[str, str],
                            cohort_csv_file: Optional[str] = None,
                            cohort_plot_file: Optional[str] = None,
                            results_csv_file: Optional[str] = None,
-                           partition_wait_s: float = 1200.0):
+                           partition_wait_s: float = 1200.0,
+                           streaming: Optional[bool] = None):
     """One partition's share of a multi-process cohort sweep.
 
     Runs this partition's subjects (round-robin by sorted name, so
@@ -240,7 +376,8 @@ def run_partitioned_cohort(my_flags, subjects: Dict[str, str],
         results, _ = run_cohort_sweep(
             my_flags, mine, regularization_list,
             subject_parallel=subject_parallel,
-            results_csv_file=results_csv_file)
+            results_csv_file=results_csv_file,
+            streaming=streaming)
     else:
         # Over-partitioned cohort: this shard holds no subjects but
         # still participates in the join with exact-zero statistics.
@@ -326,7 +463,8 @@ def main(argv):
             cohort_csv_file=FLAGS.cohort_csv_file,
             cohort_plot_file=FLAGS.cohort_plot_file,
             results_csv_file=FLAGS.results_csv_file,
-            partition_wait_s=FLAGS.partition_wait_s)
+            partition_wait_s=FLAGS.partition_wait_s,
+            streaming=FLAGS.streaming_cohort)
         if summary is None:
             print('Partition %d/%d done: %d subjects swept.'
                   % (partition_index, num_partitions, len(results)))
@@ -339,7 +477,8 @@ def main(argv):
             subject_parallel=FLAGS.subject_parallel,
             cohort_csv_file=FLAGS.cohort_csv_file,
             cohort_plot_file=FLAGS.cohort_plot_file,
-            results_csv_file=FLAGS.results_csv_file)
+            results_csv_file=FLAGS.results_csv_file,
+            streaming=FLAGS.streaming_cohort)
         num_named = '%d subjects' % len(results)
     best = int(np.argmax(mean))
     print('Cohort sweep over %s, %d lambdas:' %

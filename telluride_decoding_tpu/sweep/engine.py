@@ -26,6 +26,7 @@ becomes one program launch.
 from __future__ import annotations
 
 import functools
+import itertools
 import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
@@ -1022,8 +1023,11 @@ def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
         return jax.tree.unflatten(treedef, global_leaves)
 
     results = {}
-    for start in range(0, len(items), ndev):
-        group = items[start:start + ndev]
+    items_iter = iter(items)
+    while True:
+        group = list(itertools.islice(items_iter, ndev))
+        if not group:
+            break
         stats = subject_batch(group)
         corr = np.asarray(_subject_sweep_sharded(
             stats, lambdas_arr, mesh, model, use_ridge, False))
@@ -1061,17 +1065,34 @@ def multi_subject_sweep(subjects, lambdas: Sequence[float],
                         use_ridge: bool = True,
                         shared_shapes: bool = True,
                         subject_parallel: bool = False,
-                        context: Optional[ContextSpec] = None):
+                        context: Optional[ContextSpec] = None,
+                        pad_files_to: Optional[int] = None,
+                        pad_frames_to: Optional[int] = None):
     """Per-subject jackknife x lambda grids for a whole cohort.
 
-    ``subjects`` maps subject name -> (per_file_x, per_file_y). Each
-    subject's leave-one-out runs independently (files never mix across
+    ``subjects`` maps subject name -> (per_file_x, per_file_y) — a
+    dict/list (eager), or any other iterable of (name, (xs, ys)) pairs
+    (STREAMING: subjects are consumed lazily, so a prefetching loader
+    bounds host residency at ~two subjects instead of the whole cohort
+    while the depth-2 dispatch pipeline below overlaps subject k+1's
+    ingest+upload with subject k's on-device grid). Each subject's
+    leave-one-out runs independently (files never mix across
     subjects). With shared_shapes (the default) every subject pads to
     the cohort's (max files, max frames) shape, so a RAGGED cohort —
     different trial counts or lengths per subject — still compiles the
     sweep program exactly ONCE; a 22-subject x 40-trial x 9-lambda
     cohort (the codelab's full experiment, ~8k model fits) runs in
     seconds. Returns {subject: SweepResult} (padding sliced away).
+
+    ``pad_files_to``/``pad_frames_to`` override the shared program
+    shape (frames in COMMON zip-truncated units when ``context`` is
+    set). Eager callers may omit them (the maxima are derived from the
+    data); a lazy iterable cannot be scanned without materializing it,
+    so streaming callers MUST supply both (cli.cohort.prescan_cohort
+    derives them from TFRecord record counts without decoding). A
+    streaming subject whose shapes exceed the declared pads still
+    computes correctly but recompiles the sweep program for its larger
+    shape.
 
     With subject_parallel and a multi-device mesh, the SUBJECT axis is
     sharded over the mesh (groups of ndev subjects run concurrently,
@@ -1080,23 +1101,42 @@ def multi_subject_sweep(subjects, lambdas: Sequence[float],
     mesh (if any) shards each subject's FILE axis instead — the right
     layout when one subject's data strains HBM.
     """
-    items = (list(subjects.items()) if hasattr(subjects, 'items')
-             else list(subjects))
+    if hasattr(subjects, 'items'):
+        items = list(subjects.items())
+    elif isinstance(subjects, (list, tuple)):
+        items = list(subjects)
+    else:
+        items = None   # Lazy iterable: consume subject by subject.
     # With a context spec the arrays are raw and pad_frames_to is in
     # COMMON-axis units: n_i = raw x length - x_post.
     x_post = context.x_post if context is not None else 0
-    pad_files_to = pad_frames_to = None
-    if shared_shapes and len(items) > 1:
-        pad_files_to = max(len(xs) for _, (xs, _) in items)
-        pad_frames_to = max(x.shape[0] for _, (xs, _) in items
-                            for x in xs) - x_post
-    if (subject_parallel and mesh is not None
-            and mesh.devices.shape[0] > 1):
-        pad_files_to = pad_files_to or max(len(xs)
-                                           for _, (xs, _) in items)
-        pad_frames_to = pad_frames_to or (
-            max(x.shape[0] for _, (xs, _) in items for x in xs)
-            - x_post)
+    want_parallel = (subject_parallel and mesh is not None
+                     and mesh.devices.shape[0] > 1)
+    if items is None:
+        if (shared_shapes or want_parallel) and (
+                pad_files_to is None or pad_frames_to is None):
+            raise ValueError(
+                'multi_subject_sweep got a lazy subject iterable: '
+                'shared program shapes cannot be derived without '
+                'materializing every subject, so pass pad_files_to '
+                'AND pad_frames_to explicitly (or pass a dict/list).')
+        items = subjects
+    else:
+        if shared_shapes and len(items) > 1:
+            if pad_files_to is None:
+                pad_files_to = max(len(xs) for _, (xs, _) in items)
+            if pad_frames_to is None:
+                pad_frames_to = max(x.shape[0] for _, (xs, _) in items
+                                    for x in xs) - x_post
+    if want_parallel:
+        if not isinstance(items, list):
+            pass   # Streaming: pads were validated above.
+        else:
+            pad_files_to = pad_files_to or max(len(xs)
+                                               for _, (xs, _) in items)
+            pad_frames_to = pad_frames_to or (
+                max(x.shape[0] for _, (xs, _) in items for x in xs)
+                - x_post)
         return _subject_parallel_sweep(items, lambdas, model, dims,
                                        mesh, use_ridge, pad_files_to,
                                        pad_frames_to, context=context)

@@ -162,3 +162,140 @@ class TestCohortReviewFixes:
         for res in results.values():
             assert res.correlations.shape == (2, 3)
         assert np.all(mean > 0.5), mean   # Planted latent found.
+
+
+class TestStreamingCohort:
+    """The prefetching streaming loader (bounded host residency) must
+    be value-identical to eager whole-cohort loading."""
+
+    def _flags(self):
+        from telluride_decoding_tpu.cli import decoding
+        return decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4, dnn_regressor='linear',
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+
+    def test_prescan_matches_eager_shapes(self, tmp_path, rng):
+        """Record-count prescan derives the SAME shared program shape
+        the eager loader would (so streaming never recompiles)."""
+        from telluride_decoding_tpu.cli import cohort
+        root = _write_cohort(tmp_path, rng, num_subjects=3)
+        subjects = cohort.discover_subjects(root, [])
+        my_flags = self._flags()
+        pads = cohort.prescan_cohort(subjects, my_flags)
+        assert pads is not None
+        loaded, context = cohort.load_cohort(subjects, my_flags)
+        x_post = context.x_post if context is not None else 0
+        want_files = max(len(xs) for xs, _ in loaded.values())
+        want_frames = max(x.shape[0] for xs, _ in loaded.values()
+                          for x in xs) - x_post
+        assert pads == (want_files, want_frames)
+
+    def test_streaming_matches_eager(self, tmp_path, rng):
+        from telluride_decoding_tpu.cli import cohort
+        root = _write_cohort(tmp_path, rng, num_subjects=4)
+        subjects = cohort.discover_subjects(root, [])
+        my_flags = self._flags()
+        lambdas = [1e-4, 1e-1, 1.0]
+        eager, (mean_e, std_e) = cohort.run_cohort_sweep(
+            my_flags, subjects, lambdas, subject_parallel=False,
+            streaming=False)
+        stream, (mean_s, std_s) = cohort.run_cohort_sweep(
+            my_flags, subjects, lambdas, subject_parallel=False,
+            streaming=True)
+        assert sorted(stream) == sorted(eager)
+        for name in eager:
+            np.testing.assert_array_equal(stream[name].correlations,
+                                          eager[name].correlations)
+        np.testing.assert_array_equal(mean_s, mean_e)
+        np.testing.assert_array_equal(std_s, std_e)
+
+    def test_streaming_subject_parallel(self, tmp_path, rng):
+        """Streaming feeds the subject-sharded mesh path group by
+        group (lazy islice consumption) with identical results."""
+        from telluride_decoding_tpu.cli import cohort
+        root = _write_cohort(tmp_path, rng, num_subjects=5)
+        subjects = cohort.discover_subjects(root, [])
+        my_flags = self._flags()
+        lambdas = [1e-4, 1.0]
+        eager, (mean_e, _) = cohort.run_cohort_sweep(
+            my_flags, subjects, lambdas, subject_parallel=True,
+            streaming=False)
+        stream, (mean_s, _) = cohort.run_cohort_sweep(
+            my_flags, subjects, lambdas, subject_parallel=True,
+            streaming=True)
+        for name in eager:
+            np.testing.assert_array_equal(stream[name].correlations,
+                                          eager[name].correlations)
+        np.testing.assert_array_equal(mean_s, mean_e)
+
+    def test_field_spec_falls_back_to_eager(self, tmp_path, rng):
+        """On-the-fly field specs may change stream lengths, so the
+        count-based prescan refuses and run_cohort_sweep silently
+        loads eagerly (same results either way)."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        root = _write_cohort(tmp_path, rng, num_subjects=2)
+        subjects = cohort.discover_subjects(root, [])
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg(highpass_cutoff=0.5;highpass_order=2)',
+            output_field='intensity', pre_context=0, post_context=4,
+            dnn_regressor='linear', train_file_pattern='allbut',
+            shuffle_buffer_size=0))
+        assert cohort.prescan_cohort(subjects, my_flags) is None
+        results, _ = cohort.run_cohort_sweep(
+            my_flags, subjects, [1e-4], streaming=True)
+        assert len(results) == 2
+
+    def test_engine_lazy_iterator_requires_pads(self):
+        from telluride_decoding_tpu.sweep import engine
+        gen = iter([('s0', ([np.zeros((10, 2), np.float32)] * 2,
+                            [np.zeros((10, 1), np.float32)] * 2))])
+        with pytest.raises(ValueError, match='lazy subject iterable'):
+            engine.multi_subject_sweep(gen, [1e-3])
+
+    def test_engine_consumes_generator_lazily(self, rng):
+        """The serial pipelined loop must pull subjects one at a time
+        (never materialize the iterable) — at most 2 subjects may have
+        been yielded before the first subject's result is finalized."""
+        from telluride_decoding_tpu.sweep import engine
+        w = rng.randn(3, 1).astype(np.float32)
+
+        def make_subject():
+            xs = [rng.randn(50, 3).astype(np.float32) for _ in range(3)]
+            ys = [x @ w for x in xs]
+            return xs, ys
+
+        yielded = []
+
+        def gen():
+            for i in range(5):
+                yielded.append(i)
+                yield ('s%d' % i, make_subject())
+
+        results = engine.multi_subject_sweep(
+            gen(), [1e-5, 1e-2], pad_files_to=3, pad_frames_to=50)
+        assert len(results) == 5
+        assert len(yielded) == 5
+        for res in results.values():
+            assert res.correlations.shape == (2, 3)
+            assert np.all(res.correlations[0] > 0.99)
+        # And eager equality: same data replayed through a list.
+
+    def test_iter_cohort_prefetch_error_propagates(self, tmp_path):
+        from telluride_decoding_tpu.cli import cohort
+        bad = tmp_path / 'empty_subject'
+        bad.mkdir()
+        my_flags = self._flags()
+        with pytest.raises(ValueError, match='empty list of data files'):
+            list(cohort.iter_cohort({'bad': str(bad)}, my_flags))
+
+    def test_iter_cohort_order_and_no_prefetch(self, tmp_path, rng):
+        from telluride_decoding_tpu.cli import cohort
+        root = _write_cohort(tmp_path, rng, num_subjects=3)
+        subjects = cohort.discover_subjects(root, [])
+        my_flags = self._flags()
+        names = [n for n, _ in cohort.iter_cohort(subjects, my_flags,
+                                                  prefetch=False)]
+        assert names == list(subjects)
+        names_p = [n for n, _ in cohort.iter_cohort(subjects, my_flags)]
+        assert names_p == names
