@@ -138,16 +138,21 @@ def load_cohort(subjects: Dict[str, str], my_flags
 
 
 def _load_subject(name: str, data_dir: str, my_flags, use_raw: bool):
-    """One subject's per-trial (x, y) arrays (raw or host-stacked)."""
+    """One subject's per-trial (x, y) arrays (raw or host-stacked).
+
+    Reads THROUGH the decoded-file LRU cache (cache=False): a cohort
+    sweep touches every file exactly once, so populating the cache
+    would pin up to TDT_FILE_CACHE_BYTES of arrays nobody rereads.
+    """
     import dataclasses
     sub_flags = dataclasses.replace(my_flags, tfexample_dir=data_dir)
     bd = regression.get_brain_data_object(sub_flags)
     files = sorted(bd.all_files())
     helper = regression.Regression(sub_flags)
     if use_raw:
-        xs, ys, _ = helper._per_file_raw(bd, files)
+        xs, ys, _ = helper._per_file_raw(bd, files, cache=False)
     else:
-        xs, ys = helper._per_file_arrays(bd, files)
+        xs, ys = helper._per_file_arrays(bd, files, cache=False)
     logging.info('subject %s: %d trials from %s', name, len(files),
                  data_dir)
     return name, (xs, ys)
