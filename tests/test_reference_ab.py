@@ -188,6 +188,41 @@ def test_regression_jackknife_parity(workdir):
         assert d.delta < 1e-5, (d.field, d.ref, d.tdt)
 
 
+class TestModuleParity:
+    """MODULE-level A/B: the support subsystems the driver flows do
+    not fully exercise — reference ingest.py (MemoryBrainDataFile ->
+    z-score -> assemble -> TFRecords, trigger alignment),
+    preprocess.py (streamed IIR+resample+context pipeline, param-string
+    grammar, AudioFeatures), attention_decoder.py (WTA/stepped/SSD),
+    scaled_lda.py and result_store.py — run LIVE on identical staged
+    inputs (tools/_ab_module_worker.py)."""
+
+    @pytest.fixture(scope='class')
+    def modules(self, workdir):
+        return ab.run_modules_ab(workdir)
+
+    def test_all_module_rows_reconcile(self, modules):
+        rows, _, _ = modules
+        assert len(rows) > 40
+        _assert_rows(rows, 'modules')
+
+    def test_ingest_tfrecords_byte_identical_values(self, modules):
+        """The reference's TF-written ingest artifacts and this
+        framework's TF-free codec hold identical f32 values."""
+        rows, _, _ = modules
+        tf_rows = [d for d in rows if d.field.startswith(
+            'modules/tfrecord.')]
+        assert len(tf_rows) >= 8
+        for d in tf_rows:
+            assert d.delta == 0.0, (d.field, d.delta)
+
+    def test_ssd_decisions_identical(self, modules):
+        rows, _, _ = modules
+        [d] = [r for r in rows
+               if r.field == 'modules/att.ssd/decision_flips']
+        assert d.tdt == 0.0, 'SSD p>0.5 decisions disagree on %d windows' % d.tdt
+
+
 class TestLiveMigration:
 
     def test_linear_saved_model_migrates(self, linear_meg):

@@ -711,6 +711,358 @@ def run_regression_ab(tmpdir: str, *,
     return rows, ref, tdt
 
 
+# --------------------------------------------------------------------------
+# Module-level A/B: the support subsystems the driver flows do not
+# fully exercise (reference ingest.py / preprocess.py /
+# attention_decoder.py / scaled_lda.py / result_store.py), run LIVE on
+# identical staged inputs via tools/_ab_module_worker.py.
+
+_MODULE_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              '_ab_module_worker.py')
+
+
+def stage_module_inputs(path: str) -> Dict[str, np.ndarray]:
+    """Seeded inputs shared by both sides of the module A/B."""
+    rng = np.random.RandomState(20260818)
+    inputs: Dict[str, np.ndarray] = {}
+    # EEG-like drifting signal, 4 channels @ 100 Hz.
+    inputs['eeg'] = np.cumsum(
+        rng.randn(1200, 4), axis=0).astype(np.float64) * 0.1
+    # Audio-like: noisy AM tone @ 1 kHz nominal rate.
+    t = np.arange(8000) / 1000.0
+    inputs['audio'] = ((1 + 0.5 * np.sin(2 * np.pi * 1.3 * t)) *
+                       np.sin(2 * np.pi * 97.0 * t) +
+                       0.1 * rng.randn(8000)).astype(np.float64)
+    # Ingest trials: ragged lengths exercise adjust_data_sizes.
+    inputs['ingest.trial_01.eeg'] = rng.randn(480, 3) * 40 + 3
+    inputs['ingest.trial_02.eeg'] = rng.randn(520, 3) * 38 - 1
+    inputs['ingest.trial_01.intensity'] = np.abs(
+        rng.randn(500, 1)) * 2 + 0.5
+    inputs['ingest.trial_02.intensity'] = np.abs(
+        rng.randn(450, 1)) * 2 + 0.4
+    # Trigger onsets: eeg = audio + 1.75 s with jitter + one outlier.
+    audio_t = np.sort(rng.uniform(0, 60, 25))
+    eeg_t = audio_t + 1.75 + rng.randn(25) * 0.002
+    eeg_t[7] += 3.0
+    inputs['trig.audio'] = audio_t
+    inputs['trig.eeg'] = eeg_t
+    # Attention: log-normal-ish correlations, switch at window 200.
+    n_att = 400
+    attended = np.exp(rng.randn(n_att) * 0.3 - 1.0)
+    unattended = np.exp(rng.randn(n_att) * 0.3 - 2.0)
+    r1 = np.where(np.arange(n_att) < 200, attended, unattended)
+    r2 = np.where(np.arange(n_att) < 200, unattended, attended)
+    inputs['att.r1'] = r1
+    inputs['att.r2'] = r2
+    inputs['att.tune_n'] = np.asarray(100)
+    # LDA: two separable Gaussian classes + a 4-class problem. Classes
+    # are EQUAL-sized: the reference's fit_two_classes builds its
+    # label vector from class0's length twice (reference
+    # scaled_lda.py:340-341) and IndexErrors on ragged classes — a
+    # live reference bug this rebuild fixes (solvers/lda.py
+    # fit_two_classes); the A/B stays on the working path.
+    inputs['lda.c0'] = rng.randn(200, 4) + np.array([0, 0, 0, 0.])
+    inputs['lda.c1'] = rng.randn(200, 4) + np.array([2, 1, 0, -1.])
+    inputs['lda.x'] = rng.randn(100, 4) + np.array([1, .5, 0, -.5])
+    means4 = np.array([[0, 0, 0], [3, 0, 0], [0, 3, 0], [1, 1, 2.]])
+    y4 = np.repeat(np.arange(4), 60)
+    inputs['lda.x4'] = rng.randn(240, 3) + means4[y4]
+    inputs['lda.y4'] = y4.astype(np.float64)
+    # Result stores: ragged chunk sizes (incl. a 1-frame chunk).
+    inputs['rs.stream'] = rng.randn(333, 2)
+    inputs['rs.chunks'] = np.asarray([50, 1, 97, 100, 85])
+    inputs['rs.s1'] = rng.randn(333)
+    inputs['rs.s2'] = rng.randn(333)
+    np.savez(path, **inputs)
+    return inputs
+
+
+def rebuild_modules(inputs: Dict[str, np.ndarray],
+                    tf_dir: str) -> Dict[str, np.ndarray]:
+    """This framework's side of the module A/B: the same flows as
+    tools/_ab_module_worker.py, through telluride_decoding_tpu."""
+    from telluride_decoding_tpu.decide import attention_decoder
+    from telluride_decoding_tpu.io import ingest
+    from telluride_decoding_tpu.signal import audio_stores
+    from telluride_decoding_tpu.signal import preprocess
+    from telluride_decoding_tpu.solvers import lda as lda_mod
+    from telluride_decoding_tpu.decode import result_store
+
+    out: Dict[str, np.ndarray] = {}
+
+    # -- preprocess ---------------------------------------------------------
+    eeg = inputs['eeg']
+    pp = preprocess.Preprocessor(
+        'eeg', 100, 64, highpass_cutoff=2, highpass_order=4,
+        lowpass_cutoff=20, lowpass_order=4, channel_numbers='0-2',
+        data_mean=0.5, data_std=2.0, pre_context=2, post_context=1)
+    parts = [pp.process(eeg[a:b])
+             for a, b in ((0, 400), (400, 900), (900, eeg.shape[0]))]
+    out['preprocess.batched'] = np.concatenate(
+        [p for p in parts if p.size], axis=0)
+    pp2 = preprocess.Preprocessor(
+        'eeg2(highpass_cutoff=1;highpass_order=2;channel_numbers=1-3)',
+        100, 100)
+    out['preprocess.paramstring'] = pp2.process(eeg)
+    audio = inputs['audio']
+    af = preprocess.AudioFeatures('intensity', 1000, 100, window=1,
+                                  exponent=float(np.log10(2)))
+    out['preprocess.intensity'] = af.compute_intensity(audio)
+    af2 = preprocess.AudioFeatures('loud', 1000, 64)
+    out['preprocess.resampled'] = af2.audio_resample(audio)
+    af3 = preprocess.AudioFeatures('spec', 16000, 100)
+    spec, freqs = af3.compute_spectrogram(audio)
+    out['preprocess.spectrogram'] = spec
+    out['preprocess.spec_freqs'] = freqs
+    store = audio_stores.AudioIntensityStore(window_step=100,
+                                             window_width=250)
+    store.add_data(audio[:2000].reshape(-1, 1))
+    out['preprocess.intensity_store'] = np.asarray(
+        list(store.next_window()), np.float64)
+    loud = audio_stores.AudioLoudnessMick(window_step=100,
+                                          window_width=250)
+    loud.add_data(audio[:2000].reshape(-1, 1))
+    out['preprocess.loudness_store'] = np.asarray(
+        list(loud.next_window()), np.float64)
+
+    # -- ingest ---------------------------------------------------------------
+    trial_dict = {}
+    for t in ('trial_01', 'trial_02'):
+        intensity = inputs['ingest.%s.intensity' % t]
+        sound_dict = {
+            'intensity': intensity,
+            'ones': np.ones(intensity.shape, dtype=intensity.dtype),
+            'attended_speaker': np.zeros(intensity.shape,
+                                         dtype=intensity.dtype),
+        }
+        eeg_dict = {'eeg_data': inputs['ingest.%s.eeg' % t]}
+        trial_dict[t] = [sound_dict,
+                         ingest.MemoryBrainDataFile(eeg_dict, sr=64)]
+    exp = ingest.BrainExperiment(trial_dict, '.', '.', frame_rate=64)
+    exp.load_all_data()
+    exp.z_score_all_data()
+    for trial in exp.iterate_trials():
+        trial.assemble_brain_data('eeg_data')
+    exp.write_all_data(tf_dir)
+    for trial in exp.iterate_trials():
+        for key, value in trial.model_features.items():
+            out['ingest.%s.%s' % (trial.trial_name, key)] = (
+                np.asarray(value))
+    for key, mean in exp._feature_mean.items():
+        out['ingest.mean.%s' % key] = np.asarray(mean, np.float64)
+        out['ingest.std.%s' % key] = np.asarray(exp._feature_std[key],
+                                                np.float64)
+    audio_t, eeg_t = inputs['trig.audio'], inputs['trig.eeg']
+    intercept, outliers = (
+        ingest.find_temporal_offset_via_linear_regression(
+            audio_t, eeg_t, verbose=False))
+    out['ingest.lr'] = np.asarray([intercept, outliers], np.float64)
+    out['ingest.mode'] = np.asarray(
+        ingest.find_temporal_offset_via_mode_histogram(
+            audio_t, eeg_t, max_time=5, fs=100.0), np.float64)
+    out['ingest.close'] = np.asarray(
+        ingest.remove_close_times(list(eeg_t), min_time=0.06),
+        np.float64)
+
+    # -- attention ------------------------------------------------------------
+    r1, r2 = inputs['att.r1'], inputs['att.r2']
+    tune_n = int(inputs['att.tune_n'])
+    for name in ('wta', 'stepped', 'ssd'):
+        dec = attention_decoder.create_attention_decoder(
+            name, window_step=100, frame_rate=100.0, ssd_offset=2.0)
+        dec.tune(r1[:tune_n], r2[:tune_n])
+        rows = []
+        for i in range(r1.shape[0]):
+            d, lo, hi = dec.attention(r1[i], r2[i])
+            rows.append((float(d), float(lo), float(hi)))
+        out['att.%s' % name] = np.asarray(rows, np.float64)
+
+    # -- lda --------------------------------------------------------------------
+    c0, c1, x_test = inputs['lda.c0'], inputs['lda.c1'], inputs['lda.x']
+    slda = lda_mod.ScaledLinearDiscriminantAnalysis()
+    slda.fit_two_classes(c0, c1)
+    out['lda.scaled_transform'] = np.asarray(slda.transform(x_test))
+    out['lda.scaled_means'] = np.asarray(
+        slda.transform(np.stack([c0.mean(axis=0),
+                                 c1.mean(axis=0)])))[:, 0]
+    out['lda.explained'] = np.asarray(slda.explained_variance_ratio())
+    x4, y4 = inputs['lda.x4'], inputs['lda.y4']
+    lda = lda_mod.LinearDiscriminantAnalysis()
+    lda.fit_transform(x4, y4)
+    out['lda.explained4'] = np.asarray(lda.explained_variance_ratio())
+
+    # -- result stores ----------------------------------------------------------
+    stream = inputs['rs.stream']
+    chunks = [int(c) for c in inputs['rs.chunks']]
+    wstore = result_store.WindowedDataStore(window_step=30,
+                                            window_width=50,
+                                            pre_context=7)
+    windows = []
+    start = 0
+    for c in chunks:
+        wstore.add_data(stream[start:start + c])
+        start += c
+        windows.extend(w.copy() for w in wstore.next_window())
+    out['rs.windows'] = np.stack(windows)
+    two = result_store.TwoResultStore(window_width=40, window_step=25)
+    s1, s2 = inputs['rs.s1'], inputs['rs.s2']
+    w1s, w2s = [], []
+    start = 0
+    for c in chunks:
+        two.add_data(s1[start:start + c], s2[start:start + c])
+        start += c
+        for w1, w2 in two.next_window():
+            w1s.append(np.asarray(w1).copy())
+            w2s.append(np.asarray(w2).copy())
+    out['rs.two1'] = np.stack(w1s)
+    out['rs.two2'] = np.stack(w2s)
+    return out
+
+
+# field -> (max-abs tolerance, note). Scales: every staged signal is
+# O(1)-normalized, so absolute tolerances read as relative ones.
+_MODULE_TOLS = {
+    # IIR cascades run f32 on device vs the reference's f64 scipy
+    # sosfilt; ~1e-4 parity per filters.sosfilt docstring, with an
+    # 8-section margin over the 1200-frame recurrence.
+    'preprocess.batched': (2e-3, 'f32 associative-scan IIR vs f64 '
+                                 'scipy sosfilt, streamed state'),
+    'preprocess.paramstring': (1e-3, 'param-string grammar (reference '
+                               'ctor clobbers it, preprocess.py:'
+                               '102-110, so the reference side calls '
+                               'init_from_string directly)'),
+    'preprocess.intensity': (1e-4, ''),
+    'preprocess.resampled': (1e-5, ''),
+    'preprocess.spectrogram': (1e-3, 'scale 0..255'),
+    'preprocess.spec_freqs': (1e-9, ''),
+    'preprocess.intensity_store': (1e-6, ''),
+    'preprocess.loudness_store': (1e-6, ''),
+    'ingest.lr': (1e-9, 'Theil-Sen intercept + outlier count'),
+    'ingest.mode': (1e-9, ''),
+    'ingest.close': (1e-9, ''),
+    'att.wta': (0.0, 'exact'),
+    'att.stepped': (0.0, 'exact'),
+    'lda.scaled_means': (1e-3, 'class means must hit 0/1'),
+    'lda.explained': (1e-3, ''),
+    'lda.explained4': (1e-3, ''),
+    'rs.windows': (0.0, 'exact'),
+    'rs.two1': (0.0, 'exact'),
+    'rs.two2': (0.0, 'exact'),
+}
+_MODULE_DEFAULT_TOL = (1e-5, '')
+
+
+def run_modules_ab(tmpdir: str) -> Tuple[List[Delta], Dict, Dict]:
+    """Module-level A/B across the support subsystems; returns rows
+    plus both output dicts."""
+    workdir = os.path.join(tmpdir, 'modules')
+    os.makedirs(workdir, exist_ok=True)
+    inputs_npz = os.path.join(workdir, 'inputs.npz')
+    inputs = stage_module_inputs(inputs_npz)
+    ref_tf = os.path.join(workdir, 'ref_tfrecords')
+    tdt_tf = os.path.join(workdir, 'tdt_tfrecords')
+    os.makedirs(ref_tf, exist_ok=True)
+    os.makedirs(tdt_tf, exist_ok=True)
+    config = {
+        'reference_path': REFERENCE_PATH,
+        'inputs_npz': inputs_npz,
+        'out_npz': os.path.join(workdir, 'ref_out.npz'),
+        'tf_dir': ref_tf,
+    }
+    config_path = os.path.join(workdir, 'module_config.json')
+    with open(config_path, 'w') as f:
+        json.dump(config, f)
+    proc = subprocess.run(
+        [sys.executable, _MODULE_WORKER, config_path],
+        env=_worker_env(), capture_output=True, text=True, timeout=900)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            'Module worker failed (rc=%d).\nstdout:\n%s\nstderr:\n%s'
+            % (proc.returncode, proc.stdout[-4000:],
+               proc.stderr[-4000:]))
+    ref = dict(np.load(config['out_npz']))
+    tdt = rebuild_modules(inputs, tdt_tf)
+
+    rows: List[Delta] = []
+    for key in sorted(set(ref) | set(tdt)):
+        if key.startswith('att.ssd') or key == 'lda.scaled_transform':
+            continue   # Reconciled below (per-axis semantics).
+        if key not in ref or key not in tdt:
+            rows.append(Delta('modules/' + key, float('nan'),
+                              float('nan'), 0.0, 'abs',
+                              'missing on one side'))
+            continue
+        rv, tv = np.asarray(ref[key]), np.asarray(tdt[key])
+        if rv.shape != tv.shape:
+            rows.append(Delta('modules/' + key + '/shape', 0.0, 1.0,
+                              0.0, 'abs', '%s vs %s' % (rv.shape,
+                                                        tv.shape)))
+            continue
+        tol, note = _MODULE_TOLS.get(key, _MODULE_DEFAULT_TOL)
+        diff = float(np.max(np.abs(rv.astype(np.float64) -
+                                   tv.astype(np.float64)))
+                     if rv.size else 0.0)
+        rows.append(Delta('modules/' + key, 0.0, diff, tol, 'abs',
+                          note))
+    # SSD: probabilities to tolerance; the reference emits its bounds
+    # in (mean, upper, lower) order while documenting (mean, lower,
+    # upper) (reference attention_decoder.py:448-452) — the rebuild
+    # follows the documentation, so bounds reconcile SWAPPED.
+    rssd, tssd = np.asarray(ref['att.ssd']), np.asarray(tdt['att.ssd'])
+    rows.append(Delta('modules/att.ssd/p', 0.0,
+                      float(np.max(np.abs(rssd[:, 0] - tssd[:, 0]))),
+                      2e-2, 'abs', 'fixed-lag posterior: f32 jitted EM '
+                      'vs f64 numpy over 20 outer iterations; '
+                      'decisions identical (next row)'))
+    rows.append(Delta('modules/att.ssd/bounds', 0.0,
+                      float(max(np.max(np.abs(rssd[:, 1] - tssd[:, 2])),
+                                np.max(np.abs(rssd[:, 2] - tssd[:, 1])))),
+                      2e-2, 'abs', 'reference emits (upper, lower); '
+                      'rebuild follows the documented (lower, upper)'))
+    flips = int(np.sum((rssd[:, 0] > 0.5) != (tssd[:, 0] > 0.5)))
+    rows.append(Delta('modules/att.ssd/decision_flips', 0.0,
+                      float(flips), 0.0, 'abs',
+                      'windows where p>0.5 disagrees'))
+    # Two-class scaled LDA: axis 0 (the discriminant, pinned by the
+    # 0/1 mean scaling) must match; axis 1's eigenvalue is ~0 so its
+    # direction is mathematically non-unique — informational only.
+    rlt = np.asarray(ref['lda.scaled_transform'])
+    tlt = np.asarray(tdt['lda.scaled_transform'])
+    rows.append(Delta('modules/lda.scaled_transform', 0.0,
+                      float(np.max(np.abs(rlt[:, 0] - tlt[:, 0]))),
+                      2e-3, 'abs', 'discriminant axis'))
+    rows.append(Delta('modules/lda.scaled_transform_axis1', 0.0,
+                      float(np.max(np.abs(rlt[:, 1:] - tlt[:, 1:]))
+                            if rlt.shape[1] > 1 else 0.0),
+                      0.0, 'info', 'null-space axis (eigenvalue ~0): '
+                      'direction non-unique, informational'))
+    # TFRecord artifacts: the reference's TF-written files vs this
+    # framework's TF-free codec, read back through the SAME reader.
+    from telluride_decoding_tpu.data import records
+    for t in ('trial_01', 'trial_02'):
+        fname = t + '.tfrecords'
+        ref_data = records.read_tfrecords(os.path.join(ref_tf, fname))
+        tdt_data = records.read_tfrecords(os.path.join(tdt_tf, fname))
+        keys_match = sorted(ref_data) == sorted(tdt_data)
+        rows.append(Delta('modules/tfrecord.%s/fields' % t, 1.0,
+                          float(keys_match), 0.0, 'abs',
+                          ','.join(sorted(ref_data))))
+        for key in sorted(ref_data):
+            if key not in tdt_data:
+                continue
+            rv, tv = ref_data[key], tdt_data[key]
+            if rv.shape != tv.shape:
+                rows.append(Delta(
+                    'modules/tfrecord.%s/%s' % (t, key), 0.0, 1.0,
+                    0.0, 'abs', 'shape %s vs %s' % (rv.shape, tv.shape)))
+                continue
+            diff = float(np.max(np.abs(rv - tv))) if rv.size else 0.0
+            rows.append(Delta('modules/tfrecord.%s/%s' % (t, key),
+                              0.0, diff, 0.0, 'abs',
+                              'f32 values byte-identical'))
+    return rows, {'npz': config['out_npz']}, {'tf_dir': tdt_tf}
+
+
 STANDARD_CONFIGS = ('linear_meg', 'linear_meg_context', 'cca_meg',
                     'linear_synthetic')
 
@@ -814,6 +1166,9 @@ def main(argv: Sequence[str] = ()) -> int:
     failures += sum(1 for d in rows if not d.ok)
     rows, _, _ = run_regression_ab(workdir)
     all_rows['regression'] = rows
+    failures += sum(1 for d in rows if not d.ok)
+    rows, _, _ = run_modules_ab(workdir)
+    all_rows['modules'] = rows
     failures += sum(1 for d in rows if not d.ok)
     report = format_report(all_rows)
     print(report)
