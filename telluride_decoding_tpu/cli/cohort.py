@@ -205,7 +205,13 @@ def prescan_cohort(subjects: Dict[str, str], my_flags
             if error:
                 return None
             max_count = max(max_count, count)
-    frames = max_count - abs(getattr(bd, 'input_offset', 0))
+    # pad_frames_to is in COMMON zip-truncated units: n_i = count -
+    # |input_offset| for every stream layout (raw streams carry
+    # n_i + x_post rows, i.e. the engine adds x_post back itself), so
+    # this matches the eager loader's derivation exactly and toggling
+    # --streaming_cohort never recompiles the sweep
+    # (TestStreamingCohort pins bit-identical results).
+    frames = max_count - abs(int(my_flags.input_offset))
     if max_files == 0 or frames <= 0:
         return None
     return max_files, frames
