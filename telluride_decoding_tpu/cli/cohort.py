@@ -205,13 +205,15 @@ def prescan_cohort(subjects: Dict[str, str], my_flags
             if error:
                 return None
             max_count = max(max_count, count)
-    # pad_frames_to is in COMMON zip-truncated units: n_i = count -
-    # |input_offset| for every stream layout (raw streams carry
-    # n_i + x_post rows, i.e. the engine adds x_post back itself), so
-    # this matches the eager loader's derivation exactly and toggling
-    # --streaming_cohort never recompiles the sweep
+    # pad_frames_to is in COMMON zip-truncated units, which for this
+    # data path is simply the record count: the regression/cohort
+    # loaders never apply input_offset (get_brain_data_object omits
+    # it, faithful to the reference's regression.py:114-128), and raw
+    # streams carry n_i + x_post rows — the engine adds x_post back
+    # itself. This matches the eager loader's derivation exactly, so
+    # toggling --streaming_cohort never recompiles the sweep
     # (TestStreamingCohort pins bit-identical results).
-    frames = max_count - abs(int(my_flags.input_offset))
+    frames = max_count
     if max_files == 0 or frames <= 0:
         return None
     return max_files, frames
@@ -237,25 +239,43 @@ def iter_cohort(subjects: Dict[str, str], my_flags, prefetch: bool = True):
             yield _load_subject(name, data_dir, my_flags, use_raw)
         return
     q: 'queue.Queue' = queue.Queue(maxsize=1)
+    # Set when the consumer abandons the generator (sweep exception,
+    # early close): the worker must not block forever in q.put holding
+    # a subject's arrays (~1.5 GB at jens scale) for the process
+    # lifetime — it polls this event and exits, dropping its payload.
+    stop = threading.Event()
+
+    def _put(payload) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(payload, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for name, data_dir in items:
-                q.put(('item',
-                       _load_subject(name, data_dir, my_flags, use_raw)))
-            q.put(('done', None))
+                if not _put(('item', _load_subject(name, data_dir,
+                                                   my_flags, use_raw))):
+                    return
+            _put(('done', None))
         except BaseException as e:   # Re-raised on the consumer side.
-            q.put(('error', e))
+            _put(('error', e))
 
     threading.Thread(target=worker, daemon=True,
                      name='tdt-cohort-prefetch').start()
-    while True:
-        kind, val = q.get()
-        if kind == 'done':
-            return
-        if kind == 'error':
-            raise val
-        yield val
+    try:
+        while True:
+            kind, val = q.get()
+            if kind == 'done':
+                return
+            if kind == 'error':
+                raise val
+            yield val
+    finally:
+        stop.set()
 
 
 def write_cohort_csv(path: str, lambdas, mean, std):

@@ -211,7 +211,12 @@ def initialize(coordinator_address: Optional[str] = None,
         'TDT_COORDINATOR')
     if not coordinator_address:
         return False
-    if jax.process_count() > 1:
+    # The idempotency guard must NOT touch jax.process_count(): that
+    # initializes the XLA backends, after which
+    # jax.distributed.initialize() unconditionally raises ("must be
+    # called before any JAX calls"). Ask the distributed runtime
+    # directly instead.
+    if jax.distributed.is_initialized():
         return True
     num_processes = num_processes if num_processes is not None else int(
         os.environ.get('TDT_NUM_PROCESSES', '0'))
@@ -239,14 +244,27 @@ def allgather_summary(lambdas: Sequence[float], results
         stats = summary_stats(results)
     else:
         stats = np.zeros((3, len(lambdas)))
+    # The lambda grid rides along as a fourth row so mismatched grids
+    # across hosts fail loudly instead of silently merging — the same
+    # guard the filesystem join applies per part file (join_parts).
+    lambdas_row = np.asarray(list(lambdas), np.float64)[None, :]
+    payload = np.concatenate([stats, lambdas_row], axis=0)
     # The float64 statistics ride the collective as raw uint32 pairs:
     # without jax_enable_x64 a float64 array would be silently
     # truncated to float32, making the DCN join lose precision the
     # filesystem join (JSON, float64) keeps. Same-endianness hosts
     # assumed (a pod, not a heterogeneous cluster).
-    bits = np.ascontiguousarray(stats).view(np.uint32)
+    bits = np.ascontiguousarray(payload).view(np.uint32)
     gathered = np.asarray(multihost_utils.process_allgather(bits))
     if gathered.ndim == 2:        # Single-process group.
         gathered = gathered[None]
-    stats_all = np.ascontiguousarray(gathered).view(np.float64)
-    return reduce_stats(np.sum(stats_all, axis=0))
+    payload_all = np.ascontiguousarray(gathered).view(np.float64)
+    for proc in range(payload_all.shape[0]):
+        if not np.array_equal(payload_all[proc, 3], lambdas_row[0]):
+            raise ValueError(
+                'allgather_summary: process %d swept lambdas %s, '
+                'expected %s — every partition must run the same '
+                'regularization grid.'
+                % (proc, payload_all[proc, 3].tolist(),
+                   lambdas_row[0].tolist()))
+    return reduce_stats(np.sum(payload_all[:, :3], axis=0))

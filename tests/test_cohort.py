@@ -229,6 +229,49 @@ class TestStreamingCohort:
                                           eager[name].correlations)
         np.testing.assert_array_equal(mean_s, mean_e)
 
+    def test_prescan_ignores_input_offset(self, tmp_path, rng):
+        """The regression/cohort loaders never apply input_offset
+        (get_brain_data_object omits it, faithful to the reference),
+        so the prescan shape must not subtract it either — otherwise
+        every subject reaching max_count would exceed the declared pad
+        and recompile."""
+        from telluride_decoding_tpu.cli import cohort
+        import dataclasses
+        root = _write_cohort(tmp_path, rng, num_subjects=2)
+        subjects = cohort.discover_subjects(root, [])
+        base = self._flags()
+        shifted = dataclasses.replace(base, input_offset=26)
+        assert (cohort.prescan_cohort(subjects, shifted)
+                == cohort.prescan_cohort(subjects, base))
+        loaded, context = cohort.load_cohort(subjects, shifted)
+        x_post = context.x_post if context is not None else 0
+        want = (max(len(xs) for xs, _ in loaded.values()),
+                max(x.shape[0] for xs, _ in loaded.values()
+                    for x in xs) - x_post)
+        assert cohort.prescan_cohort(subjects, shifted) == want
+
+    def test_prefetch_thread_exits_on_abandoned_iteration(
+            self, tmp_path, rng):
+        """Abandoning the generator (sweep exception, early close)
+        must release the prefetch thread instead of leaving it
+        blocked in q.put holding a subject's arrays."""
+        import threading
+        import time
+        from telluride_decoding_tpu.cli import cohort
+        root = _write_cohort(tmp_path, rng, num_subjects=4)
+        subjects = cohort.discover_subjects(root, [])
+        gen = cohort.iter_cohort(subjects, self._flags())
+        next(gen)                   # Worker now prefetches ahead.
+        gen.close()                 # Consumer abandons mid-cohort.
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            alive = [t for t in threading.enumerate()
+                     if t.name == 'tdt-cohort-prefetch' and t.is_alive()]
+            if not alive:
+                break
+            time.sleep(0.05)
+        assert not alive, 'prefetch thread still blocked after close()'
+
     def test_field_spec_falls_back_to_eager(self, tmp_path, rng):
         """On-the-fly field specs may change stream lengths, so the
         count-based prescan refuses and run_cohort_sweep silently

@@ -227,15 +227,22 @@ class TestDistributedCollectiveJoin:
             s.bind(('localhost', 0))
             port = s.getsockname()[1]
         script = textwrap.dedent('''
-            import json, sys
+            import json, os, sys
             import numpy as np
             import jax
             jax.config.update('jax_platforms', 'cpu')
             pid = int(sys.argv[1])
-            jax.distributed.initialize(
-                coordinator_address='localhost:%d',
-                num_processes=2, process_id=pid)
+            # Join through the PRODUCTION env-driven path (this is the
+            # regression test for the initialize() idempotency guard:
+            # it must not touch jax.process_count(), which would
+            # initialize the XLA backends and make
+            # jax.distributed.initialize() raise).
+            os.environ['TDT_COORDINATOR'] = 'localhost:%d'
+            os.environ['TDT_NUM_PROCESSES'] = '2'
+            os.environ['TDT_PROCESS_ID'] = str(pid)
             from telluride_decoding_tpu.parallel import multihost
+            assert multihost.initialize() is True
+            assert multihost.initialize() is True   # idempotent
             from telluride_decoding_tpu.sweep.engine import SweepResult
             blob = json.load(open(sys.argv[2]))
             results = {
@@ -268,6 +275,26 @@ class TestDistributedCollectiveJoin:
             # tolerance bounded only by the %.9f print format.
             np.testing.assert_allclose(got_mean, want_mean, atol=2e-9)
             np.testing.assert_allclose(got_std, want_std, atol=2e-9)
+
+    def test_allgather_rejects_mismatched_lambda_grids(self, rng,
+                                                       monkeypatch):
+        """The DCN join must fail as loudly as the filesystem join
+        when partitions swept different grids: the lambda row rides
+        the collective and is cross-checked."""
+        results = _fake_results(rng, subjects=('s00',))
+        lambdas = results['s00'].lambdas
+
+        def fake_allgather(bits):
+            mine = np.asarray(bits)
+            other = mine.copy().view(np.float64)
+            other[3, 0] *= 10.0          # Different grid on process 1.
+            return np.stack([mine, other.view(np.uint32)])
+
+        from jax.experimental import multihost_utils
+        monkeypatch.setattr(multihost_utils, 'process_allgather',
+                            fake_allgather)
+        with pytest.raises(ValueError, match='process 1 swept'):
+            multihost.allgather_summary(lambdas, results)
 
     def test_initialize_noop_without_env(self, monkeypatch):
         monkeypatch.delenv('TDT_COORDINATOR', raising=False)
