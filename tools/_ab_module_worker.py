@@ -78,6 +78,12 @@ def task_preprocess(inp, out, np):
         'channel_numbers=1-3)')
     out['preprocess.paramstring'] = pp2.process(eeg)
 
+    # Grouped re-referencing (reference preprocess.py:407-430).
+    pp3 = preprocess.Preprocessor('reref', 100, 100,
+                                  ref_channels=[[0, 1], [2, 3]],
+                                  channels_to_ref=[[2, 3], [0, 1]])
+    out['preprocess.reref'] = pp3.process(eeg.copy())
+
     audio = inp['audio']
     af = preprocess.AudioFeatures('intensity', 1000, 100, window=1,
                                   exponent=float(np.log10(2)))

@@ -804,6 +804,10 @@ def rebuild_modules(inputs: Dict[str, np.ndarray],
         'eeg2(highpass_cutoff=1;highpass_order=2;channel_numbers=1-3)',
         100, 100)
     out['preprocess.paramstring'] = pp2.process(eeg)
+    pp3 = preprocess.Preprocessor('reref', 100, 100,
+                                  ref_channels=[[0, 1], [2, 3]],
+                                  channels_to_ref=[[2, 3], [0, 1]])
+    out['preprocess.reref'] = pp3.process(eeg.copy())
     audio = inputs['audio']
     af = preprocess.AudioFeatures('intensity', 1000, 100, window=1,
                                   exponent=float(np.log10(2)))
@@ -931,6 +935,7 @@ _MODULE_TOLS = {
                                'ctor clobbers it, preprocess.py:'
                                '102-110, so the reference side calls '
                                'init_from_string directly)'),
+    'preprocess.reref': (0.0, 'exact (grouped average re-reference)'),
     'preprocess.intensity': (1e-4, ''),
     'preprocess.resampled': (1e-5, ''),
     'preprocess.spectrogram': (1e-3, 'scale 0..255'),
