@@ -379,11 +379,20 @@ def export_keras_h5(model, path: str) -> None:
     #   for k, v in side.items():
     #       setattr(model, k, tf.Variable(v))
     #   model.save('saved_model_dir')
-    if getattr(model, 'telluride_metadata', None):
+    # Written when ANY of the three is set (matching the SavedModel
+    # exporter, which persists each variable independently): a model
+    # with input/output shape strings but no flags JSON must still
+    # round-trip them.
+    if any(getattr(model, attr, None) for attr in
+           ('telluride_metadata', 'telluride_inputs',
+            'telluride_output')):
         sidecar = {
-            'telluride_metadata': model.telluride_metadata,
-            'telluride_inputs': model.telluride_inputs or '',
-            'telluride_output': model.telluride_output or '',
+            'telluride_metadata': getattr(model, 'telluride_metadata',
+                                          None) or '',
+            'telluride_inputs': getattr(model, 'telluride_inputs',
+                                        None) or '',
+            'telluride_output': getattr(model, 'telluride_output',
+                                        None) or '',
         }
         base = path[:-3] if path.endswith('.h5') else path
         with open(base + '.telluride.json', 'w') as f:

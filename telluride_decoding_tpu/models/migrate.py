@@ -57,6 +57,26 @@ def load_reference_saved_model(saved_model_dir: str) -> BrainModel:
     inputs = string_var('telluride_inputs')
     output = string_var('telluride_output')
 
+    # The embedded flags JSON names the family authoritatively. Shape
+    # signatures alone cannot tell a zero-hidden-layer classifier
+    # (one Dense + sigmoid over concat(input_1, input_2), reference
+    # decoding.py:291-295 with --hidden_units '') from plain linear
+    # regression — loading one as the other would silently drop the
+    # sigmoid and the input concat — so refuse SGD families up front
+    # whenever the metadata says so.
+    family = None
+    if metadata:
+        try:
+            family = json.loads(metadata).get('dnn_regressor')
+        except ValueError:
+            pass
+    if family not in (None, 'linear', 'linear_with_bias', 'cca'):
+        raise ValueError(
+            'Reference SavedModel records dnn_regressor=%r in its '
+            'telluride metadata. Only the deterministic families '
+            '(linear regression, CCA) migrate; retrain DNN/classifier '
+            'models natively with cli.decoding.' % family)
+
     kernel_key = _find(tensors, ['kernel'])
     rot1_key = _find(tensors, ['rot1'])
     if kernel_key is None and rot1_key is None:
@@ -82,6 +102,7 @@ def load_reference_saved_model(saved_model_dir: str) -> BrainModel:
                                        'dense/bias': arrays[1]})
             kernel_key = 'dense/kernel'
         elif (len(arrays) == 4 and
+              all(len(s) == 2 for s in shapes) and
               shapes[0][0] == 1 and shapes[1][0] == 1 and
               shapes[2] == (shapes[0][1], shapes[2][1]) and
               shapes[3] == (shapes[1][1], shapes[2][1])):

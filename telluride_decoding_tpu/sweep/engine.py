@@ -99,19 +99,22 @@ def _masked_pearson_first(x: jax.Array, y: jax.Array,
 
 
 def pad_and_stack(arrays: Sequence[np.ndarray],
-                  pad_frames_to: Optional[int] = None
+                  pad_frames_to: Optional[int] = None,
+                  pad_files_to: Optional[int] = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stacks variable-length [N_i, D] arrays into [F, N_max, D] + mask.
 
     Device arrays stay on device (padded with jnp.pad); host arrays
     build the batch host-side in one buffer. Mixing is fine.
-    pad_frames_to forces a larger N_max so ragged cohorts share one
-    compiled program shape.
+    pad_frames_to forces a larger N_max, and pad_files_to a larger F
+    (all-zero masks — exact zero statistics), so ragged cohorts share
+    ONE compiled moments-program shape across subjects.
     """
     arrays = [_ensure_2d(a) for a in arrays]
     max_n = max(max(a.shape[0] for a in arrays), pad_frames_to or 0)
+    num_f = max(len(arrays), pad_files_to or 0)
     all_on_device = all(isinstance(a, jax.Array) for a in arrays)
-    mask = np.zeros((len(arrays), max_n), np.float32)
+    mask = np.zeros((num_f, max_n), np.float32)
     for i, a in enumerate(arrays):
         mask[i, :a.shape[0]] = 1.0
     if all_on_device:
@@ -121,13 +124,16 @@ def pad_and_stack(arrays: Sequence[np.ndarray],
         # file sets. (Uniform-length sets never reach here from
         # per_file_stats: _uniform_file_moments fuses stack+moments
         # into one dispatch with no padding at all.)
+        width = arrays[0].shape[1]
         stacked = jnp.stack(
             [jnp.pad(a.astype(jnp.float32),
                      ((0, max_n - a.shape[0]), (0, 0)))
-             for a in arrays])
+             for a in arrays]
+            + [jnp.zeros((max_n, width), jnp.float32)] * (num_f -
+                                                          len(arrays)))
         return stacked, jnp.asarray(mask)
     width = arrays[0].shape[1]
-    stacked = np.zeros((len(arrays), max_n, width), np.float32)
+    stacked = np.zeros((num_f, max_n, width), np.float32)
     for i, a in enumerate(arrays):
         stacked[i, :a.shape[0]] = np.asarray(a)
     return jnp.asarray(stacked), jnp.asarray(mask)
@@ -284,8 +290,14 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
         # (the stacked [F, N, D_stacked] matrices inside the fused
         # program), not the much smaller raw transfer.
         if num_real * n_common * (x_w + y_w) * 4 <= batch_bytes:
+            # The file axis pads to pad_files_to INSIDE the program
+            # (all-zero frames with n_valid 0 yield exact zero
+            # statistics), so a cohort whose subjects differ in trial
+            # count still compiles this moments program exactly once.
+            num_f = max(num_real, pad_files_to or 0)
+
             def pad_raw(arrs, target):
-                out = np.zeros((len(arrs), target, arrs[0].shape[1]),
+                out = np.zeros((num_f, target, arrs[0].shape[1]),
                                np.float32)
                 for i, a in enumerate(arrs):
                     out[i, :a.shape[0]] = np.asarray(a, np.float32)
@@ -293,9 +305,10 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
             stats = _stacked_moments_ctx(
                 pad_raw(per_file_x, n_common + ctx.x_post),
                 pad_raw(per_file_y, n_common + ctx.y_post),
-                jnp.asarray(n_list, jnp.float32),
+                jnp.asarray(n_list + [0] * (num_f - num_real),
+                            jnp.float32),
                 want_syy=want_syy, ctx=ctx)
-            return _pad_stats_files(stats, pad_files_to, num_real)
+            return _pad_stats_files(stats, pad_files_to, num_f)
         # Bounded-memory regime: fall through to the streaming loop,
         # which stacks each file on the host right before its moments
         # dispatch (_host_stack_one) — value-identical, and peak host
@@ -312,7 +325,16 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
     if est <= batch_bytes and ctx is None:
         x_lens = {x.shape[0] for x in per_file_x}
         y_lens = {y.shape[0] for y in per_file_y}
-        if len(x_lens) == 1 and x_lens == y_lens:
+        # The no-padding fast path keys its compile on the REAL
+        # (F, N, D), so it only applies when that already matches the
+        # declared cohort pads — otherwise subjects with different
+        # trial counts/lengths would each recompile the moments
+        # program (seconds per shape through a remote-compile link),
+        # defeating exactly what pad_files_to/pad_frames_to buy.
+        pads_match = ((pad_files_to is None or pad_files_to == num_real)
+                      and (pad_frames_to is None
+                           or x_lens == {pad_frames_to}))
+        if len(x_lens) == 1 and x_lens == y_lens and pads_match:
             # Uniform file lengths (fixed-duration trials — the
             # common cohort layout): one fused stack+moments dispatch,
             # no padding. Stats shapes are length-independent, so the
@@ -321,16 +343,21 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
                                           tuple(per_file_y),
                                           want_syy=want_syy)
         else:
-            # Ragged lengths: pad to a shared transient stack so the
-            # masked moments program compiles once (pad_frames_to
-            # keeps its shape constant across a ragged cohort; each
-            # distinct length would otherwise recompile — seconds per
-            # shape through a remote-compile link).
-            xs, masks = pad_and_stack(per_file_x, pad_frames_to)
-            ys, _ = pad_and_stack(per_file_y, pad_frames_to)
+            # Ragged lengths (or declared pads): pad frames AND files
+            # to one shared transient stack so the masked moments
+            # program compiles once for the whole cohort (each
+            # distinct shape would otherwise recompile — seconds per
+            # shape through a remote-compile link). File-axis pads
+            # carry all-zero masks: exact zero statistics.
+            xs, masks = pad_and_stack(per_file_x, pad_frames_to,
+                                      pad_files_to)
+            ys, _ = pad_and_stack(per_file_y, pad_frames_to,
+                                  pad_files_to)
             stats = _stacked_moments(xs, ys, masks, want_syy=want_syy)
             del xs, ys, masks   # Transient: freed before the sweep.
-        return _pad_stats_files(stats, pad_files_to, num_real)
+        # No-op when the branch above already padded the file axis.
+        return _pad_stats_files(stats, pad_files_to,
+                                int(stats.count.shape[0]))
 
     stats_list = []
     for x, y in zip(per_file_x, per_file_y):
@@ -646,16 +673,18 @@ def _cca_sweep_program_chol(stacked_stats: MomentStats,
         cov_xx = stats.sxx / denom - jnp.outer(mean_x, mean_x)
         cov_yy = stats.syy / denom - jnp.outer(mean_y, mean_y)
         cov_xy = stats.sxy / denom - jnp.outer(mean_x, mean_y)
+        # Means are NOT returned: _cca_r_from_stats is shift-invariant,
+        # so carrying [F, D] mean batches through the vmapped tuple
+        # would only retain dead device memory.
         return (0.5 * (cov_xx + cov_xx.T), 0.5 * (cov_yy + cov_yy.T),
-                cov_xy, mean_x, mean_y)
+                cov_xy)
 
     covs = jax.vmap(file_cov)(jnp.arange(num_files))
     eye_x = jnp.eye(dx)
     eye_y = jnp.eye(dy)
 
     def eval_one(file_idx, lamb):
-        cov_xx, cov_yy, cov_xy, mean_x, mean_y = [
-            c[file_idx] for c in covs]
+        cov_xx, cov_yy, cov_xy = [c[file_idx] for c in covs]
         l1 = jnp.linalg.cholesky(cov_xx + lamb * eye_x)
         l2 = jnp.linalg.cholesky(cov_yy + lamb * eye_y)
         t = jsl.solve_triangular(l1, cov_xy, lower=True)
@@ -697,13 +726,12 @@ def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
         cov_xy = stats.sxy / denom - jnp.outer(mean_x, mean_y)
         ex, vx = jnp.linalg.eigh(0.5 * (cov_xx + cov_xx.T))
         ey, vy = jnp.linalg.eigh(0.5 * (cov_yy + cov_yy.T))
-        return ex, vx, ey, vy, cov_xy, mean_x, mean_y
+        return ex, vx, ey, vy, cov_xy
 
     eigs = jax.vmap(file_eig)(jnp.arange(num_files))
 
     def eval_one(file_idx, lamb):
-        ex, vx, ey, vy, cov_xy, mean_x, mean_y = [
-            e[file_idx] for e in eigs]
+        ex, vx, ey, vy, cov_xy = [e[file_idx] for e in eigs]
         # Match solve_cca_from_moments: degenerate eigendirections
         # (float32 eigh can return small negatives on rank-deficient
         # covariances) are ZEROED out of the whitening product, not
@@ -990,6 +1018,13 @@ def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
         dy = _ensure_2d(group[0][1][1][0]).shape[1]
         if context is not None and any(context):
             dx, dy = context.stacked_widths(dx, dy)
+        # A (streamed) subject may exceed the declared pad_files_to;
+        # every shard in the group must still share one file-axis
+        # length for make_array_from_single_device_arrays, so pad the
+        # whole group to its own maximum (the documented behavior:
+        # such subjects compute correctly, at worst recompiling).
+        group_files = max([pad_files_to]
+                          + [len(xs) for _, (xs, _) in group])
         shards = []   # Per-device stats trees, each [1, F, ...].
         for i in range(ndev):
             with jax.default_device(devices[i]):
@@ -997,7 +1032,7 @@ def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
                     _, (xs_i, ys_i) = group[i]
                     stats_i = per_file_stats(
                         xs_i, ys_i, want_syy=want_syy,
-                        pad_files_to=pad_files_to,
+                        pad_files_to=group_files,
                         pad_frames_to=pad_frames_to,
                         context=context)
                 else:
@@ -1006,7 +1041,7 @@ def _subject_parallel_sweep(items, lambdas, model, dims, mesh,
                     zero = zeros_moments(dx, dy)
                     stats_i = jax.tree.map(
                         lambda z: jnp.broadcast_to(
-                            z, (pad_files_to,) + z.shape), zero)
+                            z, (group_files,) + z.shape), zero)
                 shards.append(jax.tree.map(lambda a: a[None], stats_i))
         leaves = [jax.tree.flatten(s)[0] for s in shards]
         treedef = jax.tree.structure(shards[0])

@@ -1,0 +1,222 @@
+"""Regression tests for the round-4 second review pass (migrate
+family detection, keras_h5 sidecar gating, sweep-engine pad honoring,
+subject-parallel streaming over-pad subjects)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(13)
+
+
+def _fake_saved_model(tmp_path, monkeypatch, tensors):
+    """Stages an on-disk stub + patched bundle reader for migrate."""
+    from telluride_decoding_tpu.models import migrate
+    d = tmp_path / 'saved_model'
+    os.makedirs(d / 'variables', exist_ok=True)
+    (d / 'variables' / 'variables.index').write_bytes(b'')
+    monkeypatch.setattr(migrate, 'read_tensor_bundle',
+                        lambda prefix: tensors)
+    return str(d)
+
+
+class TestMigrateFamilyDetection:
+
+    def test_zero_hidden_classifier_refused(self, tmp_path, rng,
+                                            monkeypatch):
+        """A classifier with --hidden_units '' checkpoints as ONE
+        dense kernel — shape-identical to plain linear. The embedded
+        flags JSON must win: loading it as linear would silently drop
+        the sigmoid and the input_1/input_2 concat."""
+        from telluride_decoding_tpu.models.migrate import (
+            load_reference_saved_model)
+        meta = json.dumps({'dnn_regressor': 'classifier',
+                           'hidden_units': ''})
+        tensors = {
+            'telluride_metadata/.ATTRIBUTES/VARIABLE_VALUE':
+                np.array([meta.encode('utf-8')], object),
+            'variables/0/.ATTRIBUTES/VARIABLE_VALUE':
+                rng.randn(12, 1).astype(np.float32),
+            'variables/1/.ATTRIBUTES/VARIABLE_VALUE':
+                rng.randn(1).astype(np.float32),
+        }
+        path = _fake_saved_model(tmp_path, monkeypatch, tensors)
+        with pytest.raises(ValueError, match='classifier'):
+            load_reference_saved_model(path)
+
+    def test_fullyconnected_metadata_refused(self, tmp_path, rng,
+                                             monkeypatch):
+        from telluride_decoding_tpu.models.migrate import (
+            load_reference_saved_model)
+        meta = json.dumps({'dnn_regressor': 'fullyconnected'})
+        tensors = {
+            'telluride_metadata/.ATTRIBUTES/VARIABLE_VALUE':
+                np.array([meta.encode('utf-8')], object),
+            'dense/kernel/.ATTRIBUTES/VARIABLE_VALUE':
+                rng.randn(12, 1).astype(np.float32),
+        }
+        path = _fake_saved_model(tmp_path, monkeypatch, tensors)
+        with pytest.raises(ValueError, match='fullyconnected'):
+            load_reference_saved_model(path)
+
+    def test_linear_metadata_still_loads(self, tmp_path, rng,
+                                         monkeypatch):
+        from telluride_decoding_tpu.models.migrate import (
+            load_reference_saved_model)
+        meta = json.dumps({'dnn_regressor': 'linear'})
+        kernel = rng.randn(6, 1).astype(np.float32)
+        bias = rng.randn(1).astype(np.float32)
+        tensors = {
+            'telluride_metadata/.ATTRIBUTES/VARIABLE_VALUE':
+                np.array([meta.encode('utf-8')], object),
+            'variables/0/.ATTRIBUTES/VARIABLE_VALUE': kernel,
+            'variables/1/.ATTRIBUTES/VARIABLE_VALUE': bias,
+        }
+        path = _fake_saved_model(tmp_path, monkeypatch, tensors)
+        model = load_reference_saved_model(path)
+        np.testing.assert_array_equal(model.params['w'], kernel)
+
+    def test_malformed_positional_checkpoint_clean_error(
+            self, tmp_path, rng, monkeypatch):
+        """A 4-variable positional checkpoint with a scalar entry must
+        raise the 'Unrecognized reference model' ValueError, not an
+        IndexError from indexing shapes before checking ndim."""
+        from telluride_decoding_tpu.models.migrate import (
+            load_reference_saved_model)
+        tensors = {
+            'variables/0/.ATTRIBUTES/VARIABLE_VALUE':
+                np.float32(1.0).reshape(()),
+            'variables/1/.ATTRIBUTES/VARIABLE_VALUE':
+                np.float32(2.0).reshape(()),
+            'variables/2/.ATTRIBUTES/VARIABLE_VALUE':
+                rng.randn(3, 2).astype(np.float32),
+            'variables/3/.ATTRIBUTES/VARIABLE_VALUE':
+                rng.randn(3, 2).astype(np.float32),
+        }
+        path = _fake_saved_model(tmp_path, monkeypatch, tensors)
+        with pytest.raises(ValueError, match='Unrecognized reference'):
+            load_reference_saved_model(path)
+
+
+class TestKerasSidecarGate:
+
+    def test_sidecar_written_without_metadata(self, tmp_path, rng):
+        """telluride_inputs/telluride_output must round-trip through
+        the H5 sidecar even when telluride_metadata is unset (the
+        SavedModel exporter persists each independently)."""
+        h5py = pytest.importorskip('h5py')
+        del h5py
+        from telluride_decoding_tpu.io.keras_h5 import export_keras_h5
+        from telluride_decoding_tpu.models.brain_model import (
+            BrainModelLinearRegression)
+        model = BrainModelLinearRegression(input_width=4,
+                                           output_width=1)
+        model.params = {'w': rng.randn(4, 1).astype(np.float32),
+                        'b': np.zeros((1,), np.float32)}
+        model.telluride_inputs = json.dumps({'input_1': [None, 4]})
+        model.telluride_output = json.dumps([None, 1])
+        path = str(tmp_path / 'm.h5')
+        export_keras_h5(model, path)
+        sidecar = str(tmp_path / 'm.telluride.json')
+        assert os.path.exists(sidecar)
+        side = json.load(open(sidecar))
+        assert side['telluride_inputs'] == model.telluride_inputs
+        assert side['telluride_output'] == model.telluride_output
+        assert side['telluride_metadata'] == ''
+
+
+class TestEnginePadHonoring:
+
+    def _files(self, rng, num, length, d=3):
+        xs = [rng.randn(length, d).astype(np.float32)
+              for _ in range(num)]
+        ys = [(x[:, :1] * 0.5 + 0.01 *
+               rng.randn(length, 1).astype(np.float32)) for x in xs]
+        return xs, ys
+
+    def test_uniform_cohort_shares_one_moments_compile(self, rng):
+        """Subjects with internally-uniform but DIFFERENT shapes must
+        compile the padded moments program once when cohort pads are
+        declared (the no-padding fast path only applies when shapes
+        already equal the pads)."""
+        from telluride_decoding_tpu.sweep import engine
+        before = engine._stacked_moments._cache_size()
+        base = None
+        for num, length in ((3, 50), (4, 60), (2, 40)):
+            xs, ys = self._files(rng, num, length)
+            stats = engine.per_file_stats(xs, ys, want_syy=True,
+                                          pad_files_to=4,
+                                          pad_frames_to=60)
+            assert stats.count.shape[0] == 4
+            if base is None:
+                base = engine._stacked_moments._cache_size() - before
+        assert engine._stacked_moments._cache_size() - before == base
+
+    def test_padded_stats_match_unpadded(self, rng):
+        """File-axis pads carry exact zero statistics; the real files'
+        stats are unchanged by padding."""
+        from telluride_decoding_tpu.sweep import engine
+        xs, ys = self._files(rng, 3, 50)
+        plain = engine.per_file_stats(xs, ys, want_syy=True)
+        padded = engine.per_file_stats(xs, ys, want_syy=True,
+                                       pad_files_to=6,
+                                       pad_frames_to=80)
+        import jax
+        jax.tree.map(
+            lambda p, u: np.testing.assert_allclose(
+                np.asarray(p)[:3], np.asarray(u), rtol=1e-5,
+                atol=1e-5),
+            padded, plain)
+        jax.tree.map(
+            lambda p: np.testing.assert_array_equal(
+                np.asarray(p)[3:], 0.0), padded)
+
+    def test_ctx_padded_stats_match(self, rng):
+        from telluride_decoding_tpu.sweep import engine
+        import jax
+        ctx = engine.ContextSpec(0, 2, 0, 0)
+        n = 40
+        xs = [rng.randn(n + ctx.x_post, 3).astype(np.float32)
+              for _ in range(3)]
+        ys = [rng.randn(n, 1).astype(np.float32) for _ in range(3)]
+        plain = engine.per_file_stats(xs, ys, want_syy=True,
+                                      context=ctx)
+        padded = engine.per_file_stats(xs, ys, want_syy=True,
+                                       pad_files_to=5,
+                                       pad_frames_to=55, context=ctx)
+        assert padded.count.shape[0] == 5
+        jax.tree.map(
+            lambda p, u: np.testing.assert_allclose(
+                np.asarray(p)[:3], np.asarray(u), rtol=1e-5,
+                atol=1e-5),
+            padded, plain)
+
+    def test_subject_parallel_streaming_overpad_subject(self, rng):
+        """A streamed subject exceeding the declared pad_files_to must
+        compute correctly through the subject-sharded mesh path (the
+        group re-pads to its own maximum) instead of crashing in
+        make_array_from_single_device_arrays."""
+        import jax
+        from telluride_decoding_tpu.sweep import engine
+        if jax.device_count() < 2:
+            pytest.skip('needs a multi-device mesh')
+        subjects = {}
+        for i, num_files in enumerate((2, 5, 3)):
+            xs, ys = self._files(rng, num_files, 40)
+            subjects['s%d' % i] = (xs, ys)
+        mesh = engine.default_mesh('subject')
+        lambdas = [1e-4, 1e-1]
+        serial = engine.multi_subject_sweep(
+            dict(subjects), lambdas, subject_parallel=False)
+        streamed = engine.multi_subject_sweep(
+            iter(subjects.items()), lambdas, subject_parallel=True,
+            mesh=mesh, pad_files_to=3, pad_frames_to=40)
+        for name in subjects:
+            np.testing.assert_allclose(
+                streamed[name].correlations,
+                serial[name].correlations, rtol=1e-4, atol=1e-5)
