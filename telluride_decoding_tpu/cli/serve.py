@@ -197,22 +197,33 @@ class StreamingAttentionServer:
             y2, self._q2 = self._q2[:n], self._q2[n:]
             # Both speakers in ONE device dispatch: the shared eeg
             # transform computes once and the chunk pays one dispatch
-            # round trip instead of two. The dispatch is ASYNC (jax
-            # arrays come back immediately); the readback below only
-            # touches the PREVIOUS chunk's already-in-flight result.
-            dispatched = self._decoder.infer_pair(stacked, a1_ctx,
-                                                  a2_ctx, y1, y2)
+            # round trip instead of two. The pipelined path uses the
+            # ASYNC variant (device arrays, NO host readback — the
+            # blocking np.asarray happens one push later, on a result
+            # that has had a whole chunk period to complete in
+            # flight); the synchronous path reads back immediately.
             if self._pipeline:
-                self._inflight = dispatched
+                # Duck-typed decoders without the async variant still
+                # pipeline (their dispatch just blocks, as before).
+                dispatch = getattr(self._decoder, 'infer_pair_async',
+                                   self._decoder.infer_pair)
+                self._inflight = (dispatch(stacked, a1_ctx, a2_ctx,
+                                           y1, y2), t0)
             else:
-                prev = dispatched
+                prev = (self._decoder.infer_pair(stacked, a1_ctx,
+                                                 a2_ctx, y1, y2), t0)
                 self._inflight = None
         elif self._pipeline:
             self._inflight = None
         if prev is not None:
-            s1, s2 = prev
+            (s1, s2), t_dispatch = prev
             self._store.add_data(np.asarray(s1).reshape(-1, 1),
                                  np.asarray(s2).reshape(-1, 1))
+            # Latency counts from the push that DISPATCHED the chunk
+            # these windows came from, not from the harvesting push —
+            # otherwise the pipelined path under-reports by one chunk
+            # period.
+            return self._drain(t_dispatch)
         return self._drain(t0)
 
     def flush(self) -> List[Dict]:
@@ -220,7 +231,7 @@ class StreamingAttentionServer:
         defers each chunk's readback by one push)."""
         t0 = time.perf_counter()
         if self._inflight is not None:
-            s1, s2 = self._inflight
+            (s1, s2), t0 = self._inflight
             self._inflight = None
             self._store.add_data(np.asarray(s1).reshape(-1, 1),
                                  np.asarray(s2).reshape(-1, 1))
@@ -341,19 +352,34 @@ def serve_lines(model_dir: str, in_stream, *,
                              (a.shape, known_channels))
         return a
 
+    def orient_eeg(raw, known_channels):
+        e = np.asarray(raw, np.float32)
+        if e.ndim <= 1:
+            # Flat list = mono frames, the same convention as the
+            # audio fields. (np.atleast_2d would make it [1, N] — N
+            # bogus channels — crashing the first push or wedging
+            # every later chunk against the established channel
+            # count.)
+            e = e.reshape(-1, 1)
+        elif known_channels is not None and \
+                e.shape[1] != known_channels and \
+                e.shape[0] == known_channels:
+            e = e.T
+        if known_channels is not None and e.shape[1] != known_channels:
+            raise ValueError('eeg has %d channels, server expects %d'
+                             % (e.shape[1], known_channels))
+        return e
+
     for line in in_stream:
         line = line.strip()
         if not line:
             continue
         try:
             chunk = json.loads(line)
-            eeg = np.atleast_2d(np.asarray(chunk['eeg'], np.float32))
+            eeg = orient_eeg(chunk['eeg'],
+                             None if server is None
+                             else server.eeg_channels)
             known = None if server is None else server.audio_channels
-            if server is not None and \
-                    eeg.shape[1] != server.eeg_channels:
-                raise ValueError('eeg has %d channels, server expects '
-                                 '%d' % (eeg.shape[1],
-                                         server.eeg_channels))
             a1 = orient_audio(chunk['audio1'], eeg.shape[0], known)
             a2 = orient_audio(chunk['audio2'], eeg.shape[0], known)
         except Exception as error:
@@ -375,7 +401,16 @@ def serve_lines(model_dir: str, in_stream, *,
                 window_width=window_width, window_step=window_step,
                 decision=decision, frame_rate=frame_rate,
                 pipeline=False)
-        for record in server.push(eeg, a1, a2):
+        try:
+            records = server.push(eeg, a1, a2)
+        except Exception as error:
+            # A malformed-but-parseable chunk (e.g. a width the model
+            # wasn't trained for) must not kill the live session
+            # either: report, skip, keep serving.
+            print('serve: skipping bad chunk (%s): %.80s' %
+                  (error, line), file=sys.stderr)
+            continue
+        for record in records:
             decisions.append(record)
             if out_stream is not None:
                 out_stream.write(json.dumps(record) + '\n')

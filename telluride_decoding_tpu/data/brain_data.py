@@ -359,9 +359,18 @@ class BrainData:
         return parts
 
     def _needs_context(self) -> bool:
-        return bool(self.in1_pre_context or self.in1_post_context or
-                    self.in2_pre_context or self.in2_post_context or
-                    self.input_offset)
+        has_context = bool(self.in1_pre_context or self.in1_post_context
+                           or self.in2_pre_context
+                           or self.in2_post_context)
+        if self.reference_protocol:
+            # The reference's TFRecord path only windows when a
+            # pre/post context is nonzero (read_data_into_dataset,
+            # reference brain_data.py:761-763) — input_offset alone is
+            # silently IGNORED there. Bug-faithful under the
+            # reference protocol; the default protocol honors the
+            # offset-only case.
+            return has_context
+        return has_context or bool(self.input_offset)
 
     # -- bounded-memory streaming -------------------------------------------
 
@@ -609,7 +618,13 @@ class BrainDataset:
                 in1, in2 = in1[order], in2[order]
                 out, attended = out[order], attended[order]
                 self.reference_batch_size = batch_size
-                self._shuffle = False   # Order already realized.
+                # WHICH frames survive the drop is realized once (one
+                # epoch of the reference's shuffle -> drop_remainder
+                # stream); self._shuffle stays as given, so __iter__
+                # still re-permutes WITHIN the kept frames each epoch
+                # — matching the reference's per-epoch reshuffle for
+                # multi-epoch SGD fits. With shuffle off the stream is
+                # fully deterministic (the A/B's comparison mode).
         self._in1 = in1
         self._in2 = in2
         self._out = out

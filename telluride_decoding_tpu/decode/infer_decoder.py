@@ -367,13 +367,29 @@ class Decoder:
         return self._infer_pair_fn(input_1, input_2a, input_2b,
                                    output_a, output_b)
 
+    def infer_pair_async(self, input_1, input_2a, input_2b, output_a,
+                         output_b):
+        """infer_pair WITHOUT the host readback: returns the in-flight
+        device arrays so a pipelined caller (cli.serve double
+        buffering) can overlap the device round trip with the next
+        chunk's acquisition; np.asarray(result) harvests. Falls back
+        to the blocking pair when the model isn't a fused jax program
+        (np arrays harvest identically)."""
+        if self._infer_pair_fn is None:
+            self._infer_pair_fn = self._build_infer_pair_fn()
+        return self._infer_pair_fn(input_1, input_2a, input_2b,
+                                   output_a, output_b, readback=False)
+
     def _build_infer_pair_fn(self):
         model = self._decoding_model
         if not (hasattr(model, 'apply') and getattr(model, 'params',
                                                     None) is not None):
             # Arbitrary python callables can't fuse: fall back to two
-            # sequential single-stream dispatches.
-            def run(input_1, input_2a, input_2b, output_a, output_b):
+            # sequential single-stream dispatches (always blocking;
+            # readback is accepted for interface parity).
+            def run(input_1, input_2a, input_2b, output_a, output_b,
+                    readback=True):
+                del readback
                 sa = self.infer_one(
                     {'input_1': input_1, 'input_2': input_2a}, output_a)
                 sb = self.infer_one(
@@ -391,11 +407,16 @@ class Decoder:
             rb = decode({'input_1': x1, 'input_2': in2b}, yb)
             return correlate_reduce(*ra), correlate_reduce(*rb)
 
-        def run(input_1, input_2a, input_2b, output_a, output_b):
+        def run(input_1, input_2a, input_2b, output_a, output_b,
+                readback=True):
             j = lambda v: jnp.asarray(np.asarray(v), jnp.float32)
             sa, sb = infer2(j(input_1), j(input_2a), j(input_2b),
                             j(output_a), j(output_b))
-            return np.asarray(sa), np.asarray(sb)
+            if readback:
+                return np.asarray(sa), np.asarray(sb)
+            # In-flight device arrays: the pipelined serve loop
+            # harvests them one push later with np.asarray.
+            return sa, sb
         return run
 
     # -- training ------------------------------------------------------------------

@@ -316,8 +316,11 @@ def write_tensor_bundle(prefix: str,
     """
     # Checksum conventions differ WITHIN the format: the BundleEntry
     # crc32c field is MASKED (reader unmasks before comparing), the
-    # DT_STRING length-table crc is RAW, and LevelDB block trailers
-    # are MASKED. All three verified against live TF 2.21.
+    # DT_STRING length-table crc is MASKED but computed over the
+    # lengths re-encoded as fixed uint32 WORDS rather than the varint
+    # bytes actually written (see _encode_string_tensor), and LevelDB
+    # block trailers are MASKED. All three verified against live
+    # TF 2.21.
     from telluride_decoding_tpu.data.records import masked_crc32c
     data = bytearray()
     entries: List[Tuple[bytes, bytes]] = []

@@ -220,3 +220,57 @@ class TestEnginePadHonoring:
             np.testing.assert_allclose(
                 streamed[name].correlations,
                 serial[name].correlations, rtol=1e-4, atol=1e-5)
+
+
+class TestReferenceProtocolCorners:
+
+    def test_reference_protocol_reshuffles_each_epoch(self, rng):
+        """Which frames survive the drop is realized once, but
+        multi-epoch SGD iteration must still reshuffle WITHIN them —
+        the reference reshuffles every epoch (shuffle after repeat)."""
+        from telluride_decoding_tpu.data.brain_data import TestBrainData
+        n = 600
+        eeg = rng.randn(n, 2).astype(np.float32)
+        inten = rng.randn(n, 1).astype(np.float32)
+        bd = TestBrainData('input_1', 'output', 100.0,
+                           final_batch_size=128, repeat_count=2,
+                           shuffle_buffer_size=1000,
+                           reference_protocol=True)
+        bd.preserve_test_data(eeg, inten)
+        ds = bd.create_dataset('train')
+        batches = [x['input_1'].copy() for x, _ in ds]
+        per_epoch = len(batches) // 2
+        assert per_epoch == 512 // 128     # drop_remainder realized.
+        epoch1 = np.concatenate(batches[:per_epoch])
+        epoch2 = np.concatenate(batches[per_epoch:])
+        # Same SET of kept frames...
+        assert (sorted(map(tuple, epoch1.tolist()))
+                == sorted(map(tuple, epoch2.tolist())))
+        # ...in a different order.
+        assert not np.array_equal(epoch1, epoch2)
+
+    def test_offset_only_ignored_under_reference_protocol(self, rng):
+        """The reference's TFRecord path only windows (and thus only
+        applies input_offset) when a pre/post context is nonzero
+        (reference brain_data.py:760-763); offset-only configs must be
+        bug-faithful under --protocol reference and honored under the
+        default protocol."""
+        from telluride_decoding_tpu.data.brain_data import TestBrainData
+
+        def build(reference_protocol):
+            bd = TestBrainData('input_1', 'output', 100.0,
+                               final_batch_size=64, input_offset=5,
+                               shuffle_buffer_size=0,
+                               reference_protocol=reference_protocol)
+            n = 200
+            r = np.random.RandomState(3)
+            eeg = r.randn(n, 2).astype(np.float32)
+            inten = np.arange(n, dtype=np.float32).reshape(-1, 1)
+            bd.preserve_test_data(eeg, inten)
+            x, _, out, _ = bd.load_arrays('train')
+            return eeg, x, out
+
+        eeg, x_ref, _ = build(reference_protocol=True)
+        np.testing.assert_array_equal(x_ref, eeg)     # No shift.
+        eeg, x_def, _ = build(reference_protocol=False)
+        np.testing.assert_array_equal(x_def, eeg[5:])  # Shifted.

@@ -336,3 +336,84 @@ class TestServeStream:
         rss_end = resource.getrusage(
             resource.RUSAGE_SELF).ru_maxrss / 1024.0
         assert rss_end - rss_start < 300, (rss_start, rss_end)
+
+
+class TestRoundFourSecondReview:
+
+    def test_infer_pair_async_returns_device_arrays(self, tmp_path,
+                                                    rng):
+        """The pipelined serve path needs a dispatch WITHOUT the host
+        readback (np.asarray blocks on the device round trip, which
+        made the old double-buffering a no-op); values harvest
+        identically."""
+        import jax
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng)
+        from telluride_decoding_tpu.cli.infer import load_model
+        dec = load_model(model_dir, 'first')
+        a2 = np.abs(rng.randn(200, 1)).astype(np.float32)
+        args = (eeg[:200], a1[:200], a2, a1[:200], a2)
+        sync = dec.infer_pair(*args)
+        async_ = dec.infer_pair_async(*args)
+        assert all(isinstance(s, jax.Array) for s in async_)
+        np.testing.assert_allclose(np.asarray(async_[0]), sync[0],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(async_[1]), sync[1],
+                                   rtol=1e-6)
+
+    def test_pipelined_latency_counts_from_dispatch(self, tmp_path,
+                                                    rng):
+        """Pipelined decisions harvest one push later; latency_ms must
+        count from the push that dispatched the windows' chunk, so it
+        can never be (near-)zero-by-construction."""
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        decisions = serve.serve_stream(
+            model_dir, eeg, a1, a2, chunk_size=150, reduction='first',
+            window_width=100, window_step=100)
+        assert decisions
+        assert all(d['latency_ms'] > 0 for d in decisions)
+
+    def test_serve_lines_flat_mono_eeg(self, tmp_path, rng):
+        """Flat eeg lists are mono FRAMES (same protocol as audio);
+        np.atleast_2d used to read them as [1, N] — N bogus channels —
+        killing the first push."""
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        n = 200
+        lines = []
+        for start in range(0, n, 50):
+            sl = slice(start, start + 50)
+            lines.append(json.dumps({
+                'eeg': eeg[sl].reshape(-1).tolist(),    # FLAT.
+                'audio1': a1[sl].reshape(-1).tolist(),
+                'audio2': a2[sl].reshape(-1).tolist()}))
+        got = serve.serve_lines(
+            model_dir, io.StringIO('\n'.join(lines) + '\n'),
+            reduction='first', window_width=100, window_step=100)
+        assert len(got) == 2
+        want = serve.serve_stream(model_dir, eeg[:n], a1[:n], a2[:n],
+                                  chunk_size=50, reduction='first',
+                                  window_width=100, window_step=100)
+        for g, w in zip(got, want):
+            assert g['score1'] == pytest.approx(w['score1'], abs=1e-6)
+
+    def test_serve_lines_survives_bad_eeg_width_chunk(self, tmp_path,
+                                                      rng, capsys):
+        """A parseable chunk whose eeg width matches neither
+        orientation is skipped with a stderr note; the session keeps
+        serving (it used to raise out of push() and die)."""
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        def line(sl):
+            return json.dumps({'eeg': eeg[sl].tolist(),
+                               'audio1': a1[sl].tolist(),
+                               'audio2': a2[sl].tolist()})
+        bad = json.dumps({'eeg': rng.randn(50, 3).tolist(),   # 3 ch.
+                          'audio1': a1[:50].tolist(),
+                          'audio2': a2[:50].tolist()})
+        stream = io.StringIO(line(slice(0, 100)) + '\n' + bad + '\n'
+                             + line(slice(100, 200)) + '\n')
+        got = serve.serve_lines(model_dir, stream, reduction='first',
+                                window_width=100, window_step=100)
+        assert len(got) == 2
+        assert 'skipping bad' in capsys.readouterr().err

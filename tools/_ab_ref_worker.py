@@ -139,7 +139,10 @@ def main(config_path: str) -> None:
             d = dict(d)
         except TypeError:
             return {}
-        return {k: (float(v) if np.isscalar(v) or hasattr(v, 'item')
+        # Strings FIRST: np.isscalar('s') is True, so the isscalar
+        # branch would route them into float() and raise.
+        return {k: (str(v) if isinstance(v, (str, bytes))
+                    else float(v) if np.isscalar(v) or hasattr(v, 'item')
                     else str(v)) for k, v in d.items()}
 
     with open(config['out_json'], 'w') as f:
