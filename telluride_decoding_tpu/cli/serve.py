@@ -69,6 +69,13 @@ def define_flags():
     flags.DEFINE_enum('serve_decoder', 'wta', ['wta', 'stepped', 'ssd'],
                       'Attention decision rule.')
     flags.DEFINE_float('serve_frame_rate', 100.0, 'Frames per second.')
+    flags.DEFINE_bool('serve_pipeline', False,
+                      'Double-buffer replay dispatches (infer_pair_'
+                      'async). Off by default: measured chunk-'
+                      'synchronous is as fast or faster both through '
+                      'the relay tunnel and on CPU; enable on on-prem '
+                      'attachments with async dispatch and heavy '
+                      'per-chunk compute.')
     flags.DEFINE_bool('selftest', False,
                       'Build a toy model + stream and assert the served '
                       'decisions track the planted attention switch.')
@@ -265,8 +272,18 @@ def serve_stream(model_dir: str, eeg: np.ndarray, audio1: np.ndarray,
                  reduction: str = 'lda', decision: str = 'wta',
                  window_width: int = 100, window_step: int = 50,
                  frame_rate: float = 100.0,
-                 out_stream=None) -> List[Dict]:
-    """Replays a recorded stream through the server; returns decisions."""
+                 out_stream=None, pipeline: bool = False) -> List[Dict]:
+    """Replays a recorded stream through the server; returns decisions.
+
+    pipeline=True double-buffers dispatches through infer_pair_async
+    (chunk k+1 dispatched before chunk k's readback). Measured on both
+    available backends it does NOT pay — the relay tunnel serializes
+    remote dispatches (sync 72 vs pipelined 83 ms/chunk) and on CPU
+    the toy compute is dispatch-dominated (1.25 vs 1.40 ms/chunk) — so
+    replay defaults to chunk-synchronous; the knob exists for on-prem
+    attachments with genuinely async dispatch and heavier per-chunk
+    compute. Decisions are value-identical either way.
+    """
     from telluride_decoding_tpu.cli.infer import load_model
     decoder = load_model(model_dir, reduction)
     def orient(a):
@@ -277,14 +294,11 @@ def serve_stream(model_dir: str, eeg: np.ndarray, audio1: np.ndarray,
         return a.T if a.shape[0] == 1 else a
     audio1 = orient(audio1)
     audio2 = orient(audio2)
-    # Replay mode chases THROUGHPUT: double-buffer so chunk k+1's host
-    # prep overlaps chunk k's in-flight dispatch (the readback then
-    # waits on an already-complete result instead of a fresh RTT).
     server = StreamingAttentionServer(
         decoder, eeg_channels=eeg.shape[1],
         audio_channels=audio1.shape[1], window_width=window_width,
         window_step=window_step, decision=decision,
-        frame_rate=frame_rate, pipeline=True)
+        frame_rate=frame_rate, pipeline=pipeline)
     all_decisions = []
     for start in range(0, eeg.shape[0], chunk_size):
         sl = slice(start, start + chunk_size)
@@ -502,7 +516,8 @@ def main(argv):
                  decision=FLAGS.serve_decoder,
                  window_width=FLAGS.serve_window_width,
                  window_step=FLAGS.serve_window_step,
-                 frame_rate=FLAGS.serve_frame_rate, out_stream=out)
+                 frame_rate=FLAGS.serve_frame_rate, out_stream=out,
+                 pipeline=FLAGS.serve_pipeline)
 
 
 define_flags()

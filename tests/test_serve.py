@@ -369,9 +369,15 @@ class TestRoundFourSecondReview:
         a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
         decisions = serve.serve_stream(
             model_dir, eeg, a1, a2, chunk_size=150, reduction='first',
-            window_width=100, window_step=100)
+            window_width=100, window_step=100, pipeline=True)
         assert decisions
         assert all(d['latency_ms'] > 0 for d in decisions)
+        # And the pipelined replay is value-identical to synchronous.
+        sync = serve.serve_stream(
+            model_dir, eeg, a1, a2, chunk_size=150, reduction='first',
+            window_width=100, window_step=100, pipeline=False)
+        assert [d['score1'] for d in decisions] == \
+            [d['score1'] for d in sync]
 
     def test_serve_lines_flat_mono_eeg(self, tmp_path, rng):
         """Flat eeg lists are mono FRAMES (same protocol as audio);
