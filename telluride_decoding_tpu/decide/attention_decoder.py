@@ -265,8 +265,11 @@ class StateSpaceAttentionDecoder(AttentionDecoder):
             sig_kk=jnp.zeros((self.k_w + 1,), jnp.float32),
             eta=jnp.full((self.k_w,), 0.3, jnp.float32),
             z_smooth=jnp.zeros((self.k_w,), jnp.float32))
-        self.z_dyn = []
-        self.eta_dyn = []
+        # Seeded with k_w zeros like the reference (:244-248), so
+        # z_dyn[i] aligns with call index i for analysis scripts that
+        # plot the trace against the input correlation stream.
+        self.z_dyn = [0.0] * self.k_w
+        self.eta_dyn = [0.0] * self.k_w
         self._constants_cache = None
 
     def _constants(self) -> SsdConstants:

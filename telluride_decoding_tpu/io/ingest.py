@@ -150,7 +150,10 @@ class BrainTrial:
             collections.OrderedDict())
         self._model_features: Dict[str, np.ndarray] = {}
         if trial_name.endswith('.wav'):
-            trial_name = trial_name.replace('.wav', '')
+            # Slice, not str.replace: replace() strips EVERY
+            # occurrence, so 'story.wav_take2.wav' would collapse to
+            # 'story_take2' and distinct trials could collide.
+            trial_name = trial_name[:-len('.wav')]
         self._trial_name = trial_name
 
     @property
@@ -230,6 +233,12 @@ class BrainTrial:
         assert_type('brain_data', brain_data, BrainDataFile)
         if eeg_dir and not os.path.exists(eeg_dir):
             raise IOError('brain data director %s does not exist.' % eeg_dir)
+        if eeg_dir is None and isinstance(brain_data, EdfBrainDataFile):
+            # In-memory files need no directory, but a file-backed EDF
+            # with eeg_dir=None would TypeError deep inside
+            # os.path.join; fail with the reference's clean IOError.
+            raise IOError('brain data directory is required to load '
+                          'EDF file %s.' % brain_data.filename)
         brain_data.load_all_data(eeg_dir)
         for name in brain_data.signal_names:
             signal = brain_data.signal_values(name)
@@ -500,8 +509,9 @@ class BrainExperiment:
 
     @staticmethod
     def delete_suffix(filename: str, suffix: str) -> str:
-        if filename.endswith(suffix):
-            filename = filename.replace(suffix, '')
+        # Slice, not str.replace (which strips every occurrence).
+        if suffix and filename.endswith(suffix):
+            filename = filename[:-len(suffix)]
         return filename
 
     def __init__(self, trial_dict, sound_dir: Optional[str] = None,

@@ -489,14 +489,6 @@ class _SgdModel(BrainModel):
                 '(--streaming_fit), which holds one file on the host '
                 'and one minibatch on device instead.'
                 % (total_bytes / 2**30))
-        if _keep_arrays:
-            # Subclasses reuse the assembled arrays (e.g. the
-            # batchnorm population-stats pass, DCCA's final CCA solve)
-            # instead of re-materializing — and, for transform
-            # datasets, instead of drawing a DIFFERENT random
-            # realization than the one trained on. The consumer clears
-            # the attribute.
-            self._fit_arrays = (in1, in2, out)
         batch_size = min(batch_size, n)
         # Ceil, not floor: the reference's Keras fit trains on the
         # partial last batch too; flooring silently dropped up to
@@ -555,6 +547,17 @@ class _SgdModel(BrainModel):
         keys = jax.random.split(jax.random.PRNGKey(seed + 1), epochs)
         (self.params, _), losses = trainer(
             (self.params, opt_state), keys, x1, x2, y)
+        if _keep_arrays:
+            # Subclasses reuse the assembled arrays (e.g. the
+            # batchnorm population-stats pass, DCCA's final CCA solve)
+            # instead of re-materializing — and, for transform
+            # datasets, instead of drawing a DIFFERENT random
+            # realization than the one trained on. The consumer clears
+            # the attribute. Pinned only AFTER the trainer returns:
+            # pinning before it would leak the whole assembled corpus
+            # on the instance if training raises (device OOM,
+            # KeyboardInterrupt), exactly when memory is scarcest.
+            self._fit_arrays = (in1, in2, out)
         history = {'loss': [float(l) for l in np.asarray(losses)]}
         return history
 

@@ -192,8 +192,19 @@ class Preprocessor:
                              '(known: %s).' %
                              (sorted(unknown), param_string,
                               sorted(known)))
-        self.init_highpass(param_dict.get('highpass_cutoff', 0),
-                           param_dict.get('highpass_order', 4))
+        cutoff = param_dict.get('highpass_cutoff', 0)
+        order = param_dict.get('highpass_order', 4)
+        # Same validation as the keyword constructor (check_params
+        # semantics): the string path must not silently accept a
+        # typo'd cutoff/order and train on unfiltered data.
+        if not isinstance(cutoff, (int, float)) or cutoff < 0:
+            raise ValueError('highpass_cutoff must be >= 0, got %r in '
+                             '%s' % (cutoff, param_string))
+        if cutoff and (not isinstance(order, int) or order <= 0):
+            raise ValueError('highpass_order must be a positive '
+                             'integer, got %r in %s'
+                             % (order, param_string))
+        self.init_highpass(cutoff, order)
         self.init_channel_numbers(param_dict.get('channel_numbers'))
 
     # -- properties -----------------------------------------------------------
@@ -289,6 +300,14 @@ class Preprocessor:
         if channels_to_ref is None:
             channels_to_ref = [range(data.shape[1])]
         original = np.copy(data)
+        # Subtract on a COPY: the reference mutates the caller's array
+        # in place (preprocess.py:427-429), which corrupts any array
+        # something else still holds (this framework's decoded-file
+        # LRU cache raises the stakes) and UFunc-errors on integer
+        # EEG. Promote ints to float for the subtraction.
+        data = np.array(
+            data, dtype=np.promote_types(np.asarray(data).dtype,
+                                         np.float32), copy=True)
         for ref, chans in zip(ref_channels, channels_to_ref):
             data[:, list(chans)] -= np.mean(original[:, list(ref)], axis=1,
                                             keepdims=True)
@@ -375,19 +394,29 @@ class AudioFeatures:
         if data.shape[1] > data.shape[0]:
             data = np.transpose(data)
 
+        if not (self._fs_out < self._fs_in or self._window > 1):
+            # Pass-through regime (fs_out >= fs_in, window <= 1): no
+            # buffering. The reference buffers FIRST and its tail-keep
+            # length is 0 here, so data[-0:] retains the whole
+            # concatenated history and every streaming call re-emits
+            # all previous frames (reference preprocess.py:629-688) —
+            # unbounded memory plus duplicated output.
+            return data
+
         half_window = 0.5 * self._window / self._fs_out
         if self._buff is not None:
             data = np.concatenate((self._buff, data), axis=0)
             tau = self._buff.shape[0]
         else:
             tau = 0
-        self._buff = data[-int(self._fs_in * half_window):, :]
+        keep = int(self._fs_in * half_window)
+        # keep == 0 (sub-sample half-window, e.g. 100 -> 64 Hz at
+        # window=1) must keep NOTHING: data[-0:] is the whole array.
+        self._buff = data[-keep:, :] if keep > 0 else data[:0, :]
 
         frames_in = data.shape[0]
         frames_out = int(round((frames_in - tau) / self._fs_in *
                                self._fs_out))
-        if not (self._fs_out < self._fs_in or self._window > 1):
-            return data
 
         t = np.arange(frames_out, dtype=np.float64) / self._fs_out
         t1 = np.maximum(0, np.round(self._fs_in *
@@ -453,10 +482,13 @@ class AudioFeatures:
             _disable_fused_frontend()
             return None
         # Leave the streaming state exactly as audio_resample would:
-        # the tail of the SQUARED signal, half an averaging window long.
+        # the tail of the SQUARED signal, half an averaging window long
+        # (and nothing when that rounds to zero samples — data[-0:]
+        # would retain the whole signal).
         half_window = 0.5 * self._window / self._fs_out
+        keep = int(self._fs_in * half_window)
         squared = (flat ** 2).reshape(-1, 1)
-        self._buff = squared[-int(self._fs_in * half_window):, :]
+        self._buff = squared[-keep:, :] if keep > 0 else squared[:0, :]
         return env
 
     def compute_spectrogram(self, wave, segment_size: int = 128,

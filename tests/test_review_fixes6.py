@@ -274,3 +274,109 @@ class TestReferenceProtocolCorners:
         np.testing.assert_array_equal(x_ref, eeg)     # No shift.
         eeg, x_def, _ = build(reference_protocol=False)
         np.testing.assert_array_equal(x_def, eeg[5:])  # Shifted.
+
+
+class TestThirdReviewBatch:
+
+    def test_fit_arrays_not_pinned_when_training_raises(self, rng,
+                                                        monkeypatch):
+        """An exception inside the jitted trainer must not leave the
+        assembled corpus pinned on the instance (memory is scarcest
+        exactly then)."""
+        from telluride_decoding_tpu.data.brain_data import TestBrainData
+        from telluride_decoding_tpu.models import brain_model
+        bd = TestBrainData('input_1', 'output', 100.0,
+                           final_batch_size=32)
+        bd.preserve_test_data(rng.randn(200, 3).astype(np.float32),
+                              rng.randn(200, 1).astype(np.float32))
+        model = brain_model.BrainModelDNN(input_width=3,
+                                           output_width=1,
+                                           num_hidden_list=[4],
+                                           batch_norm=True)
+
+        def boom(*a, **k):
+            raise RuntimeError('trainer exploded')
+        monkeypatch.setattr(brain_model.optax, 'adam', boom)
+        with pytest.raises(RuntimeError, match='trainer exploded'):
+            model.fit(bd.create_dataset('train'))
+        assert getattr(model, '_fit_arrays', None) is None
+
+    def test_audio_resample_passthrough_is_stateless(self, rng):
+        """fs_out >= fs_in with window <= 1: streaming chunks pass
+        through once each (the reference re-emits the whole history
+        and grows its buffer without bound)."""
+        from telluride_decoding_tpu.signal.preprocess import (
+            AudioFeatures)
+        af = AudioFeatures('a', 64, 64, window=1)
+        c1 = rng.randn(50, 1)
+        c2 = rng.randn(30, 1)
+        o1 = af.audio_resample(c1)
+        o2 = af.audio_resample(c2)
+        assert o1.shape[0] == 50 and o2.shape[0] == 30
+        np.testing.assert_array_equal(o2, c2)
+        assert af._buff is None or af._buff.shape[0] == 0
+
+    def test_audio_resample_zero_tail_keep_is_bounded(self, rng):
+        """Sub-sample half-windows (e.g. 100 -> 64 Hz, window 1) must
+        keep an EMPTY tail, not the whole history (data[-0:])."""
+        from telluride_decoding_tpu.signal.preprocess import (
+            AudioFeatures)
+        af = AudioFeatures('a', 100, 64, window=1)
+        total = 0
+        for _ in range(5):
+            total += af.audio_resample(rng.randn(100, 1)).shape[0]
+            assert af._buff.shape[0] == 0
+        assert total == pytest.approx(5 * 64, abs=5)
+
+    def test_reref_does_not_mutate_caller_and_accepts_ints(self):
+        from telluride_decoding_tpu.signal.preprocess import (
+            Preprocessor)
+        pp = Preprocessor('eeg', 64, 64, ref_channels=[[0]],
+                          channels_to_ref=[[1, 2]])
+        x = (np.arange(30).reshape(10, 3) * 7 % 11).astype(np.int16)
+        before = x.copy()
+        out = pp.process(x)
+        np.testing.assert_array_equal(x, before)   # Caller unchanged.
+        assert out.dtype in (np.float32, np.float64)
+        np.testing.assert_allclose(out[:, 1], before[:, 1] - before[:, 0])
+
+    def test_param_string_validates_like_kwargs(self):
+        from telluride_decoding_tpu.signal.preprocess import (
+            Preprocessor)
+        with pytest.raises(ValueError, match='highpass_cutoff'):
+            Preprocessor('eeg(highpass_cutoff=-1)', 64, 64)
+        with pytest.raises(ValueError, match='highpass_order'):
+            Preprocessor('eeg(highpass_cutoff=2;highpass_order=0)',
+                         64, 64)
+
+    def test_trial_name_suffix_stripped_once(self):
+        from telluride_decoding_tpu.io.ingest import (BrainExperiment,
+                                                      BrainTrial)
+        assert (BrainTrial('story.wav_take2.wav').trial_name
+                == 'story.wav_take2')
+        assert (BrainExperiment.delete_suffix('x.wav.wav', '.wav')
+                == 'x.wav')
+
+    def test_edf_without_dir_raises_ioerror(self, tmp_path):
+        from telluride_decoding_tpu.io import ingest
+        trial = ingest.BrainTrial('t1')
+        edf = ingest.EdfBrainDataFile('missing.edf')
+        with pytest.raises(IOError, match='directory is required'):
+            trial.load_brain_data(None, edf)
+
+    def test_ssd_traces_seeded_like_reference(self, rng):
+        """z_dyn/eta_dyn start with k_w zero entries (reference
+        attention_decoder.py:244-248) so trace index aligns with call
+        index for analysis scripts."""
+        from telluride_decoding_tpu.decide.attention_decoder import (
+            create_attention_decoder)
+        dec = create_attention_decoder('ssd', window_step=100,
+                                       frame_rate=100.0,
+                                       ssd_offset=2.0)
+        k_w = dec.k_w
+        assert len(dec.z_dyn) == k_w and len(dec.eta_dyn) == k_w
+        r = np.exp(rng.randn(k_w + 5) * 0.3 - 1.0)
+        dec.tune(r, r * 0.5)
+        for i in range(k_w + 5):
+            dec.attention(r[i], 0.5 * r[i])
+        assert len(dec.z_dyn) == (k_w + 5) + 1
