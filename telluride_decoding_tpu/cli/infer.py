@@ -120,22 +120,32 @@ def calculate_time_axis(data, window_step: int, window_width: int,
 
 def get_data_for_model(tf_dir: str, train_files, test_files,
                        model_object: infer_decoder.Decoder,
-                       audio_label_1: str, audio_label_2: str):
-    """Train/test datasets for both speakers, checked against the model."""
+                       audio_label_1: str, audio_label_2: str,
+                       include_train: bool = True):
+    """Train/test datasets for both speakers, checked against the model.
+
+    include_train=False skips materializing the training corpora (a
+    pretrained decoder never touches them; the default train pattern
+    matches EVERY file, so eagerly decoding + context-stacking both
+    speakers' full training sets costs GBs of host memory and minutes
+    for nothing on inference-only runs).
+    """
     brain_data_1 = create_brain_data(tf_dir, train_files, test_files,
                                      model_object.decoding_model_params,
                                      audio_label_1)
     brain_data_2 = create_brain_data(tf_dir, train_files, test_files,
                                      model_object.decoding_model_params,
                                      audio_label_2)
-    bd1_train = brain_data_1.create_dataset(mode='train')
     bd1_test = brain_data_1.create_dataset(mode='program_test')
-    bd2_train = brain_data_2.create_dataset(mode='train')
     bd2_test = brain_data_2.create_dataset(mode='program_test')
-    model_object.check_model_and_data(bd1_train)
     model_object.check_model_and_data(bd1_test)
-    model_object.check_model_and_data(bd2_train)
     model_object.check_model_and_data(bd2_test)
+    bd1_train = bd2_train = None
+    if include_train:
+        bd1_train = brain_data_1.create_dataset(mode='train')
+        bd2_train = brain_data_2.create_dataset(mode='train')
+        model_object.check_model_and_data(bd1_train)
+        model_object.check_model_and_data(bd2_train)
     return bd1_train, bd1_test, bd2_train, bd2_test
 
 
@@ -193,21 +203,31 @@ def run_reduction_test(model_dir: str, tf_dir: str, train_files,
                        ) -> Dict[int, float]:
     """One full window-size sweep for a (reduction, decoder) pair."""
     model_object = load_model(model_dir, reduction)
+    needs_train = not model_object.correlation_params.count
     bd1_train, bd1_test, bd2_train, bd2_test = get_data_for_model(
         tf_dir, train_files, test_files, model_object,
-        audio_label_1, audio_label_2)
+        audio_label_1, audio_label_2, include_train=needs_train)
 
-    if not model_object.correlation_params.count:
+    if needs_train:
         model_object.train(bd1_train, bd2_train)
 
+    # Per-frame scores are window-size INDEPENDENT: decode each
+    # speaker's corpus once and window the shared result per size
+    # (the old per-size re-decode cost 2x len(window_list) full-corpus
+    # device programs instead of 2).
+    s1, l1 = model_object.frame_scores(bd1_test)
+    s2, l2 = model_object.frame_scores(bd2_test)
     window_list = window_list or WINDOW_LIST
     window_results = []
     for window_size in window_list:
         window_step = window_size // 2
-        d1_results, _ = regress_and_correlate(model_object, bd1_test,
-                                              window_size)
-        d2_results, labels = regress_and_correlate(model_object, bd2_test,
-                                                   window_size)
+        d1_arr, _ = infer_decoder.Decoder.window_means(s1, l1,
+                                                       window_size)
+        d2_arr, lab_arr = infer_decoder.Decoder.window_means(
+            s2, l2, window_size)
+        d1_results = [float(v) for v in d1_arr]
+        d2_results = [float(v) for v in d2_arr]
+        labels = [float(v) for v in lab_arr]
         decoder = attention_decoder.create_attention_decoder(
             decoder_type, window_step=window_step, frame_rate=frame_rate)
         end_first_section = find_first_segment(np.asarray(labels))

@@ -120,8 +120,16 @@ def download_from_gdrive(url: str, output: str,
                 r'name="(id|export|confirm|uuid)" value="([^"]*)"', page))
             action = _re.search(r'action="([^"]+)"', page)
             if action and 'confirm' in params:
-                retry_url = action.group(1) + '?' + urllib.parse.urlencode(
-                    params)
+                # HTML-unescape the action and extend its EXISTING
+                # query string when present ('/uc?export=download' is
+                # the historical shape; a second '?' would malform the
+                # retry URL). Relative actions resolve against the
+                # original request URL.
+                import html as _html
+                base = urllib.parse.urljoin(url,
+                                            _html.unescape(action.group(1)))
+                sep = '&' if '?' in base else '?'
+                retry_url = base + sep + urllib.parse.urlencode(params)
                 _fetch_to_file(opener, retry_url, part)
             else:
                 token = _re.search(r'confirm=([0-9A-Za-z_-]+)', page)
@@ -135,6 +143,16 @@ def download_from_gdrive(url: str, output: str,
             print('Download of %s returned an HTML page, not the file '
                   '(Google Drive confirmation could not be completed). '
                   'Fetch it manually to %s.' % (url, output),
+                  file=regression_data_print)
+            return None
+        if os.path.getsize(part) == 0:
+            # An empty 200 body must not poison the cache either
+            # (is_data_local() only checks existence, so a cached
+            # zero-byte artifact would skip the download forever and
+            # crash in the loader on every later run).
+            os.remove(part)
+            print('Download of %s produced an empty file. Fetch it '
+                  'manually to %s.' % (url, output),
                   file=regression_data_print)
             return None
         os.replace(part, output)

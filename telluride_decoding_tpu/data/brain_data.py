@@ -635,6 +635,13 @@ class BrainDataset:
         return self._in1.shape[0]
 
     @property
+    def batch_size(self) -> int:
+        """Minibatch size __iter__ delivers (drop-remainder): public
+        so batched evaluators (Decoder.frame_scores) can reproduce the
+        iterator's truncation without reaching into privates."""
+        return self._batch_size
+
+    @property
     def has_batch_transforms(self) -> bool:
         """True when iteration applies mixup/mismatch transforms, so
         the raw arrays differ from the iterated stream."""

@@ -223,31 +223,53 @@ def _parse_map_entry(buf: memoryview, result: Dict[str, np.ndarray]):
     value_span = None
     while pos < end:
         tag, pos = _read_varint(buf, pos)
-        length, pos = _read_varint(buf, pos)
-        if tag >> 3 == 1:                            # key
+        # Known fields are length-delimited; anything else (legal
+        # unknown extensions with wire type 0/1/5) must be skipped by
+        # wire type, not read as if a length prefix followed.
+        if tag >> 3 == 1 and tag & 7 == 2:           # key
+            length, pos = _read_varint(buf, pos)
             key = bytes(buf[pos:pos + length]).decode('utf-8')
-        elif tag >> 3 == 2:                          # value (Feature)
+            pos += length
+        elif tag >> 3 == 2 and tag & 7 == 2:         # value (Feature)
+            length, pos = _read_varint(buf, pos)
             value_span = buf[pos:pos + length]
-        pos += length
+            pos += length
+        else:
+            pos = _skip_field(buf, pos, tag)
     if key is not None and value_span is not None:
         result[key] = _parse_feature(value_span)
 
 
 def _parse_feature(buf: memoryview) -> np.ndarray:
+    # Repeated occurrences of the same embedded list message MERGE
+    # (proto field-merge semantics: a writer may legally split one
+    # float_list across several submessages), so accumulate every
+    # occurrence instead of returning the first.
     pos, end = 0, len(buf)
+    parts: List[np.ndarray] = []
+    kind = None
     while pos < end:
         tag, pos = _read_varint(buf, pos)
         field = tag >> 3
+        if tag & 7 != 2 or field not in (1, 2, 3):
+            pos = _skip_field(buf, pos, tag)
+            continue
         length, pos = _read_varint(buf, pos)
         inner = buf[pos:pos + length]
         pos += length
+        kind = field
         if field == 2:                               # FloatList
-            return _parse_packed_floats(inner)
+            parts.append(_parse_packed_floats(inner))
         elif field == 3:                             # Int64List
-            return _parse_packed_varints(inner)
+            parts.append(_parse_packed_varints(inner))
         elif field == 1:                             # BytesList
-            return _parse_bytes_list(inner)
-    return np.zeros((0,), np.float32)
+            parts.append(_parse_bytes_list(inner))
+    del kind
+    if not parts:
+        return np.zeros((0,), np.float32)
+    if len(parts) == 1:
+        return parts[0]
+    return np.concatenate(parts)
 
 
 def _parse_packed_floats(buf: memoryview) -> np.ndarray:
@@ -294,6 +316,9 @@ def _parse_bytes_list(buf: memoryview) -> np.ndarray:
     values: List[bytes] = []
     while pos < end:
         tag, pos = _read_varint(buf, pos)
+        if tag & 7 != 2:            # Unknown non-length-delimited field.
+            pos = _skip_field(buf, pos, tag)
+            continue
         length, pos = _read_varint(buf, pos)
         values.append(bytes(buf[pos:pos + length]))
         pos += length

@@ -504,15 +504,13 @@ class Decoder:
             for r1, r2 in storage.next_window():
                 yield r1, r2
 
-    def test_by_window_means(self, dataset, window_size: int
-                             ) -> Tuple[np.ndarray, np.ndarray]:
-        """Per-window mean scores + labels, all windows in one program.
+    def frame_scores(self, dataset) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-frame scores + labels for in-order windowed evaluation.
 
-        Batched equivalent of iterating test_by_window and averaging
-        each yielded window (the reference's per-window Python loop,
-        its evaluation hot loop #5): the whole dataset decodes in one
-        jitted dispatch and the 50%-overlap window means reduce on
-        device. Requires an in-order (unshuffled) dataset.
+        The window-size-INDEPENDENT half of test_by_window_means: the
+        whole dataset decodes in one jitted dispatch. Window sweeps
+        (cli.infer runs six sizes per speaker) call this once and
+        window the result per size instead of re-decoding the corpus.
         """
         from telluride_decoding_tpu.data.brain_data import BrainDataset
         if isinstance(dataset, BrainDataset) and \
@@ -520,7 +518,7 @@ class Decoder:
             in1, in2, out, attended = dataset.all_arrays()
             # Match the iterator's drop-remainder batching: frames past
             # the last full minibatch are never delivered.
-            batch = getattr(dataset, '_batch_size', None)
+            batch = dataset.batch_size
             if batch:
                 keep = (in1.shape[0] // batch) * batch
                 in1, in2 = in1[:keep], in2[:keep]
@@ -534,6 +532,11 @@ class Decoder:
                 scores_parts.append(self.infer_one(input_dict, output))
                 label_parts.append(
                     np.asarray(input_dict['attended_speaker']))
+            if not scores_parts:
+                # A transform dataset shorter than one minibatch yields
+                # nothing (drop_remainder); empty results, like the
+                # fast path and the reference's test_by_window.
+                return np.zeros((0,)), np.zeros((0,))
             scores = np.concatenate(scores_parts)
             labels = np.concatenate(label_parts)
         scores = np.asarray(scores)
@@ -547,6 +550,13 @@ class Decoder:
         scores = np.reshape(scores, (-1,))
         labels = np.reshape(np.asarray(labels)[:, 0] if labels.ndim > 1
                             else labels, (-1,))
+        return scores, labels
+
+    @staticmethod
+    def window_means(scores: np.ndarray, labels: np.ndarray,
+                     window_size: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """50%-overlap window means over precomputed frame scores."""
         step = max(window_size // 2, 1)
         num_windows = max((scores.shape[0] - window_size) // step + 1, 0)
         if num_windows <= 0:
@@ -559,6 +569,18 @@ class Decoder:
         mean_labels = (csum_l[starts + window_size] -
                        csum_l[starts]) / window_size
         return mean_scores, mean_labels
+
+    def test_by_window_means(self, dataset, window_size: int
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-window mean scores + labels, all windows in one program.
+
+        Batched equivalent of iterating test_by_window and averaging
+        each yielded window (the reference's per-window Python loop,
+        its evaluation hot loop #5). Requires an in-order (unshuffled)
+        dataset.
+        """
+        scores, labels = self.frame_scores(dataset)
+        return self.window_means(scores, labels, window_size)
 
     def check_model_and_data(self, actual_dataset):
         """Validates dataset widths against the loaded model metadata."""

@@ -380,3 +380,111 @@ class TestThirdReviewBatch:
         for i in range(k_w + 5):
             dec.attention(r[i], 0.5 * r[i])
         assert len(dec.z_dyn) == (k_w + 5) + 1
+
+
+def _varint(n):
+    out = b''
+    while True:
+        b = n & 0x7f
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _ld(field, payload):
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+class TestRecordsProtoEdgeCases:
+
+    def test_unknown_varint_field_in_map_entry(self):
+        """Unknown non-length-delimited fields (wire type 0) in a
+        Features map entry must be skipped by wire type, not have
+        their VALUE misread as a byte length."""
+        import struct
+        from telluride_decoding_tpu.data import records
+        floats = struct.pack('<3f', 1.0, 2.0, 3.0)
+        feature = _ld(2, _ld(1, floats))          # FloatList.value
+        entry = (_varint((3 << 3) | 0) + _varint(300)   # unknown varint
+                 + _ld(1, b'eeg') + _ld(2, feature))
+        example = _ld(1, _ld(1, entry))           # Example.features.map
+        parsed = records.parse_example(memoryview(example))
+        np.testing.assert_array_equal(parsed['eeg'],
+                                      np.asarray([1., 2., 3.], '<f4'))
+
+    def test_split_float_list_submessages_merge(self):
+        """Repeated embedded float_list submessages MERGE (proto field
+        semantics); returning only the first silently truncates rows
+        from non-TF writers."""
+        import struct
+        from telluride_decoding_tpu.data import records
+        f1 = struct.pack('<2f', 1.0, 2.0)
+        f2 = struct.pack('<2f', 3.0, 4.0)
+        feature = _ld(2, _ld(1, f1)) + _ld(2, _ld(1, f2))
+        entry = _ld(1, b'eeg') + _ld(2, feature)
+        example = _ld(1, _ld(1, entry))
+        parsed = records.parse_example(memoryview(example))
+        np.testing.assert_array_equal(parsed['eeg'],
+                                      np.asarray([1., 2., 3., 4.], '<f4'))
+
+    def test_bytes_list_skips_unknown_varint(self):
+        from telluride_decoding_tpu.data import records
+        blist = (_varint((9 << 3) | 0) + _varint(7)   # unknown varint
+                 + _ld(1, b'abc'))
+        feature = _ld(1, blist)                   # BytesList
+        entry = _ld(1, b'name') + _ld(2, feature)
+        example = _ld(1, _ld(1, entry))
+        parsed = records.parse_example(memoryview(example))
+        assert parsed['name'].tolist() == [b'abc']
+
+
+class TestInferDecoderEdgeCases:
+
+    def test_empty_transform_dataset_returns_empty_windows(self, rng):
+        """A mixup dataset shorter than one minibatch yields zero
+        batches; the iterator path must return empty results like the
+        fast path, not crash in np.concatenate."""
+        from telluride_decoding_tpu.data.brain_data import TestBrainData
+        from telluride_decoding_tpu.decode import infer_decoder
+        bd = TestBrainData('input_1', 'output', 100.0,
+                           final_batch_size=200)
+        bd.preserve_test_data(rng.randn(150, 2).astype(np.float32),
+                              rng.randn(150, 1).astype(np.float32))
+        ds = bd.create_dataset('train', mixup_batch=True)
+        assert ds.has_batch_transforms
+        dec = infer_decoder.LinearRegressionDecoder(
+            lambda d: d['input_1'][:, :1], reduction='first')
+        scores, labels = dec.test_by_window_means(ds, 50)
+        assert scores.shape == (0,) and labels.shape == (0,)
+
+    def test_window_means_equals_full_path(self, rng):
+        from telluride_decoding_tpu.data.brain_data import TestBrainData
+        from telluride_decoding_tpu.decode import infer_decoder
+        bd = TestBrainData('input_1', 'output', 100.0,
+                           final_batch_size=64)
+        bd.preserve_test_data(rng.randn(500, 2).astype(np.float32),
+                              rng.randn(500, 1).astype(np.float32))
+        ds = bd.create_dataset('program_test')
+        dec = infer_decoder.LinearRegressionDecoder(
+            lambda d: d['input_1'][:, :1], reduction='first')
+        s, l = dec.frame_scores(ds)
+        for w in (10, 100):
+            ws, wl = infer_decoder.Decoder.window_means(s, l, w)
+            full_s, full_l = dec.test_by_window_means(ds, w)
+            np.testing.assert_array_equal(ws, full_s)
+            np.testing.assert_array_equal(wl, full_l)
+
+
+class TestGdriveCachePoisoning:
+
+    def test_empty_body_not_cached(self, tmp_path):
+        from telluride_decoding_tpu.cli import regression_data
+        empty = tmp_path / 'empty.bin'
+        empty.write_bytes(b'')
+        out = tmp_path / 'cache' / 'data.mat'
+        got = regression_data.download_from_gdrive(
+            'file://' + str(empty), str(out))
+        assert got is None
+        assert not out.exists()
