@@ -18,9 +18,14 @@ stream.npz holds eeg [N, C], audio1 [N, 1], audio2 [N, 1] (field names
 configurable). --serve_input - switches to a live line protocol: each
 stdin line is a JSON chunk ({"eeg": [[...]], "audio1": ..., "audio2":
 ...}) from any acquisition process, and decisions flush out per chunk.
---selftest builds a toy invertible model + stream in a temp dir,
-serves it, and asserts the decisions track the planted attention
-switch — an executable end-to-end smoke test.
+--serve_input tcp://HOST:PORT binds a TCP listener speaking the same
+line protocol over the connection (chunks in, decisions out on the
+same socket) — the deployment shape for an acquisition box on the
+local network; the model loads once and sessions are served serially
+(each connection gets fresh streaming state). --selftest builds a toy
+invertible model + stream in a temp dir, serves it, and asserts the
+decisions track the planted attention switch — an executable
+end-to-end smoke test.
 """
 
 from __future__ import annotations
@@ -51,9 +56,12 @@ def define_flags():
                         '(model.json + weights.npz + decoder_model.json).')
     flags.DEFINE_string('serve_input', None,
                         '.npz with eeg/audio1/audio2 arrays to replay, '
-                        'or "-" to read JSON chunk lines from stdin '
+                        '"-" to read JSON chunk lines from stdin '
                         '({"eeg": [[...]], "audio1": ..., "audio2": '
-                        '...} per line).')
+                        '...} per line), or "tcp://HOST:PORT" to '
+                        'listen for connections speaking the same '
+                        'line protocol (decisions return on the '
+                        'socket; --serve_output is ignored).')
     flags.DEFINE_string('serve_output', None,
                         'Where to write JSON-line decisions (default '
                         'stdout).')
@@ -324,7 +332,7 @@ def serve_lines(model_dir: str, in_stream, *,
                 reduction: str = 'lda', decision: str = 'wta',
                 window_width: int = 100, window_step: int = 50,
                 frame_rate: float = 100.0,
-                out_stream=None) -> List[Dict]:
+                out_stream=None, decoder=None) -> List[Dict]:
     """Line-protocol serving: JSON chunks in, JSON decisions out.
 
     Each input line is one acquisition chunk:
@@ -338,9 +346,14 @@ def serve_lines(model_dir: str, in_stream, *,
     the decoder with
       acquisition | tdt-serve --serve_model_dir M --serve_input -
     EOF ends the stream; returns all decisions.
+
+    ``decoder`` short-circuits the per-call model load (the socket
+    listener loads once and serves many sessions); streaming state is
+    still per-call (a fresh StreamingAttentionServer per session).
     """
-    from telluride_decoding_tpu.cli.infer import load_model
-    decoder = load_model(model_dir, reduction)
+    if decoder is None:
+        from telluride_decoding_tpu.cli.infer import load_model
+        decoder = load_model(model_dir, reduction)
     server = None
     decisions: List[Dict] = []
 
@@ -438,6 +451,97 @@ def serve_lines(model_dir: str, in_stream, *,
     return decisions
 
 
+def _parse_tcp(address: str) -> tuple:
+    """'tcp://HOST:PORT' -> (host, port). Empty host binds all
+    interfaces; port 0 asks the OS for a free one (tests)."""
+    rest = address[len('tcp://'):]
+    host, sep, port = rest.rpartition(':')
+    if not sep or not port.isdigit():
+        raise ValueError(
+            'serve: bad TCP address %r (want tcp://HOST:PORT, e.g. '
+            'tcp://0.0.0.0:7355)' % address)
+    return host, int(port)
+
+
+def serve_socket(model_dir: str, address: str, *,
+                 reduction: str = 'lda', decision: str = 'wta',
+                 window_width: int = 100, window_step: int = 50,
+                 frame_rate: float = 100.0,
+                 max_sessions: Optional[int] = None,
+                 on_bound=None) -> List[int]:
+    """TCP listener speaking the line protocol over each connection.
+
+    The deployment shape for a networked acquisition box: the model
+    loads ONCE, then connections are accepted serially — sessions
+    share one decoder (and one device) so interleaving them would
+    interleave their dispatches without speeding either up, and each
+    session gets FRESH streaming state (context buffers, window
+    stores, decision rule), exactly as if it were its own
+    ``--serve_input -`` run. Chunks arrive as JSON lines on the
+    socket; decisions return on the same socket, flushed per chunk. A
+    client half-close (shutdown(SHUT_WR)) ends its session cleanly
+    and flushes the remaining windows; an abrupt disconnect is logged
+    and the listener keeps serving.
+
+    ``max_sessions`` bounds how many connections are served (None =
+    forever); ``on_bound(host, port)`` reports the actual listening
+    address (port 0 binds an OS-assigned one). Returns the per-session
+    decision counts (for tests/monitoring).
+    """
+    import socket
+    from telluride_decoding_tpu.cli.infer import load_model
+    host, port = _parse_tcp(address)
+    decoder = load_model(model_dir, reduction)
+    srv = socket.create_server((host, port))
+    try:
+        bound_host, bound_port = srv.getsockname()[:2]
+        print('serve: listening on %s:%d' % (bound_host, bound_port),
+              file=sys.stderr)
+        if on_bound is not None:
+            on_bound(bound_host, bound_port)
+        counts: List[int] = []
+        while max_sessions is None or len(counts) < max_sessions:
+            conn, peer = srv.accept()
+            print('serve: session %d from %s:%d' %
+                  (len(counts), peer[0], peer[1]), file=sys.stderr)
+            try:
+                with conn:
+                    reader = conn.makefile('r', encoding='utf-8',
+                                           newline='\n')
+                    writer = conn.makefile('w', encoding='utf-8',
+                                           newline='\n')
+                    try:
+                        decisions = serve_lines(
+                            model_dir, reader, reduction=reduction,
+                            decision=decision,
+                            window_width=window_width,
+                            window_step=window_step,
+                            frame_rate=frame_rate,
+                            out_stream=writer, decoder=decoder)
+                    finally:
+                        # makefile objects hold a reference on the
+                        # socket: until BOTH close, conn.close() never
+                        # sends FIN and the client waits for EOF
+                        # forever while this loop accepts the next
+                        # session.
+                        for f in (writer, reader):
+                            try:
+                                f.close()
+                            except OSError:
+                                pass
+                    counts.append(len(decisions))
+            except (BrokenPipeError, ConnectionResetError,
+                    ConnectionAbortedError) as error:
+                # An acquisition box dropping off the network must not
+                # kill the listener; its partial session still counts.
+                print('serve: session %d disconnected (%s)' %
+                      (len(counts), error), file=sys.stderr)
+                counts.append(-1)
+        return counts
+    finally:
+        srv.close()
+
+
 def _selftest(out_stream) -> None:
     """Toy invertible model end to end: decisions must track the
     planted attention switch (>90% of unambiguous windows)."""
@@ -499,6 +603,16 @@ def main(argv):
     if not FLAGS.serve_model_dir or not FLAGS.serve_input:
         raise app.UsageError('Need --serve_model_dir and --serve_input '
                              '(or --selftest).')
+    if FLAGS.serve_input.startswith('tcp://'):
+        # Networked line protocol: acquisition boxes connect and push
+        # JSON chunks; decisions return on the socket.
+        serve_socket(FLAGS.serve_model_dir, FLAGS.serve_input,
+                     reduction=FLAGS.serve_reduction,
+                     decision=FLAGS.serve_decoder,
+                     window_width=FLAGS.serve_window_width,
+                     window_step=FLAGS.serve_window_step,
+                     frame_rate=FLAGS.serve_frame_rate)
+        return
     if FLAGS.serve_input == '-':
         # Live line protocol: an external acquisition loop pipes JSON
         # chunks in; decisions stream out per chunk.

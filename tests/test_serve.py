@@ -423,3 +423,122 @@ class TestRoundFourSecondReview:
                                 window_width=100, window_step=100)
         assert len(got) == 2
         assert 'skipping bad' in capsys.readouterr().err
+
+
+class TestServeSocket:
+    """TCP listener mode: same line protocol over a connection."""
+
+    @staticmethod
+    def _start(model_dir, max_sessions, **kw):
+        """Runs serve_socket on a background thread; returns
+        (host, port, thread, result_box)."""
+        import queue
+        import threading
+        bound = queue.Queue()
+        box = {}
+
+        def run():
+            try:
+                box['counts'] = serve.serve_socket(
+                    model_dir, 'tcp://127.0.0.1:0',
+                    reduction='first', window_width=100,
+                    window_step=100, max_sessions=max_sessions,
+                    on_bound=lambda h, p: bound.put((h, p)), **kw)
+            except BaseException as e:   # Surface in the test.
+                box['error'] = e
+                bound.put(None)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        addr = bound.get(timeout=30)
+        assert addr is not None, box.get('error')
+        return addr[0], addr[1], t, box
+
+    @staticmethod
+    def _session(host, port, lines):
+        """One client session: send lines, half-close, read decisions
+        until the server finishes the session."""
+        import socket
+        with socket.create_connection((host, port), timeout=30) as c:
+            c.sendall(('\n'.join(lines) + '\n').encode())
+            c.shutdown(socket.SHUT_WR)
+            out = b''
+            while True:
+                chunk = c.recv(65536)
+                if not chunk:
+                    break
+                out += chunk
+        return [json.loads(l) for l in out.decode().splitlines() if l]
+
+    def test_round_trip_matches_serve_lines(self, tmp_path, rng):
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        n = 250
+        lines = [json.dumps({'eeg': eeg[s:s + 50].tolist(),
+                             'audio1': a1[s:s + 50].tolist(),
+                             'audio2': a2[s:s + 50].tolist()})
+                 for s in range(0, n, 50)]
+        host, port, t, box = self._start(model_dir, max_sessions=1)
+        got = self._session(host, port, lines)
+        t.join(timeout=60)
+        assert not t.is_alive() and box.get('counts') == [len(got)]
+        want = serve.serve_lines(
+            model_dir, io.StringIO('\n'.join(lines) + '\n'),
+            reduction='first', window_width=100, window_step=100)
+        assert len(got) == len(want) == 2
+        for g, w in zip(got, want):
+            assert g['score1'] == pytest.approx(w['score1'], abs=1e-6)
+            assert g['attend_speaker1'] == w['attend_speaker1']
+
+    def test_sessions_get_fresh_state(self, tmp_path, rng):
+        """Two sequential sessions with identical input produce
+        identical decisions — no context bleed between connections."""
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng, pre=2,
+                                            post=1)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        lines = [json.dumps({'eeg': eeg[s:s + 40].tolist(),
+                             'audio1': a1[s:s + 40].tolist(),
+                             'audio2': a2[s:s + 40].tolist()})
+                 for s in range(0, 240, 40)]
+        host, port, t, box = self._start(model_dir, max_sessions=2)
+        first = self._session(host, port, lines)
+        second = self._session(host, port, lines)
+        t.join(timeout=60)
+        assert not t.is_alive()
+        assert box.get('counts') == [len(first), len(second)]
+        assert len(first) >= 1
+        assert [d['score1'] for d in first] == \
+            [d['score1'] for d in second]
+
+    def test_survives_client_reset_and_bad_lines(self, tmp_path, rng,
+                                                 capsys):
+        """An abrupt client disconnect is logged and the listener
+        serves the next session; bad JSON lines are skipped."""
+        import socket
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        host, port, t, box = self._start(model_dir, max_sessions=2)
+        # Session 0: connect, send garbage, hard-reset the connection.
+        s = socket.create_connection((host, port), timeout=30)
+        s.sendall(b'not json\n')
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                     __import__('struct').pack('ii', 1, 0))
+        s.close()
+        # Session 1 still works end to end.
+        lines = [json.dumps({'eeg': eeg[s2:s2 + 50].tolist(),
+                             'audio1': a1[s2:s2 + 50].tolist(),
+                             'audio2': a2[s2:s2 + 50].tolist()})
+                 for s2 in range(0, 150, 50)]
+        got = self._session(host, port, lines)
+        t.join(timeout=60)
+        assert not t.is_alive()
+        assert len(got) == 1
+        assert box.get('counts', [None, None])[1] == 1
+
+    def test_bad_address_rejected(self):
+        for bad in ('tcp://nohost', 'tcp://h:notaport', 'tcp://:-5'):
+            with pytest.raises(ValueError):
+                serve._parse_tcp(bad)
+        assert serve._parse_tcp('tcp://0.0.0.0:7355') == \
+            ('0.0.0.0', 7355)
+        assert serve._parse_tcp('tcp://[::1]:80') == ('[::1]', 80)
