@@ -485,17 +485,19 @@ def main(argv):
                     'jax.distributed group to derive it from).')
         partition_dir = FLAGS.partition_dir or os.path.dirname(
             FLAGS.cohort_csv_file or '') or '.'
-        results, summary = run_partitioned_cohort(
-            my_flags, subjects, regularization_list,
-            partition_index=partition_index,
-            num_partitions=num_partitions,
-            partition_dir=partition_dir,
-            subject_parallel=FLAGS.subject_parallel,
-            cohort_csv_file=FLAGS.cohort_csv_file,
-            cohort_plot_file=FLAGS.cohort_plot_file,
-            results_csv_file=FLAGS.results_csv_file,
-            partition_wait_s=FLAGS.partition_wait_s,
-            streaming=FLAGS.streaming_cohort)
+        from telluride_decoding_tpu.utils import profiling
+        with profiling.trace(FLAGS.trace_dir):
+            results, summary = run_partitioned_cohort(
+                my_flags, subjects, regularization_list,
+                partition_index=partition_index,
+                num_partitions=num_partitions,
+                partition_dir=partition_dir,
+                subject_parallel=FLAGS.subject_parallel,
+                cohort_csv_file=FLAGS.cohort_csv_file,
+                cohort_plot_file=FLAGS.cohort_plot_file,
+                results_csv_file=FLAGS.results_csv_file,
+                partition_wait_s=FLAGS.partition_wait_s,
+                streaming=FLAGS.streaming_cohort)
         if summary is None:
             print('Partition %d/%d done: %d subjects swept.'
                   % (partition_index, num_partitions, len(results)))
@@ -503,13 +505,15 @@ def main(argv):
         mean, std = summary
         num_named = '%d partitions' % num_partitions
     else:
-        results, (mean, std) = run_cohort_sweep(
-            my_flags, subjects, regularization_list,
-            subject_parallel=FLAGS.subject_parallel,
-            cohort_csv_file=FLAGS.cohort_csv_file,
-            cohort_plot_file=FLAGS.cohort_plot_file,
-            results_csv_file=FLAGS.results_csv_file,
-            streaming=FLAGS.streaming_cohort)
+        from telluride_decoding_tpu.utils import profiling
+        with profiling.trace(FLAGS.trace_dir):
+            results, (mean, std) = run_cohort_sweep(
+                my_flags, subjects, regularization_list,
+                subject_parallel=FLAGS.subject_parallel,
+                cohort_csv_file=FLAGS.cohort_csv_file,
+                cohort_plot_file=FLAGS.cohort_plot_file,
+                results_csv_file=FLAGS.results_csv_file,
+                streaming=FLAGS.streaming_cohort)
         num_named = '%d subjects' % len(results)
     best = int(np.argmax(mean))
     print('Cohort sweep over %s, %d lambdas:' %

@@ -204,6 +204,11 @@ def define_flags():
                          'Number of elements to shuffle')
     flags.DEFINE_string('summary_dir', defaults.summary_dir,
                         'Location of summary files.')
+    flags.DEFINE_string('trace_dir', None,
+                        'Write a jax.profiler device trace of the '
+                        'experiment here (TensorBoard-loadable; '
+                        'beyond-reference observability — the '
+                        'reference has no profiling hooks at all).')
     flags.DEFINE_string('tensorboard_dir', defaults.tensorboard_dir,
                         'Location of tensorboard files.')
     flags.DEFINE_string('test_file_pattern', defaults.test_file_pattern,
@@ -551,7 +556,9 @@ def main(argv):
         enable_persistent_compilation_cache)
     enable_persistent_compilation_cache()
     my_flags = DecodingOptions().set_flags(FLAGS)
-    run_decoding_experiment(my_flags)
+    from telluride_decoding_tpu.utils import profiling
+    with profiling.trace(FLAGS.trace_dir):
+        run_decoding_experiment(my_flags)
 
 
 define_flags()

@@ -71,3 +71,23 @@ def test_decoding_main_rejects_extra_args(trf_dir):
     decoding.FLAGS(['prog'])
     with pytest.raises(app.UsageError):
         decoding.main(['prog', 'stray'])
+
+
+def test_decoding_main_trace_dir(tmp_path, trf_dir):
+    """--trace_dir writes a TensorBoard-loadable jax.profiler device
+    trace of the experiment (beyond-reference observability)."""
+    decoding.FLAGS(['prog'])
+    trace_dir = str(tmp_path / 'trace')
+    with flagsaver.flagsaver(
+            tfexample_dir=trf_dir, input_field='eeg',
+            output_field='intensity', dnn_regressor='linear',
+            regularization_lambda=1e-3, pre_context=0, post_context=4,
+            train_file_pattern='allbut', validate_file_pattern='trial02',
+            test_file_pattern='trial02', attended_field='',
+            summary_dir=str(tmp_path / 'summary'),
+            saved_model_dir=str(tmp_path / 'model'),
+            trace_dir=trace_dir):
+        decoding.main(['prog'])
+    traces = [os.path.join(root, f)
+              for root, _, files in os.walk(trace_dir) for f in files]
+    assert any(f.endswith('.xplane.pb') for f in traces), traces
