@@ -22,6 +22,11 @@ Usage:
 corpora). Per-subject CSVs (reference csv_util format), a cohort
 summary CSV (lambda, mean, std over all held-out trials), and an
 optional mean+/-std plot are written.
+
+Explicit SGD families (--dnn_regressor fullyconnected/classifier/
+dcca) are supported too: they route through the API-parity per-model
+jackknife (general_cohort_results) — every grid cell is a full
+training run, the reference's own cost, in one command.
 """
 
 from __future__ import annotations
@@ -278,6 +283,52 @@ def iter_cohort(subjects: Dict[str, str], my_flags, prefetch: bool = True):
         stop.set()
 
 
+def general_cohort_results(my_flags, subjects: Dict[str, str],
+                           regularization_list
+                           ) -> Dict[str, 'engine.SweepResult']:
+    """Whole-cohort jackknife for the SGD families (fullyconnected,
+    classifier, dcca, tf): per (subject, lambda) the API-parity
+    per-model path (cli.regression.jackknife_one_model — the same
+    train_and_test loop the reference shell-fans per configuration,
+    reference doc/DecodingCodelab.md:353-389) runs leave-one-out over
+    that subject's trials. No sufficient-statistics fast path exists
+    for SGD models — every grid cell is a full training run — so this
+    costs O(subjects x lambdas x trials) fits, exactly the reference's
+    operational cost in ONE command (the deterministic families route
+    through the sweep engine instead and are ~3 orders faster).
+
+    Note that, as in the reference, only the linear/CCA solvers read
+    regularization_lambda (reference brain_model.py:313-331); a DNN or
+    classifier grid's lambda rows differ only through training
+    stochasticity (and are identical under seeded determinism)."""
+    import dataclasses
+    results = {}
+    for name, data_dir in subjects.items():
+        sub_flags = dataclasses.replace(my_flags,
+                                        tfexample_dir=data_dir)
+        sub_flags.train_file_pattern = (sub_flags.train_file_pattern
+                                        or 'allbut')
+        bd = regression.get_brain_data_object(sub_flags)
+        files = sorted(bd.all_files())
+        if not files:
+            raise ValueError('subject %s: no TFRecord files under %s'
+                             % (name, data_dir))
+        corr = np.zeros((len(regularization_list), len(files)))
+        for i, lamb in enumerate(regularization_list):
+            sub_flags.regularization_lambda = float(lamb)
+            sub_flags.validate_file_pattern = files[0]
+            sub_flags.test_file_pattern = files[0]
+            model = regression.get_brain_model(
+                bd.create_dataset('test'), sub_flags)
+            corr[i, :] = regression.jackknife_one_model(
+                bd, model, None, sub_flags)
+        results[name] = engine.SweepResult(
+            corr, np.asarray(regularization_list, np.float64), files)
+        logging.info('subject %s: general %s jackknife done (%d fits)',
+                     name, my_flags.dnn_regressor, corr.size)
+    return results
+
+
 def write_cohort_csv(path: str, lambdas, mean, std):
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     with open(path, 'w') as f:
@@ -307,40 +358,38 @@ def run_cohort_sweep(my_flags, subjects: Dict[str, str],
     """
     if my_flags.dnn_regressor not in ('linear', 'linear_with_bias',
                                       'cca'):
-        # Silently running a ridge sweep for a requested DNN/DCCA
-        # cohort would be wrong-model science with a correct-looking
-        # CSV. (regression.py routes those through the general
-        # per-model path; the cohort driver covers the deterministic
-        # family only.)
-        raise ValueError(
-            'tdt-cohort supports the deterministic sweep models '
-            "(linear, linear_with_bias, cca), not %r. Run "
-            'tdt-regression per subject for SGD models.'
-            % my_flags.dnn_regressor)
-    if streaming is None:
-        streaming = os.environ.get(
-            'TDT_STREAMING_COHORT', '1').lower() not in ('0', 'off',
-                                                         'false')
-    mesh = engine.default_mesh('subject')
-    model = ('cca' if my_flags.dnn_regressor == 'cca' else 'ridge')
-    pads = prescan_cohort(subjects, my_flags) if streaming else None
-    if pads is not None:
-        use_raw = regression.device_context_enabled()
-        context = cohort_context(my_flags) if use_raw else None
-        results = engine.multi_subject_sweep(
-            iter_cohort(subjects, my_flags), regularization_list,
-            model=model, dims=my_flags.cca_dimensions, mesh=mesh,
-            subject_parallel=subject_parallel, context=context,
-            pad_files_to=pads[0], pad_frames_to=pads[1])
+        # SGD/DCCA families have no sufficient-statistics fast path
+        # (every grid cell is a training run): route through the
+        # API-parity per-model jackknife instead of the sweep engine.
+        # Silently running a ridge sweep for a requested DNN cohort
+        # would be wrong-model science with a correct-looking CSV.
+        results = general_cohort_results(my_flags, subjects,
+                                         regularization_list)
     else:
-        if streaming:
-            logging.info('cohort prescan unavailable (field specs or '
-                         'unreadable records); loading eagerly.')
-        cohort, context = load_cohort(subjects, my_flags)
-        results = engine.multi_subject_sweep(
-            cohort, regularization_list, model=model,
-            dims=my_flags.cca_dimensions, mesh=mesh,
-            subject_parallel=subject_parallel, context=context)
+        if streaming is None:
+            streaming = os.environ.get(
+                'TDT_STREAMING_COHORT', '1').lower() not in ('0', 'off',
+                                                             'false')
+        mesh = engine.default_mesh('subject')
+        model = ('cca' if my_flags.dnn_regressor == 'cca' else 'ridge')
+        pads = prescan_cohort(subjects, my_flags) if streaming else None
+        if pads is not None:
+            use_raw = regression.device_context_enabled()
+            context = cohort_context(my_flags) if use_raw else None
+            results = engine.multi_subject_sweep(
+                iter_cohort(subjects, my_flags), regularization_list,
+                model=model, dims=my_flags.cca_dimensions, mesh=mesh,
+                subject_parallel=subject_parallel, context=context,
+                pad_files_to=pads[0], pad_frames_to=pads[1])
+        else:
+            if streaming:
+                logging.info('cohort prescan unavailable (field specs '
+                             'or unreadable records); loading eagerly.')
+            cohort, context = load_cohort(subjects, my_flags)
+            results = engine.multi_subject_sweep(
+                cohort, regularization_list, model=model,
+                dims=my_flags.cca_dimensions, mesh=mesh,
+                subject_parallel=subject_parallel, context=context)
     mean, std = engine.cohort_summary(results)
     if results_csv_file:
         # Per-subject rows in the reference csv_util layout
@@ -460,10 +509,12 @@ def main(argv):
     enable_persistent_compilation_cache()
     my_flags = decoding.DecodingOptions().set_flags(FLAGS)
     if FLAGS['dnn_regressor'].using_default_value:
-        # The decoding-driver default is 'fullyconnected'; the cohort
-        # driver's sweep family is deterministic, so an untouched flag
-        # means the linear preset (explicit non-sweep models still
-        # raise in run_cohort_sweep).
+        # The decoding-driver default is 'fullyconnected'; a cohort
+        # sweep's natural family is deterministic, so an untouched
+        # flag means the linear preset. EXPLICIT SGD families
+        # (fullyconnected/classifier/dcca) run through the API-parity
+        # per-model jackknife instead of the sweep engine — every
+        # grid cell is a training run, so expect reference-scale cost.
         my_flags.dnn_regressor = 'linear'
     subjects = discover_subjects(FLAGS.cohort_dir, FLAGS.subject_dir)
     regularization_list = regression.parse_regularization_values(

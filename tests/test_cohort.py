@@ -342,3 +342,60 @@ class TestStreamingCohort:
         assert names == list(subjects)
         names_p = [n for n, _ in cohort.iter_cohort(subjects, my_flags)]
         assert names_p == names
+
+
+class TestGeneralCohort:
+    """SGD families route through the API-parity per-model jackknife
+    (every grid cell a training run) — one command for the whole
+    cohort, same operational model the reference shell-fans."""
+
+    def test_fullyconnected_cohort_end_to_end(self, tmp_path, rng):
+        from telluride_decoding_tpu.cli import cohort, decoding
+        root = _write_cohort(tmp_path, rng, num_subjects=2, trials=2,
+                             n=220)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='fullyconnected', hidden_units='4',
+            epoch_count=3, batch_size=100, learning_rate=0.05,
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        lambdas = [1e-4, 1e-2]
+        results, (mean, std) = cohort.run_cohort_sweep(
+            my_flags, cohort.discover_subjects(root, []), lambdas,
+            cohort_csv_file=str(tmp_path / 'cohort.csv'))
+        assert sorted(results) == ['subject00', 'subject01']
+        for res in results.values():
+            assert res.correlations.shape == (2, 2)
+            assert np.isfinite(res.correlations).all()
+            assert len(res.test_files) == 2
+        assert mean.shape == (2,) and np.isfinite(mean).all()
+        rows = list(csv.reader(open(tmp_path / 'cohort.csv')))
+        assert rows[0] == ['lambda', 'mean', 'std'] and len(rows) == 3
+
+    def test_general_matches_regression_driver(self, tmp_path, rng):
+        """One subject's general-cohort grid equals the regression
+        driver's own general path on the same data and seeds."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        from telluride_decoding_tpu.cli import regression
+        root = _write_cohort(tmp_path, rng, num_subjects=1, trials=2,
+                             n=220)
+        opts = dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='fullyconnected', hidden_units='4',
+            epoch_count=3, batch_size=100, learning_rate=0.05,
+            train_file_pattern='allbut', shuffle_buffer_size=0)
+        subj_dir = os.path.join(root, 'subject00')
+        my_flags = decoding.DecodingOptions().set_from_dict(opts)
+        got = cohort.general_cohort_results(
+            my_flags, {'subject00': subj_dir}, [1e-3])['subject00']
+        ref_flags = decoding.DecodingOptions().set_from_dict(
+            dict(opts, tfexample_dir=subj_dir, regularization_lambda=1e-3))
+        bd = regression.get_brain_data_object(ref_flags)
+        files = sorted(bd.all_files())
+        ref_flags.validate_file_pattern = files[0]
+        ref_flags.test_file_pattern = files[0]
+        model = regression.get_brain_model(
+            bd.create_dataset('test'), ref_flags)
+        want = regression.jackknife_one_model(bd, model, None, ref_flags)
+        np.testing.assert_allclose(got.correlations[0], want, rtol=1e-5)

@@ -387,14 +387,33 @@ class TestDataCliFixes:
         assert test_results['pearson_correlation_first'] > 0.97
         assert not train_loads, 'dense train split was materialized'
 
-    def test_cohort_rejects_sgd_models(self, tmp_path, rng):
+    def test_cohort_routes_sgd_models_to_general_path(
+            self, tmp_path, rng, monkeypatch):
+        """A requested DNN/DCCA cohort must NOT silently run a ridge
+        sweep (wrong-model science with a correct-looking CSV): it
+        routes through the API-parity per-model jackknife."""
         from telluride_decoding_tpu.cli import cohort, decoding
+        from telluride_decoding_tpu.sweep import engine
         my_flags = decoding.DecodingOptions().set_from_dict(dict(
             input_field='eeg', output_field='intensity',
             dnn_regressor='dcca'))
-        with pytest.raises(ValueError, match='tdt-cohort supports'):
-            cohort.run_cohort_sweep(my_flags, {'s': '/nonexistent'},
-                                    [1e-4])
+        called = {}
+
+        def fake_general(flags_, subjects, lambdas):
+            called['subjects'] = dict(subjects)
+            return {'s': engine.SweepResult(
+                np.ones((1, 2)), np.asarray([1e-4]), ['f0', 'f1'])}
+
+        monkeypatch.setattr(cohort, 'general_cohort_results',
+                            fake_general)
+        monkeypatch.setattr(
+            engine, 'multi_subject_sweep',
+            lambda *a, **k: pytest.fail(
+                'sweep engine must not run for dcca'))
+        results, (mean, _) = cohort.run_cohort_sweep(
+            my_flags, {'s': '/nonexistent'}, [1e-4])
+        assert called['subjects'] == {'s': '/nonexistent'}
+        assert mean.shape == (1,) and mean[0] == 1.0
 
     def test_serve_stream_orients_each_audio_independently(
             self, tmp_path, rng):
