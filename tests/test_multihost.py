@@ -306,3 +306,36 @@ class TestDistributedCollectiveJoin:
         monkeypatch.delenv('TDT_PROCESS_ID', raising=False)
         with pytest.raises(ValueError, match='TDT_NUM_PROCESSES'):
             multihost.initialize()
+
+
+class TestPartitionedGeneralCohort:
+
+    def test_partitioned_sgd_cohort_joins_exactly(self, tmp_path, rng):
+        """The multi-host join is model-family-agnostic: a
+        fullyconnected cohort partitioned over two processes joins to
+        the single-process summary (general per-model path per
+        partition, exact (n, sum, sumsq) reduction)."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        root = _write_cohort(tmp_path, rng, num_subjects=2, trials=2,
+                             n=200)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='fullyconnected', hidden_units='4',
+            epoch_count=2, batch_size=100, learning_rate=0.05,
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        subjects = cohort.discover_subjects(root, [])
+        lambdas = [1e-3]
+        part_dir = str(tmp_path / 'parts')
+        res1, summary1 = cohort.run_partitioned_cohort(
+            my_flags, subjects, lambdas, partition_index=1,
+            num_partitions=2, partition_dir=part_dir)
+        assert summary1 is None and len(res1) == 1
+        res0, (mean, std) = cohort.run_partitioned_cohort(
+            my_flags, subjects, lambdas, partition_index=0,
+            num_partitions=2, partition_dir=part_dir)
+        assert len(res0) == 1
+        _, (want_mean, want_std) = cohort.run_cohort_sweep(
+            my_flags, subjects, lambdas)
+        np.testing.assert_allclose(mean, want_mean, atol=1e-6)
+        np.testing.assert_allclose(std, want_std, atol=1e-6)
