@@ -284,7 +284,8 @@ def iter_cohort(subjects: Dict[str, str], my_flags, prefetch: bool = True):
 
 
 def general_cohort_results(my_flags, subjects: Dict[str, str],
-                           regularization_list
+                           regularization_list,
+                           checkpoint_dir: Optional[str] = None
                            ) -> Dict[str, 'engine.SweepResult']:
     """Whole-cohort jackknife for the SGD families (fullyconnected,
     classifier, dcca, tf): per (subject, lambda) the API-parity
@@ -300,14 +301,32 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
     Note that, as in the reference, only the linear/CCA solvers read
     regularization_lambda (reference brain_model.py:313-331); a DNN or
     classifier grid's lambda rows differ only through training
-    stochasticity (and are identical under seeded determinism)."""
+    stochasticity (and are identical under seeded determinism).
+
+    ``checkpoint_dir`` makes the sweep RESUMABLE at per-subject
+    granularity (an SGD cohort is hours-to-days of training runs —
+    the jens-scale grid is 7,920 fits): each finished subject's grid
+    is written atomically as an .npz keyed by the full experiment
+    parameters, and a rerun skips subjects whose checkpoint matches.
+    A checkpoint from DIFFERENT parameters or lambdas fails loudly
+    instead of silently joining stale numbers (the same guard as
+    multihost.join_parts)."""
     import dataclasses
+    lambdas64 = np.asarray(regularization_list, np.float64)
     results = {}
     for name, data_dir in subjects.items():
         sub_flags = dataclasses.replace(my_flags,
                                         tfexample_dir=data_dir)
         sub_flags.train_file_pattern = (sub_flags.train_file_pattern
                                         or 'allbut')
+        params = sub_flags.experiment_parameters()
+        ckpt = (os.path.join(checkpoint_dir, 'general_%s.npz' % name)
+                if checkpoint_dir else None)
+        if ckpt and os.path.exists(ckpt):
+            results[name] = _load_general_checkpoint(
+                ckpt, name, lambdas64, params)
+            logging.info('subject %s: restored from %s', name, ckpt)
+            continue
         bd = regression.get_brain_data_object(sub_flags)
         files = sorted(bd.all_files())
         if not files:
@@ -322,11 +341,40 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
                 bd.create_dataset('test'), sub_flags)
             corr[i, :] = regression.jackknife_one_model(
                 bd, model, None, sub_flags)
-        results[name] = engine.SweepResult(
-            corr, np.asarray(regularization_list, np.float64), files)
+        results[name] = engine.SweepResult(corr, lambdas64, files)
+        if ckpt:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            # Ends in .npz so np.savez keeps the name; os.replace
+            # makes the publish atomic (a killed run never leaves a
+            # torn checkpoint for the resume to trust).
+            tmp = ckpt + '.tmp-%d.npz' % os.getpid()
+            np.savez(tmp, corr=corr, lambdas=lambdas64,
+                     files=np.asarray(files),
+                     params=np.asarray(params))
+            os.replace(tmp, ckpt)
         logging.info('subject %s: general %s jackknife done (%d fits)',
                      name, my_flags.dnn_regressor, corr.size)
     return results
+
+
+def _load_general_checkpoint(path: str, name: str,
+                             lambdas: np.ndarray, params: str
+                             ) -> 'engine.SweepResult':
+    """Loads one subject's general-sweep checkpoint, failing loudly on
+    a stale grid or parameter mismatch."""
+    with np.load(path, allow_pickle=False) as z:
+        stored_params = str(z['params'])
+        stored_lambdas = np.asarray(z['lambdas'], np.float64)
+        if stored_params != params or not np.array_equal(stored_lambdas,
+                                                         lambdas):
+            raise ValueError(
+                'checkpoint %s was written by a different sweep '
+                '(params or lambda grid mismatch) — remove it or '
+                'point --sweep_checkpoint_dir elsewhere. stored '
+                'lambdas %s vs requested %s.'
+                % (path, stored_lambdas.tolist(), lambdas.tolist()))
+        return engine.SweepResult(np.asarray(z['corr']), lambdas,
+                                  [str(f) for f in z['files']])
 
 
 def write_cohort_csv(path: str, lambdas, mean, std):
@@ -343,9 +391,14 @@ def run_cohort_sweep(my_flags, subjects: Dict[str, str],
                      cohort_csv_file: Optional[str] = None,
                      cohort_plot_file: Optional[str] = None,
                      results_csv_file: Optional[str] = None,
-                     streaming: Optional[bool] = None):
+                     streaming: Optional[bool] = None,
+                     checkpoint_dir: Optional[str] = None):
     """The whole cohort's sweep; returns ({subject: SweepResult},
     (mean, std) per lambda).
+
+    ``checkpoint_dir`` (--sweep_checkpoint_dir) makes the SGD-family
+    general path resumable per subject; the deterministic families
+    re-run in seconds and ignore it.
 
     ``streaming`` (default on; --nostreaming_cohort / env
     TDT_STREAMING_COHORT=0 disable) feeds the sweep through the
@@ -364,7 +417,8 @@ def run_cohort_sweep(my_flags, subjects: Dict[str, str],
         # Silently running a ridge sweep for a requested DNN cohort
         # would be wrong-model science with a correct-looking CSV.
         results = general_cohort_results(my_flags, subjects,
-                                         regularization_list)
+                                         regularization_list,
+                                         checkpoint_dir=checkpoint_dir)
     else:
         if streaming is None:
             streaming = os.environ.get(
@@ -424,7 +478,8 @@ def run_partitioned_cohort(my_flags, subjects: Dict[str, str],
                            cohort_plot_file: Optional[str] = None,
                            results_csv_file: Optional[str] = None,
                            partition_wait_s: float = 1200.0,
-                           streaming: Optional[bool] = None):
+                           streaming: Optional[bool] = None,
+                           checkpoint_dir: Optional[str] = None):
     """One partition's share of a multi-process cohort sweep.
 
     Runs this partition's subjects (round-robin by sorted name, so
@@ -457,7 +512,7 @@ def run_partitioned_cohort(my_flags, subjects: Dict[str, str],
             my_flags, mine, regularization_list,
             subject_parallel=subject_parallel,
             results_csv_file=results_csv_file,
-            streaming=streaming)
+            streaming=streaming, checkpoint_dir=checkpoint_dir)
     else:
         # Over-partitioned cohort: this shard holds no subjects but
         # still participates in the join with exact-zero statistics.
@@ -548,7 +603,8 @@ def main(argv):
                 cohort_plot_file=FLAGS.cohort_plot_file,
                 results_csv_file=FLAGS.results_csv_file,
                 partition_wait_s=FLAGS.partition_wait_s,
-                streaming=FLAGS.streaming_cohort)
+                streaming=FLAGS.streaming_cohort,
+                checkpoint_dir=FLAGS.sweep_checkpoint_dir)
         if summary is None:
             print('Partition %d/%d done: %d subjects swept.'
                   % (partition_index, num_partitions, len(results)))
@@ -564,7 +620,8 @@ def main(argv):
                 cohort_csv_file=FLAGS.cohort_csv_file,
                 cohort_plot_file=FLAGS.cohort_plot_file,
                 results_csv_file=FLAGS.results_csv_file,
-                streaming=FLAGS.streaming_cohort)
+                streaming=FLAGS.streaming_cohort,
+                checkpoint_dir=FLAGS.sweep_checkpoint_dir)
         num_named = '%d subjects' % len(results)
     best = int(np.argmax(mean))
     print('Cohort sweep over %s, %d lambdas:' %

@@ -399,3 +399,88 @@ class TestGeneralCohort:
             bd.create_dataset('test'), ref_flags)
         want = regression.jackknife_one_model(bd, model, None, ref_flags)
         np.testing.assert_allclose(got.correlations[0], want, rtol=1e-5)
+
+    def test_general_checkpoint_resume(self, tmp_path, rng,
+                                       monkeypatch):
+        """An SGD cohort with --sweep_checkpoint_dir resumes per
+        subject: a rerun restores finished grids from disk and never
+        retrains (an SGD cohort is hours of training runs)."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        from telluride_decoding_tpu.cli import regression
+        root = _write_cohort(tmp_path, rng, num_subjects=2, trials=2,
+                             n=220)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='fullyconnected', hidden_units='4',
+            epoch_count=2, batch_size=100, learning_rate=0.05,
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        ckpt_dir = str(tmp_path / 'ckpts')
+        subjects = cohort.discover_subjects(root, [])
+        first = cohort.general_cohort_results(
+            my_flags, subjects, [1e-3, 1e-1], checkpoint_dir=ckpt_dir)
+        assert sorted(os.listdir(ckpt_dir)) == [
+            'general_subject00.npz', 'general_subject01.npz']
+        # The rerun must not train: poison the training path.
+        def _boom(*a, **k):
+            raise AssertionError('resume retrained a finished subject')
+        monkeypatch.setattr(regression, 'get_brain_model', _boom)
+        second = cohort.general_cohort_results(
+            my_flags, subjects, [1e-3, 1e-1], checkpoint_dir=ckpt_dir)
+        assert sorted(second) == sorted(first)
+        for name in first:
+            np.testing.assert_array_equal(
+                second[name].correlations, first[name].correlations)
+            assert second[name].test_files == first[name].test_files
+            np.testing.assert_array_equal(
+                second[name].lambdas, first[name].lambdas)
+
+    def test_general_checkpoint_mismatch_fails_loudly(
+            self, tmp_path, rng):
+        """A checkpoint written by a different sweep (lambda grid or
+        experiment parameters) must not silently join stale numbers."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        root = _write_cohort(tmp_path, rng, num_subjects=1, trials=2,
+                             n=220)
+        base = dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='fullyconnected', hidden_units='4',
+            epoch_count=2, batch_size=100, learning_rate=0.05,
+            train_file_pattern='allbut', shuffle_buffer_size=0)
+        my_flags = decoding.DecodingOptions().set_from_dict(base)
+        ckpt_dir = str(tmp_path / 'ckpts')
+        subjects = cohort.discover_subjects(root, [])
+        cohort.general_cohort_results(
+            my_flags, subjects, [1e-3], checkpoint_dir=ckpt_dir)
+        with pytest.raises(ValueError, match='different sweep'):
+            cohort.general_cohort_results(
+                my_flags, subjects, [1e-2], checkpoint_dir=ckpt_dir)
+        other = decoding.DecodingOptions().set_from_dict(
+            dict(base, hidden_units='8'))
+        with pytest.raises(ValueError, match='different sweep'):
+            cohort.general_cohort_results(
+                other, subjects, [1e-3], checkpoint_dir=ckpt_dir)
+
+    def test_general_checkpoint_torn_write_invisible(self, tmp_path,
+                                                     rng):
+        """A leftover .tmp file from a killed run is never trusted as
+        a checkpoint (atomic publish via os.replace)."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        root = _write_cohort(tmp_path, rng, num_subjects=1, trials=2,
+                             n=220)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='fullyconnected', hidden_units='4',
+            epoch_count=2, batch_size=100, learning_rate=0.05,
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        ckpt_dir = tmp_path / 'ckpts'
+        ckpt_dir.mkdir()
+        # Simulate a torn write from a killed process.
+        (ckpt_dir / 'general_subject00.npz.tmp-12345.npz').write_bytes(
+            b'garbage')
+        results = cohort.general_cohort_results(
+            my_flags, cohort.discover_subjects(root, []), [1e-3],
+            checkpoint_dir=str(ckpt_dir))
+        assert np.isfinite(results['subject00'].correlations).all()
