@@ -288,7 +288,7 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
                            checkpoint_dir: Optional[str] = None
                            ) -> Dict[str, 'engine.SweepResult']:
     """Whole-cohort jackknife for the SGD families (fullyconnected,
-    classifier, dcca, tf): per (subject, lambda) the API-parity
+    classifier, dcca): per (subject, lambda) the API-parity
     per-model path (cli.regression.jackknife_one_model — the same
     train_and_test loop the reference shell-fans per configuration,
     reference doc/DecodingCodelab.md:353-389) runs leave-one-out over
@@ -306,12 +306,24 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
     ``checkpoint_dir`` makes the sweep RESUMABLE at per-subject
     granularity (an SGD cohort is hours-to-days of training runs —
     the jens-scale grid is 7,920 fits): each finished subject's grid
-    is written atomically as an .npz keyed by the full experiment
-    parameters, and a rerun skips subjects whose checkpoint matches.
-    A checkpoint from DIFFERENT parameters or lambdas fails loudly
-    instead of silently joining stale numbers (the same guard as
-    multihost.join_parts)."""
+    is written atomically as an .npz keyed by the sweep-relevant
+    experiment parameters + lambda grid + the subject's trial-file
+    basenames, and a rerun skips subjects whose checkpoint matches.
+    A checkpoint from DIFFERENT parameters, lambdas, or trial files
+    fails loudly — naming exactly what differed — instead of silently
+    joining stale numbers (the same guard as multihost.join_parts).
+    Output paths (--summary_dir etc.) and the per-trial selections the
+    loop overwrites are excluded from the key, so a preempted sweep
+    resumed from another host (different cohort root / output dirs)
+    restores instead of retraining."""
     import dataclasses
+    if my_flags.dnn_regressor == 'tf':
+        raise ValueError(
+            "tdt-cohort: --dnn_regressor tf is a flag-parity value "
+            "with no buildable model (the reference's "
+            "create_brain_model has no 'tf' branch either, reference "
+            "decoding.py:279-308); use linear/cca or an SGD family "
+            "(fullyconnected/classifier/dcca).")
     lambdas64 = np.asarray(regularization_list, np.float64)
     results = {}
     for name, data_dir in subjects.items():
@@ -319,19 +331,19 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
                                         tfexample_dir=data_dir)
         sub_flags.train_file_pattern = (sub_flags.train_file_pattern
                                         or 'allbut')
-        params = sub_flags.experiment_parameters()
+        params = _sweep_key_params(sub_flags)
         ckpt = (os.path.join(checkpoint_dir, 'general_%s.npz' % name)
                 if checkpoint_dir else None)
-        if ckpt and os.path.exists(ckpt):
-            results[name] = _load_general_checkpoint(
-                ckpt, name, lambdas64, params)
-            logging.info('subject %s: restored from %s', name, ckpt)
-            continue
         bd = regression.get_brain_data_object(sub_flags)
         files = sorted(bd.all_files())
         if not files:
             raise ValueError('subject %s: no TFRecord files under %s'
                              % (name, data_dir))
+        if ckpt and os.path.exists(ckpt):
+            results[name] = _load_general_checkpoint(
+                ckpt, lambdas64, params, files)
+            logging.info('subject %s: restored from %s', name, ckpt)
+            continue
         corr = np.zeros((len(regularization_list), len(files)))
         for i, lamb in enumerate(regularization_list):
             sub_flags.regularization_lambda = float(lamb)
@@ -349,7 +361,8 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
             # torn checkpoint for the resume to trust).
             tmp = ckpt + '.tmp-%d.npz' % os.getpid()
             np.savez(tmp, corr=corr, lambdas=lambdas64,
-                     files=np.asarray(files),
+                     files=np.asarray(
+                         [os.path.basename(f) for f in files]),
                      params=np.asarray(params))
             os.replace(tmp, ckpt)
         logging.info('subject %s: general %s jackknife done (%d fits)',
@@ -357,24 +370,58 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
     return results
 
 
-def _load_general_checkpoint(path: str, name: str,
-                             lambdas: np.ndarray, params: str
+# DecodingOptions fields excluded from the checkpoint key: pure output
+# paths, the per-trial selections the jackknife loop overwrites, and
+# regularization_lambda (the lambda GRID is keyed separately). The
+# subject's data directory is excluded too — data identity is pinned
+# by the stored trial basename list instead — so a sweep resumed from
+# another host (different cohort root) restores rather than retrains.
+_SWEEP_KEY_IGNORED = frozenset((
+    'regularization_lambda', 'summary_dir', 'saved_model_dir',
+    'tensorboard_dir', 'test_file_pattern', 'validate_file_pattern',
+    'tfexample_dir', 'debug',
+))
+
+
+def _sweep_key_params(sub_flags) -> List[str]:
+    """The 'key=value' strings that identify an SGD sweep's numbers."""
+    return [kv for kv in sub_flags.experiment_parameters(delimiter=None)
+            if kv.split('=', 1)[0] not in _SWEEP_KEY_IGNORED]
+
+
+def _load_general_checkpoint(path: str, lambdas: np.ndarray,
+                             params: List[str], files: List[str]
                              ) -> 'engine.SweepResult':
-    """Loads one subject's general-sweep checkpoint, failing loudly on
-    a stale grid or parameter mismatch."""
+    """Loads one subject's general-sweep checkpoint, failing loudly —
+    and naming what differed — on a stale grid, changed trial files,
+    or a parameter mismatch. ``files`` are the subject's CURRENT
+    TFRecord paths; they (not the stored basenames) label the result."""
+    remedy = ('— remove the checkpoint or point --sweep_checkpoint_dir '
+              'elsewhere.')
     with np.load(path, allow_pickle=False) as z:
-        stored_params = str(z['params'])
+        stored_params = [str(p) for p in np.atleast_1d(z['params'])]
         stored_lambdas = np.asarray(z['lambdas'], np.float64)
-        if stored_params != params or not np.array_equal(stored_lambdas,
-                                                         lambdas):
+        stored_files = [str(f) for f in np.atleast_1d(z['files'])]
+        basenames = [os.path.basename(f) for f in files]
+        if stored_files != basenames:
             raise ValueError(
-                'checkpoint %s was written by a different sweep '
-                '(params or lambda grid mismatch) — remove it or '
-                'point --sweep_checkpoint_dir elsewhere. stored '
-                'lambdas %s vs requested %s.'
-                % (path, stored_lambdas.tolist(), lambdas.tolist()))
+                'checkpoint %s was written over different trial files '
+                '(stored %s vs present %s) %s'
+                % (path, stored_files, basenames, remedy))
+        if not np.array_equal(stored_lambdas, lambdas):
+            raise ValueError(
+                'checkpoint %s was written by a different sweep: '
+                'lambda grid %s vs requested %s %s'
+                % (path, stored_lambdas.tolist(), lambdas.tolist(),
+                   remedy))
+        if stored_params != params:
+            diff = sorted(set(stored_params) ^ set(params))
+            raise ValueError(
+                'checkpoint %s was written by a different sweep; '
+                'mismatched parameters: %s %s'
+                % (path, ', '.join(diff), remedy))
         return engine.SweepResult(np.asarray(z['corr']), lambdas,
-                                  [str(f) for f in z['files']])
+                                  list(files))
 
 
 def write_cohort_csv(path: str, lambdas, mean, std):

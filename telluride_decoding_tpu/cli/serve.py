@@ -460,6 +460,10 @@ def _parse_tcp(address: str) -> tuple:
         raise ValueError(
             'serve: bad TCP address %r (want tcp://HOST:PORT, e.g. '
             'tcp://0.0.0.0:7355)' % address)
+    # RFC 3986 bracketed IPv6 literal: tcp://[::1]:7355. The brackets
+    # are address-syntax only — the resolver wants the bare address.
+    if host.startswith('[') and host.endswith(']'):
+        host = host[1:-1]
     return host, int(port)
 
 
@@ -492,7 +496,12 @@ def serve_socket(model_dir: str, address: str, *,
     from telluride_decoding_tpu.cli.infer import load_model
     host, port = _parse_tcp(address)
     decoder = load_model(model_dir, reduction)
-    srv = socket.create_server((host, port))
+    if ':' in host:
+        # IPv6 literal: create_server only speaks AF_INET by default.
+        srv = socket.create_server((host, port),
+                                   family=socket.AF_INET6)
+    else:
+        srv = socket.create_server((host, port))
     try:
         bound_host, bound_port = srv.getsockname()[:2]
         print('serve: listening on %s:%d' % (bound_host, bound_port),
@@ -530,11 +539,15 @@ def serve_socket(model_dir: str, address: str, *,
                             except OSError:
                                 pass
                     counts.append(len(decisions))
-            except (BrokenPipeError, ConnectionResetError,
-                    ConnectionAbortedError) as error:
-                # An acquisition box dropping off the network must not
-                # kill the listener; its partial session still counts.
-                print('serve: session %d disconnected (%s)' %
+            except (OSError, UnicodeDecodeError) as error:
+                # A misbehaving client must not kill the long-lived
+                # listener: disconnects (BrokenPipe/ConnectionReset/
+                # ETIMEDOUT are all OSErrors) and non-UTF-8 bytes from
+                # a port scanner or TLS probe (the strict utf-8 reader
+                # raises UnicodeDecodeError). Bad JSON and bad chunks
+                # are already skipped per line inside serve_lines.
+                # The partial session still counts.
+                print('serve: session %d aborted (%s)' %
                       (len(counts), error), file=sys.stderr)
                 counts.append(-1)
         return counts
@@ -595,15 +608,25 @@ def main(argv):
     from telluride_decoding_tpu.utils.compile_cache import (
         enable_persistent_compilation_cache)
     enable_persistent_compilation_cache()
-    out = (open(FLAGS.serve_output, 'w') if FLAGS.serve_output
-           else sys.stdout)
+    tcp_mode = bool(FLAGS.serve_input
+                    and FLAGS.serve_input.startswith('tcp://')
+                    and not FLAGS.selftest)
+    # TCP mode writes decisions back on each client's socket and never
+    # touches --serve_output; opening it eagerly would truncate an
+    # existing decisions file for nothing.
+    out = (open(FLAGS.serve_output, 'w')
+           if FLAGS.serve_output and not tcp_mode else sys.stdout)
+    if tcp_mode and FLAGS.serve_output:
+        print('serve: --serve_output is ignored in TCP mode '
+              '(decisions return on each session socket)',
+              file=sys.stderr)
     if FLAGS.selftest:
         _selftest(out)
         return
     if not FLAGS.serve_model_dir or not FLAGS.serve_input:
         raise app.UsageError('Need --serve_model_dir and --serve_input '
                              '(or --selftest).')
-    if FLAGS.serve_input.startswith('tcp://'):
+    if tcp_mode:
         # Networked line protocol: acquisition boxes connect and push
         # JSON chunks; decisions return on the socket.
         serve_socket(FLAGS.serve_model_dir, FLAGS.serve_input,

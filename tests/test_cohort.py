@@ -484,3 +484,85 @@ class TestGeneralCohort:
             my_flags, cohort.discover_subjects(root, []), [1e-3],
             checkpoint_dir=str(ckpt_dir))
         assert np.isfinite(results['subject00'].correlations).all()
+
+    def test_general_checkpoint_detects_changed_trial_files(
+            self, tmp_path, rng):
+        """A subject directory that gained a trial between runs must
+        NOT silently restore the old grid (it would exclude the new
+        trial from the cohort mean with no warning)."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        root = _write_cohort(tmp_path, rng, num_subjects=1, trials=2,
+                             n=220)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='fullyconnected', hidden_units='4',
+            epoch_count=2, batch_size=100, learning_rate=0.05,
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        ckpt_dir = str(tmp_path / 'ckpts')
+        subjects = cohort.discover_subjects(root, [])
+        cohort.general_cohort_results(
+            my_flags, subjects, [1e-3], checkpoint_dir=ckpt_dir)
+        src = os.path.join(root, 'subject00')
+        existing = sorted(os.listdir(src))[0]
+        import shutil
+        shutil.copy(os.path.join(src, existing),
+                    os.path.join(src, 'zz_new_trial.tfrecords'))
+        with pytest.raises(ValueError, match='different trial files'):
+            cohort.general_cohort_results(
+                my_flags, subjects, [1e-3], checkpoint_dir=ckpt_dir)
+
+    def test_general_checkpoint_resumes_across_hosts(self, tmp_path,
+                                                     rng, monkeypatch):
+        """A preempted sweep resumed with a different cohort root path
+        and different output dirs (the cross-host case) restores: only
+        sweep-relevant parameters key the checkpoint."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        from telluride_decoding_tpu.cli import regression
+        import dataclasses
+        import shutil
+        root = _write_cohort(tmp_path, rng, num_subjects=1, trials=2,
+                             n=220)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='fullyconnected', hidden_units='4',
+            epoch_count=2, batch_size=100, learning_rate=0.05,
+            train_file_pattern='allbut', shuffle_buffer_size=0,
+            summary_dir=str(tmp_path / 'out_a')))
+        ckpt_dir = str(tmp_path / 'ckpts')
+        first = cohort.general_cohort_results(
+            my_flags, cohort.discover_subjects(root, []), [1e-3],
+            checkpoint_dir=ckpt_dir)
+        # "Another host": the cohort lives under a different absolute
+        # path, output dirs differ, and the (loop-overwritten)
+        # regularization_lambda field starts from a different value.
+        root2 = str(tmp_path / 'moved_cohort')
+        shutil.move(root, root2)
+        other = dataclasses.replace(
+            my_flags, summary_dir=str(tmp_path / 'out_b'),
+            regularization_lambda=99.0)
+
+        def _boom(*a, **k):
+            raise AssertionError('cross-host resume retrained')
+        monkeypatch.setattr(regression, 'get_brain_model', _boom)
+        second = cohort.general_cohort_results(
+            other, cohort.discover_subjects(root2, []), [1e-3],
+            checkpoint_dir=ckpt_dir)
+        np.testing.assert_array_equal(
+            second['subject00'].correlations,
+            first['subject00'].correlations)
+        # The restored result labels trials with the CURRENT paths.
+        assert all(f.startswith(root2)
+                   for f in second['subject00'].test_files)
+
+    def test_cohort_tf_family_fails_with_clear_error(self):
+        """--dnn_regressor tf has no buildable model (reference
+        parity): the cohort driver says so before ingesting data."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            dnn_regressor='tf'))
+        with pytest.raises(ValueError, match='no buildable model'):
+            cohort.run_cohort_sweep(my_flags, {'s': '/nonexistent'},
+                                    [1e-3])

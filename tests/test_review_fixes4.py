@@ -399,7 +399,7 @@ class TestDataCliFixes:
             dnn_regressor='dcca'))
         called = {}
 
-        def fake_general(flags_, subjects, lambdas):
+        def fake_general(flags_, subjects, lambdas, **kwargs):
             called['subjects'] = dict(subjects)
             return {'s': engine.SweepResult(
                 np.ones((1, 2)), np.asarray([1e-4]), ['f0', 'f1'])}

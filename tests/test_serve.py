@@ -429,7 +429,8 @@ class TestServeSocket:
     """TCP listener mode: same line protocol over a connection."""
 
     @staticmethod
-    def _start(model_dir, max_sessions, **kw):
+    def _start(model_dir, max_sessions, address='tcp://127.0.0.1:0',
+               **kw):
         """Runs serve_socket on a background thread; returns
         (host, port, thread, result_box)."""
         import queue
@@ -440,7 +441,7 @@ class TestServeSocket:
         def run():
             try:
                 box['counts'] = serve.serve_socket(
-                    model_dir, 'tcp://127.0.0.1:0',
+                    model_dir, address,
                     reduction='first', window_width=100,
                     window_step=100, max_sessions=max_sessions,
                     on_bound=lambda h, p: bound.put((h, p)), **kw)
@@ -541,4 +542,78 @@ class TestServeSocket:
                 serve._parse_tcp(bad)
         assert serve._parse_tcp('tcp://0.0.0.0:7355') == \
             ('0.0.0.0', 7355)
-        assert serve._parse_tcp('tcp://[::1]:80') == ('[::1]', 80)
+        # Bracketed IPv6 literals lose the brackets (the resolver
+        # wants the bare address; serve_socket selects AF_INET6).
+        assert serve._parse_tcp('tcp://[::1]:80') == ('::1', 80)
+
+    def test_survives_binary_probe(self, tmp_path, rng):
+        """A TLS probe / port scanner sending non-UTF-8 bytes must not
+        kill the long-lived listener (the strict utf-8 reader raises
+        UnicodeDecodeError, not a ConnectionError)."""
+        import socket
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        host, port, t, box = self._start(model_dir, max_sessions=2)
+        with socket.create_connection((host, port), timeout=30) as s:
+            s.sendall(b'\x16\x03\x01\x02\x00\xff\xfe binary probe\n')
+            s.shutdown(socket.SHUT_WR)
+            while s.recv(65536):
+                pass
+        lines = [json.dumps({'eeg': eeg[st:st + 50].tolist(),
+                             'audio1': a1[st:st + 50].tolist(),
+                             'audio2': a2[st:st + 50].tolist()})
+                 for st in range(0, 150, 50)]
+        got = self._session(host, port, lines)
+        t.join(timeout=60)
+        assert not t.is_alive()
+        assert 'error' not in box, box.get('error')
+        assert len(got) == 1
+        assert box.get('counts', [None, None])[0] == -1
+        assert box['counts'][1] == 1
+
+    def test_ipv6_listener(self, tmp_path, rng):
+        """tcp://[::1]:PORT binds an AF_INET6 socket and serves the
+        same line protocol (brackets stripped before the resolver)."""
+        import socket
+        if not socket.has_ipv6:
+            pytest.skip('platform has no IPv6')
+        try:
+            probe = socket.socket(socket.AF_INET6, socket.SOCK_STREAM)
+            probe.bind(('::1', 0))
+            probe.close()
+        except OSError:
+            pytest.skip('IPv6 loopback unavailable')
+        model_dir, eeg, a1 = _toy_model_dir(tmp_path, rng)
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        host, port, t, box = self._start(model_dir, max_sessions=1,
+                                         address='tcp://[::1]:0')
+        lines = [json.dumps({'eeg': eeg[st:st + 50].tolist(),
+                             'audio1': a1[st:st + 50].tolist(),
+                             'audio2': a2[st:st + 50].tolist()})
+                 for st in range(0, 150, 50)]
+        got = self._session('::1', port, lines)
+        t.join(timeout=60)
+        assert not t.is_alive()
+        assert 'error' not in box, box.get('error')
+        assert box.get('counts') == [len(got)] and len(got) == 1
+
+    def test_tcp_mode_does_not_truncate_serve_output(
+            self, tmp_path, monkeypatch):
+        """--serve_output is never written in TCP mode (decisions go
+        back on each session's socket); launching the listener must
+        not destroy an existing decisions file."""
+        from absl.testing import flagsaver
+        out = tmp_path / 'decisions.jsonl'
+        out.write_text('{"precious": 1}\n')
+        called = {}
+        monkeypatch.setattr(
+            serve, 'serve_socket',
+            lambda *a, **k: called.setdefault('socket', (a, k)))
+        serve.FLAGS(['prog'])
+        with flagsaver.flagsaver(
+                serve_model_dir=str(tmp_path),
+                serve_input='tcp://127.0.0.1:0',
+                serve_output=str(out)):
+            serve.main(['prog'])
+        assert 'socket' in called
+        assert out.read_text() == '{"precious": 1}\n'
