@@ -50,6 +50,7 @@ class DecodingOptions:
     data: str = 'tfrecords'
     debug: bool = False
     dnn_regressor: str = 'fullyconnected'
+    dp_fit: bool = False
     dropout: float = 0.0
     epoch_count: int = 100
     frame_rate: float = 100.0
@@ -134,6 +135,13 @@ def define_flags():
                       ['fullyconnected', 'tf', 'linear', 'linear_with_bias',
                        'cca', 'classifier', 'dcca'],
                       'Model type for this experiment.')
+    flags.DEFINE_bool('dp_fit', defaults.dp_fit,
+                      'Train SGD models (fullyconnected/classifier/'
+                      'dcca) data-parallel over every local device: '
+                      'each minibatch shards across the mesh and '
+                      'gradients all-reduce. Same batch stream as the '
+                      'single-device fit (numbers match to float '
+                      'tolerance); shards compute, not memory.')
     flags.DEFINE_float('dropout', defaults.dropout, 'The dropout rate.')
     flags.DEFINE_integer('epoch_count', defaults.epoch_count,
                          'Number of epochs for SGD models.')
@@ -353,7 +361,24 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
                             'whole-array fit.', reason)
         train_dataset = test_brain_data.create_dataset(
             'train', mismatch_batch=mismatch)
-        train_results = test_brain_model.fit(train_dataset, epochs=epochs)
+        fit_kwargs = {}
+        if (getattr(my_flags, 'dp_fit', False)
+                and isinstance(test_brain_model,
+                               (BrainModelDNN, BrainModelClassifier,
+                                BrainModelDCCA))):
+            # SGD families only; the deterministic solvers already
+            # shard their covariance pass over the mesh.
+            import jax as _jax
+            from jax.sharding import Mesh as _Mesh
+            devices = _jax.local_devices()
+            if len(devices) > 1:
+                fit_kwargs['mesh'] = _Mesh(
+                    np.asarray(devices), ('data',))
+                logging.info('dp_fit: minibatches sharded over %d '
+                             'devices.', len(devices))
+        train_results = test_brain_model.fit(train_dataset,
+                                             epochs=epochs,
+                                             **fit_kwargs)
     test_dataset = test_brain_data.create_dataset(
         'test', mismatch_batch=mismatch)
     test_results = test_brain_model.evaluate(test_dataset)

@@ -463,7 +463,23 @@ class _SgdModel(BrainModel):
 
     def fit(self, dataset, epochs: int = 1, batch_size: int = 512,
             seed: int = 0, _keep_arrays: bool = False,
-            **kwargs) -> Dict[str, Any]:
+            mesh=None, **kwargs) -> Dict[str, Any]:
+        """Whole-epoch lax.scan SGD fit.
+
+        ``mesh`` (a jax.sharding.Mesh, optional) runs the SAME batch
+        stream data-parallel: every minibatch's rows shard over the
+        mesh (all axes), gradients reduce via the psum GSPMD inserts
+        for the replicated parameters, and the global batch statistics
+        (loss means, batch-norm moments) reduce over the sharded axis
+        — so with a mesh-multiple batch_size the numbers match the
+        single-device fit to float tolerance (same permutations, same
+        batch composition; only the reduction order differs); an
+        off-multiple batch_size rounds up with a warning, changing
+        the stream like any batch-size change. A TPU-native extension:
+        the reference's Keras fit (brain_model.py:206-253) is
+        single-process. Training inputs are replicated (DP shards
+        compute, not storage — for bounded memory use fit_streaming);
+        batch_size rounds up to a mesh-size multiple."""
         in1, in2, out, _ = _dataset_arrays(dataset)
         n = in1.shape[0]
         if n == 0:
@@ -490,6 +506,20 @@ class _SgdModel(BrainModel):
                 'and one minibatch on device instead.'
                 % (total_bytes / 2**30))
         batch_size = min(batch_size, n)
+        if mesh is not None and mesh.size <= 1:
+            mesh = None
+        if mesh is not None and batch_size % mesh.size:
+            # Every device computes an equal slice of each minibatch.
+            # This changes the batch stream exactly like any other
+            # batch-size change; pick a mesh-size multiple for numbers
+            # identical to the single-device fit.
+            rounded = batch_size + mesh.size - batch_size % mesh.size
+            import warnings
+            warnings.warn(
+                'dp fit: batch_size %d is not a multiple of the %d-'
+                'device mesh; using %d.'
+                % (batch_size, mesh.size, rounded))
+            batch_size = rounded
         # Ceil, not floor: the reference's Keras fit trains on the
         # partial last batch too; flooring silently dropped up to
         # batch_size-1 frames per epoch (49% of a 1000-frame corpus at
@@ -505,6 +535,17 @@ class _SgdModel(BrainModel):
         x1 = jnp.asarray(in1)
         x2 = jnp.asarray(in2)
         y = jnp.asarray(out)
+        batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            # Rows of each minibatch shard over EVERY mesh axis;
+            # params/opt_state/inputs replicate. The gather from the
+            # replicated corpus lands directly in the sharded layout.
+            batch_sharding = NamedSharding(
+                mesh, PartitionSpec(tuple(mesh.axis_names)))
+            replicated = NamedSharding(mesh, PartitionSpec())
+            x1, x2, y, self.params, opt_state = jax.device_put(
+                (x1, x2, y, self.params, opt_state), replicated)
 
         def train_program(carry, keys, x1, x2, y):
             def epoch_step(carry, key):
@@ -520,6 +561,13 @@ class _SgdModel(BrainModel):
                 def batch_step(carry, batch):
                     idx, bkey = batch
                     params, opt_state = carry
+                    if batch_sharding is not None:
+                        # Sharding the INDICES shards the gathered
+                        # rows (and everything downstream: activations
+                        # per-device, gradient contractions psum'd
+                        # into the replicated params by GSPMD).
+                        idx = jax.lax.with_sharding_constraint(
+                            idx, batch_sharding)
                     bi = {'input_1': x1[idx], 'input_2': x2[idx]}
                     loss, grads = jax.value_and_grad(self._loss_fn)(
                         params, bi, y[idx], bkey)
@@ -539,7 +587,10 @@ class _SgdModel(BrainModel):
         # whole multi-epoch program (remote compiles are seconds).
         cache_key = ('trainer', n, batch_size, num_batches, lr,
                      x1.shape, x2.shape, y.shape,
-                     self._compiled.get('loss'))
+                     self._compiled.get('loss'),
+                     None if mesh is None else
+                     (mesh.axis_names, mesh.devices.shape,
+                      tuple(d.id for d in mesh.devices.flat)))
         trainer = self._compiled.get(cache_key)
         if trainer is None:
             trainer = jax.jit(train_program)
