@@ -298,10 +298,15 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
     operational cost in ONE command (the deterministic families route
     through the sweep engine instead and are ~3 orders faster).
 
-    Note that, as in the reference, only the linear/CCA solvers read
-    regularization_lambda (reference brain_model.py:313-331); a DNN or
-    classifier grid's lambda rows differ only through training
-    stochasticity (and are identical under seeded determinism).
+    Note that, as in the reference, only the linear/CCA/DCCA solvers
+    read regularization_lambda (reference brain_model.py:313-331): a
+    fullyconnected or classifier model ignores it entirely, and this
+    framework's training is seeded — so those families' lambda rows
+    are IDENTICAL by construction. The grid therefore trains ONCE per
+    (subject, held-out trial) and tiles the row across lambdas (a 9x
+    saving on the jens-scale grid), unless TDT_GENERAL_LAMBDA_DEDUP=0
+    forces the full per-lambda retraining. DCCA retrains per lambda
+    (its final CCA solve reads the flag).
 
     ``checkpoint_dir`` makes the sweep RESUMABLE at per-subject
     granularity (an SGD cohort is hours-to-days of training runs —
@@ -325,6 +330,14 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
             "decoding.py:279-308); use linear/cca or an SGD family "
             "(fullyconnected/classifier/dcca).")
     lambdas64 = np.asarray(regularization_list, np.float64)
+    # fullyconnected/classifier never read the lambda: with seeded
+    # training every lambda row is the same numbers, so train one row
+    # and tile (opt out with TDT_GENERAL_LAMBDA_DEDUP=0).
+    dedup = (my_flags.dnn_regressor in ('fullyconnected', 'classifier')
+             and len(lambdas64) > 1
+             and os.environ.get('TDT_GENERAL_LAMBDA_DEDUP',
+                                '1').lower() not in ('0', 'off',
+                                                     'false'))
     results = {}
     for name, data_dir in subjects.items():
         sub_flags = dataclasses.replace(my_flags,
@@ -345,7 +358,8 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
             logging.info('subject %s: restored from %s', name, ckpt)
             continue
         corr = np.zeros((len(regularization_list), len(files)))
-        for i, lamb in enumerate(regularization_list):
+        train_rows = 1 if dedup else len(regularization_list)
+        for i, lamb in enumerate(regularization_list[:train_rows]):
             sub_flags.regularization_lambda = float(lamb)
             sub_flags.validate_file_pattern = files[0]
             sub_flags.test_file_pattern = files[0]
@@ -353,6 +367,14 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
                 bd.create_dataset('test'), sub_flags)
             corr[i, :] = regression.jackknife_one_model(
                 bd, model, None, sub_flags)
+        if dedup:
+            corr[1:, :] = corr[0, :]
+            logging.info(
+                'subject %s: %s ignores regularization_lambda and '
+                'training is seeded — trained one row, tiled %d '
+                'lambda rows (TDT_GENERAL_LAMBDA_DEDUP=0 to force '
+                'full retraining).', name, my_flags.dnn_regressor,
+                len(regularization_list))
         results[name] = engine.SweepResult(corr, lambdas64, files)
         if ckpt:
             os.makedirs(checkpoint_dir, exist_ok=True)

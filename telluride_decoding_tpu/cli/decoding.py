@@ -274,6 +274,11 @@ def create_brain_model(model_flags: DecodingOptions, input_dataset):
         bm = BrainModelDCCA(
             input_dataset, cca_dims=model_flags.cca_dimensions,
             hidden_units=hidden_units,
+            # Consistent with the cca branch (and the reference's,
+            # decoding.py:301-306): the user's flag reaches the
+            # model's final CCA solve instead of a silent ctor
+            # default.
+            regularization_lambda=model_flags.regularization_lambda,
             tensorboard_dir=model_flags.tensorboard_dir)
     else:
         raise TypeError('Unknown model type %s in create_brain_model.' %

@@ -566,3 +566,62 @@ class TestGeneralCohort:
         with pytest.raises(ValueError, match='no buildable model'):
             cohort.run_cohort_sweep(my_flags, {'s': '/nonexistent'},
                                     [1e-3])
+
+    def test_lambda_dedup_matches_full_retraining(self, tmp_path, rng,
+                                                  monkeypatch):
+        """fullyconnected/classifier ignore regularization_lambda and
+        training is seeded, so the deduped grid (train once, tile
+        rows) must equal the full per-lambda retraining exactly."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        from telluride_decoding_tpu.cli import regression
+        root = _write_cohort(tmp_path, rng, num_subjects=1, trials=2,
+                             n=220)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='fullyconnected', hidden_units='4',
+            epoch_count=2, batch_size=100, learning_rate=0.05,
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        subjects = cohort.discover_subjects(root, [])
+        lambdas = [1e-4, 1e-2, 1.0]
+        calls = []
+        orig = regression.jackknife_one_model
+
+        def counting(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(regression, 'jackknife_one_model', counting)
+        monkeypatch.setenv('TDT_GENERAL_LAMBDA_DEDUP', '0')
+        full = cohort.general_cohort_results(my_flags, subjects,
+                                             lambdas)['subject00']
+        full_calls = len(calls)
+        calls.clear()
+        monkeypatch.setenv('TDT_GENERAL_LAMBDA_DEDUP', '1')
+        deduped = cohort.general_cohort_results(my_flags, subjects,
+                                                lambdas)['subject00']
+        assert full_calls == 3 and len(calls) == 1
+        np.testing.assert_array_equal(full.correlations,
+                                      deduped.correlations)
+
+    def test_dcca_grid_not_deduped_and_reads_lambda(self, rng):
+        """DCCA's final CCA solve reads the flag lambda (consistent
+        with the cca branch), so its grid must NOT be deduped."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        from telluride_decoding_tpu.data.brain_data import TestBrainData
+        n = 300
+        z = rng.randn(n, 2).astype(np.float32)
+        x1 = np.concatenate([z, rng.randn(n, 2)], 1).astype(np.float32)
+        x2 = np.concatenate(
+            [z @ rng.randn(2, 2).astype(np.float32),
+             rng.randn(n, 1)], 1).astype(np.float32)
+        bd = TestBrainData('input', 'output', 100.0)
+        bd.preserve_test_data(x1, np.zeros((n, 1), np.float32),
+                              input2_data=x2)
+        flags_ = decoding.DecodingOptions().set_from_dict(dict(
+            dnn_regressor='dcca', hidden_units='4',
+            regularization_lambda=0.123, cca_dimensions=2))
+        model = decoding.create_brain_model(flags_,
+                                            bd.create_dataset('train'))
+        assert model.config()['regularization_lambda'] == \
+            pytest.approx(0.123)
