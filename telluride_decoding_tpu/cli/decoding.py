@@ -342,13 +342,24 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
                     'to disable).', estimated / 2**30,
                     auto_bytes / 2**30)
                 want_streaming = True
+    fit_kwargs = {}
+    if getattr(my_flags, 'dp_fit', False) and sgd_model:
+        # SGD families only; the deterministic solvers already shard
+        # their covariance pass over the mesh.
+        import jax as _jax
+        from jax.sharding import Mesh as _Mesh
+        devices = _jax.local_devices()
+        if len(devices) > 1:
+            fit_kwargs['mesh'] = _Mesh(np.asarray(devices), ('data',))
+            logging.info('dp_fit: minibatches sharded over %d '
+                         'devices.', len(devices))
     if want_streaming and streaming_ok:
         # Bounded-memory path: per-file streamed covariance for the
         # deterministic families; per-file minibatch streaming for the
         # SGD families (the train split is never concatenated on the
         # host either way).
         train_results = test_brain_model.fit_streaming(
-            test_brain_data, 'train', epochs=epochs)
+            test_brain_data, 'train', epochs=epochs, **fit_kwargs)
     else:
         if getattr(my_flags, 'streaming_fit', False):
             # The user asked for bounded memory; say loudly that the
@@ -366,21 +377,6 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
                             'whole-array fit.', reason)
         train_dataset = test_brain_data.create_dataset(
             'train', mismatch_batch=mismatch)
-        fit_kwargs = {}
-        if (getattr(my_flags, 'dp_fit', False)
-                and isinstance(test_brain_model,
-                               (BrainModelDNN, BrainModelClassifier,
-                                BrainModelDCCA))):
-            # SGD families only; the deterministic solvers already
-            # shard their covariance pass over the mesh.
-            import jax as _jax
-            from jax.sharding import Mesh as _Mesh
-            devices = _jax.local_devices()
-            if len(devices) > 1:
-                fit_kwargs['mesh'] = _Mesh(
-                    np.asarray(devices), ('data',))
-                logging.info('dp_fit: minibatches sharded over %d '
-                             'devices.', len(devices))
         train_results = test_brain_model.fit(train_dataset,
                                              epochs=epochs,
                                              **fit_kwargs)

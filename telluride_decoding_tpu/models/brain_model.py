@@ -633,9 +633,18 @@ class _SgdModel(BrainModel):
 
     def fit_streaming(self, brain_data, mode: str = 'train',
                       epochs: int = 1, batch_size: int = 512,
-                      seed: int = 0, **kwargs) -> Dict[str, Any]:
+                      seed: int = 0, mesh=None, **kwargs
+                      ) -> Dict[str, Any]:
         """Bounded-memory SGD fit: per-file streaming through a jitted
         single-batch update.
+
+        ``mesh`` (a jax.sharding.Mesh, optional) shards each
+        minibatch's rows over the mesh, exactly like fit(): the
+        parameters stay replicated and GSPMD all-reduces the
+        gradients — bounded memory AND data-parallel compute.
+        batch_size rounds up to a mesh-size multiple (warned); a
+        final corpus-smaller-than-one-batch remainder trims down to
+        one (so every device keeps an equal slice).
 
         fit() compiles each epoch into one lax.scan program but must
         hold the whole lag-stacked corpus resident in HBM; this path
@@ -659,7 +668,30 @@ class _SgdModel(BrainModel):
         lr = self._compiled.get('learning_rate', 1e-3)
         opt = optax.adam(lr)
         opt_state = opt.init(self.params)
+        batch_sharding = None
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            if batch_size % mesh.size:
+                rounded = (batch_size + mesh.size
+                           - batch_size % mesh.size)
+                import warnings
+                warnings.warn(
+                    'dp streaming fit: batch_size %d is not a '
+                    'multiple of the %d-device mesh; using %d.'
+                    % (batch_size, mesh.size, rounded))
+                batch_size = rounded
+            batch_sharding = NamedSharding(
+                mesh, PartitionSpec(tuple(mesh.axis_names)))
+            replicated = NamedSharding(mesh, PartitionSpec())
+            self.params, opt_state = jax.device_put(
+                (self.params, opt_state), replicated)
         step = self._streaming_step(opt, lr)
+
+        def to_device(part):
+            if batch_sharding is None:
+                return jnp.asarray(part)
+            return jax.device_put(np.ascontiguousarray(part),
+                                  batch_sharding)
         base_key = jax.random.PRNGKey(seed + 1)
         rng = np.random.RandomState(seed)
         params = self.params
@@ -688,9 +720,9 @@ class _SgdModel(BrainModel):
                     batch_counter += 1
                     params, opt_state, loss = step(
                         params, opt_state,
-                        jnp.asarray(parts[0][sl]),
-                        jnp.asarray(parts[1][sl]),
-                        jnp.asarray(parts[2][sl]), key)
+                        to_device(parts[0][sl]),
+                        to_device(parts[1][sl]),
+                        to_device(parts[2][sl]), key)
                     # Track live buffers every step: the donated step
                     # just invalidated the previous params, so a
                     # mid-fit exception (e.g. an unreadable later
@@ -703,11 +735,21 @@ class _SgdModel(BrainModel):
             if not losses:
                 if carry is None or carry[0].shape[0] == 0:
                     raise ValueError('Dataset produced no batches.')
+                short = carry
+                if batch_sharding is not None:
+                    rows = (short[0].shape[0] // mesh.size) * mesh.size
+                    if rows == 0:
+                        raise ValueError(
+                            'Corpus of %d frames is smaller than one '
+                            'per-device slice on a %d-device mesh; '
+                            'fit without a mesh.'
+                            % (short[0].shape[0], mesh.size))
+                    short = tuple(p[:rows] for p in short)
                 key = jax.random.fold_in(base_key, batch_counter)
                 batch_counter += 1
                 params, opt_state, loss = step(
-                    params, opt_state, jnp.asarray(carry[0]),
-                    jnp.asarray(carry[1]), jnp.asarray(carry[2]), key)
+                    params, opt_state, to_device(short[0]),
+                    to_device(short[1]), to_device(short[2]), key)
                 self.params = params
                 losses.append(loss)
             history.append(float(np.mean(np.asarray(

@@ -179,3 +179,60 @@ class TestDataParallelFit:
         # tolerance (reduction order only).
         assert results[True] == pytest.approx(results[False],
                                               abs=1e-3)
+
+
+class TestDataParallelStreamingFit:
+
+    def test_streaming_dp_matches_streaming_single(self, tmp_path,
+                                                   rng):
+        """fit_streaming with a mesh sees the SAME batch stream (file
+        order and permutations come from the host RandomState), so it
+        must match the meshless streaming fit to float tolerance."""
+        from telluride_decoding_tpu.data import brain_data, records
+        d = tmp_path / 'records'
+        d.mkdir()
+        for i, n in enumerate([500, 430]):
+            records.convert_data_to_tfrecords(
+                {'eeg': rng.randn(n, 6).astype(np.float32),
+                 'env': rng.randn(n, 1).astype(np.float32)},
+                str(d / ('t%02d.tfrecords' % i)))
+        bd = brain_data.TFExampleData(
+            'eeg', 'env', 100.0, pre_context=2, post_context=2,
+            data_dir=str(d), train_file_pattern='t',
+            shuffle_buffer_size=0)
+        kw = dict(epochs=2, batch_size=128, seed=7)
+        m1 = BrainModelDNN(input_width=30, output_width=1,
+                           num_hidden_list=[8])
+        m1.compile(learning_rate=0.01, loss='mse')
+        h1 = m1.fit_streaming(bd, **kw)
+        m2 = BrainModelDNN(input_width=30, output_width=1,
+                           num_hidden_list=[8])
+        m2.compile(learning_rate=0.01, loss='mse')
+        h2 = m2.fit_streaming(bd, mesh=_mesh(), **kw)
+        np.testing.assert_allclose(h1['loss'], h2['loss'], rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                        jax.tree_util.tree_leaves(m2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_streaming_dp_short_corpus_trims_to_mesh(self, tmp_path,
+                                                     rng):
+        """A corpus smaller than one batch trains as one short batch;
+        under a mesh it trims to a device multiple instead of failing
+        with an uneven-shard error."""
+        from telluride_decoding_tpu.data import brain_data, records
+        d = tmp_path / 'records'
+        d.mkdir()
+        records.convert_data_to_tfrecords(
+            {'eeg': rng.randn(45, 3).astype(np.float32),
+             'env': rng.randn(45, 1).astype(np.float32)},
+            str(d / 't00.tfrecords'))
+        bd = brain_data.TFExampleData(
+            'eeg', 'env', 100.0, data_dir=str(d),
+            train_file_pattern='t', shuffle_buffer_size=0)
+        m = BrainModelDNN(input_width=3, output_width=1,
+                          num_hidden_list=[4])
+        m.compile(learning_rate=0.01, loss='mse')
+        h = m.fit_streaming(bd, epochs=1, batch_size=512, seed=0,
+                            mesh=_mesh())
+        assert np.isfinite(h['loss']).all()
