@@ -332,9 +332,15 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
     lambdas64 = np.asarray(regularization_list, np.float64)
     # fullyconnected/classifier never read the lambda: with seeded
     # training every lambda row is the same numbers, so train one row
-    # and tile (opt out with TDT_GENERAL_LAMBDA_DEDUP=0).
+    # and tile (opt out with TDT_GENERAL_LAMBDA_DEDUP=0). Batch
+    # transforms (mismatch/mixup) disable the dedup: they draw from
+    # the dataset's stateful RandomState, so each lambda iteration
+    # realizes a DIFFERENT training stream and the rows are not
+    # identical by construction.
     dedup = (my_flags.dnn_regressor in ('fullyconnected', 'classifier')
              and len(lambdas64) > 1
+             and not getattr(my_flags, 'mismatch_batch', False)
+             and not getattr(my_flags, 'random_mixup_batch', False)
              and os.environ.get('TDT_GENERAL_LAMBDA_DEDUP',
                                 '1').lower() not in ('0', 'off',
                                                      'false'))
@@ -424,6 +430,16 @@ def _load_general_checkpoint(path: str, lambdas: np.ndarray,
         stored_params = [str(p) for p in np.atleast_1d(z['params'])]
         stored_lambdas = np.asarray(z['lambdas'], np.float64)
         stored_files = [str(f) for f in np.atleast_1d(z['files'])]
+        if (z['params'].ndim == 0
+                or any(os.sep in f for f in stored_files)):
+            # Pre-release format (joined params string / absolute
+            # trial paths): say so instead of misreporting a data
+            # change.
+            raise ValueError(
+                'checkpoint %s was written by an older checkpoint '
+                'format (absolute trial paths / joined parameter '
+                'string) and cannot be safely matched %s'
+                % (path, remedy))
         basenames = [os.path.basename(f) for f in files]
         if stored_files != basenames:
             raise ValueError(

@@ -280,6 +280,16 @@ def create_brain_model(model_flags: DecodingOptions, input_dataset):
             # default.
             regularization_lambda=model_flags.regularization_lambda,
             tensorboard_dir=model_flags.tensorboard_dir)
+    elif kind == 'tf':
+        # Every driver (not just tdt-cohort) should explain this
+        # flag-parity value up front rather than dying generically
+        # after ingest.
+        raise ValueError(
+            "--dnn_regressor tf is a flag-parity value with no "
+            "buildable model (the reference's create_brain_model has "
+            "no 'tf' branch either, reference decoding.py:279-308); "
+            "use linear/linear_with_bias/cca or an SGD family "
+            "(fullyconnected/classifier/dcca).")
     else:
         raise TypeError('Unknown model type %s in create_brain_model.' %
                         kind)

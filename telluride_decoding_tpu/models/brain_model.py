@@ -454,6 +454,39 @@ def _apply_mlp(layers, x, final_activation=None):
     return x
 
 
+def _mesh_batch_setup(mesh, batch_size: int, n: Optional[int] = None):
+    """Shared data-parallel fit setup: returns (mesh, batch_sharding,
+    replicated_sharding, batch_size).
+
+    A size-1 (or None) mesh degrades to the single-device path. The
+    batch size rounds up to a mesh-size multiple (warned — the stream
+    then changes exactly like any batch-size change), and a corpus of
+    ``n`` frames (when known up front) smaller than one per-device
+    slice fails with a clear error instead of an opaque reshape deep
+    inside the jitted program (streaming fits pass n=None and trim
+    their final short batch instead)."""
+    if mesh is None or mesh.size <= 1:
+        return None, None, None, batch_size
+    if n is not None and n < mesh.size:
+        raise ValueError(
+            'Corpus of %d frames is smaller than one per-device '
+            'slice on a %d-device mesh; fit without a mesh.'
+            % (n, mesh.size))
+    if batch_size % mesh.size:
+        rounded = batch_size + mesh.size - batch_size % mesh.size
+        import warnings
+        warnings.warn(
+            'dp fit: batch_size %d is not a multiple of the %d-'
+            'device mesh; using %d.'
+            % (batch_size, mesh.size, rounded))
+        batch_size = rounded
+    from jax.sharding import NamedSharding, PartitionSpec
+    batch_sharding = NamedSharding(
+        mesh, PartitionSpec(tuple(mesh.axis_names)))
+    replicated = NamedSharding(mesh, PartitionSpec())
+    return mesh, batch_sharding, replicated, batch_size
+
+
 class _SgdModel(BrainModel):
     """Shared optax training loop: one lax.scan per epoch over shuffled
     minibatches (the whole epoch compiles to a single XLA program)."""
@@ -506,20 +539,8 @@ class _SgdModel(BrainModel):
                 'and one minibatch on device instead.'
                 % (total_bytes / 2**30))
         batch_size = min(batch_size, n)
-        if mesh is not None and mesh.size <= 1:
-            mesh = None
-        if mesh is not None and batch_size % mesh.size:
-            # Every device computes an equal slice of each minibatch.
-            # This changes the batch stream exactly like any other
-            # batch-size change; pick a mesh-size multiple for numbers
-            # identical to the single-device fit.
-            rounded = batch_size + mesh.size - batch_size % mesh.size
-            import warnings
-            warnings.warn(
-                'dp fit: batch_size %d is not a multiple of the %d-'
-                'device mesh; using %d.'
-                % (batch_size, mesh.size, rounded))
-            batch_size = rounded
+        mesh, batch_sharding, replicated, batch_size = \
+            _mesh_batch_setup(mesh, batch_size, n)
         # Ceil, not floor: the reference's Keras fit trains on the
         # partial last batch too; flooring silently dropped up to
         # batch_size-1 frames per epoch (49% of a 1000-frame corpus at
@@ -535,15 +556,10 @@ class _SgdModel(BrainModel):
         x1 = jnp.asarray(in1)
         x2 = jnp.asarray(in2)
         y = jnp.asarray(out)
-        batch_sharding = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+        if batch_sharding is not None:
             # Rows of each minibatch shard over EVERY mesh axis;
             # params/opt_state/inputs replicate. The gather from the
             # replicated corpus lands directly in the sharded layout.
-            batch_sharding = NamedSharding(
-                mesh, PartitionSpec(tuple(mesh.axis_names)))
-            replicated = NamedSharding(mesh, PartitionSpec())
             x1, x2, y, self.params, opt_state = jax.device_put(
                 (x1, x2, y, self.params, opt_state), replicated)
 
@@ -668,21 +684,9 @@ class _SgdModel(BrainModel):
         lr = self._compiled.get('learning_rate', 1e-3)
         opt = optax.adam(lr)
         opt_state = opt.init(self.params)
-        batch_sharding = None
-        if mesh is not None and mesh.size > 1:
-            from jax.sharding import NamedSharding, PartitionSpec
-            if batch_size % mesh.size:
-                rounded = (batch_size + mesh.size
-                           - batch_size % mesh.size)
-                import warnings
-                warnings.warn(
-                    'dp streaming fit: batch_size %d is not a '
-                    'multiple of the %d-device mesh; using %d.'
-                    % (batch_size, mesh.size, rounded))
-                batch_size = rounded
-            batch_sharding = NamedSharding(
-                mesh, PartitionSpec(tuple(mesh.axis_names)))
-            replicated = NamedSharding(mesh, PartitionSpec())
+        mesh, batch_sharding, replicated, batch_size = \
+            _mesh_batch_setup(mesh, batch_size)
+        if batch_sharding is not None:
             self.params, opt_state = jax.device_put(
                 (self.params, opt_state), replicated)
         step = self._streaming_step(opt, lr)

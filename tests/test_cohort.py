@@ -625,3 +625,77 @@ class TestGeneralCohort:
                                             bd.create_dataset('train'))
         assert model.config()['regularization_lambda'] == \
             pytest.approx(0.123)
+
+    def test_lambda_dedup_disabled_for_batch_transforms(
+            self, tmp_path, rng, monkeypatch):
+        """mismatch/mixup batches draw from the dataset's stateful
+        RandomState — lambda rows are NOT identical then, so the
+        dedup must stay off and every row must train."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        from telluride_decoding_tpu.cli import regression
+        root = _write_cohort(tmp_path, rng, num_subjects=1, trials=2,
+                             n=220)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='classifier', hidden_units='4',
+            epoch_count=2, batch_size=100, learning_rate=0.05,
+            mismatch_batch=True, test_metric='accuracy',
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        calls = []
+        orig = regression.jackknife_one_model
+
+        def counting(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(regression, 'jackknife_one_model',
+                            counting)
+        cohort.general_cohort_results(
+            my_flags, cohort.discover_subjects(root, []),
+            [1e-4, 1e-2])
+        assert len(calls) == 2   # One training run per lambda.
+
+    def test_old_format_checkpoint_fails_with_format_message(
+            self, tmp_path, rng):
+        """A checkpoint from the pre-release format (absolute trial
+        paths) must be reported as a format mismatch, not as a data
+        change."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        root = _write_cohort(tmp_path, rng, num_subjects=1, trials=2,
+                             n=220)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='fullyconnected', hidden_units='4',
+            epoch_count=2, batch_size=100, learning_rate=0.05,
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        ckpt_dir = tmp_path / 'ckpts'
+        ckpt_dir.mkdir()
+        subj = os.path.join(root, 'subject00')
+        old_files = sorted(
+            os.path.join(subj, f) for f in os.listdir(subj))
+        np.savez(str(ckpt_dir / 'general_subject00.npz'),
+                 corr=np.zeros((1, 2)),
+                 lambdas=np.asarray([1e-3], np.float64),
+                 files=np.asarray(old_files),
+                 params=np.asarray('joined=string,of=params'))
+        with pytest.raises(ValueError, match='older checkpoint '
+                                             'format'):
+            cohort.general_cohort_results(
+                my_flags, cohort.discover_subjects(root, []), [1e-3],
+                checkpoint_dir=str(ckpt_dir))
+
+    def test_tf_family_clear_error_in_create_brain_model(self, rng):
+        """Every driver (not just tdt-cohort) explains the tf
+        flag-parity value."""
+        from telluride_decoding_tpu.cli import decoding
+        from telluride_decoding_tpu.data.brain_data import TestBrainData
+        bd = TestBrainData('input', 'output', 100.0)
+        bd.preserve_test_data(rng.randn(50, 3).astype(np.float32),
+                              rng.randn(50, 1).astype(np.float32))
+        flags_ = decoding.DecodingOptions().set_from_dict(
+            dict(dnn_regressor='tf'))
+        with pytest.raises(ValueError, match='no buildable model'):
+            decoding.create_brain_model(flags_,
+                                        bd.create_dataset('train'))

@@ -236,3 +236,14 @@ class TestDataParallelStreamingFit:
         h = m.fit_streaming(bd, epochs=1, batch_size=512, seed=0,
                             mesh=_mesh())
         assert np.isfinite(h['loss']).all()
+
+    def test_tiny_corpus_on_mesh_fails_clearly(self, rng):
+        """A corpus smaller than one per-device slice must raise a
+        clear error, not an opaque reshape inside the jitted epoch."""
+        x, y = _regression_data(rng, n=3)
+        m = BrainModelDNN(input_width=18, output_width=1,
+                          num_hidden_list=[4])
+        m.compile(learning_rate=0.01, loss='mse')
+        with pytest.raises(ValueError, match='per-device slice'):
+            m.fit(_dataset(x, y), epochs=1, batch_size=8, seed=0,
+                  mesh=_mesh())
