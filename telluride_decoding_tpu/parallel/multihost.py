@@ -249,6 +249,18 @@ def allgather_summary(lambdas: Sequence[float], results
     # guard the filesystem join applies per part file (join_parts).
     lambdas_row = np.asarray(list(lambdas), np.float64)[None, :]
     payload = np.concatenate([stats, lambdas_row], axis=0)
+    # Grids of different LENGTH would reach the main allgather with
+    # mismatched shapes — a cryptic collective error or hang, not the
+    # promised loud failure. Gather the scalar length first (always a
+    # shape-compatible collective) and diff it explicitly.
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(lambdas_row[0])], np.int64)))
+    if int(sizes.min()) != int(sizes.max()):
+        raise ValueError(
+            'allgather_summary: processes swept lambda grids of '
+            'different lengths %s — every partition must run the '
+            'same regularization grid.'
+            % np.unique(sizes).tolist())
     # The float64 statistics ride the collective as raw uint32 pairs:
     # without jax_enable_x64 a float64 array would be silently
     # truncated to float32, making the DCN join lose precision the

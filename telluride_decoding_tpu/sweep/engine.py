@@ -30,6 +30,7 @@ import itertools
 import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
+from absl import logging
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -270,7 +271,18 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
             batch_bytes = 2 << 30
     per_file_x = [_ensure_2d(x) for x in per_file_x]
     per_file_y = [_ensure_2d(y) for y in per_file_y]
+    if len(per_file_x) != len(per_file_y):
+        # With pad_files_to set, a mismatch would otherwise zip-
+        # truncate and zero-fill the surplus files into silently
+        # wrong (zero) statistics instead of failing.
+        raise ValueError('per_file_stats got %d x files but %d y '
+                         'files.' % (len(per_file_x), len(per_file_y)))
     num_real = len(per_file_x)
+    # The staged stack (and the program transient) scales with the
+    # PADDED file count — budgeting on num_real alone would admit a
+    # 2-trial subject padded to a 40-trial cohort into the batched
+    # regime with a 20x larger stack than estimated.
+    num_f_est = max(num_real, pad_files_to or 0)
 
     ctx = context if context is not None and any(context) else None
     if ctx is not None:
@@ -289,7 +301,7 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
         # The regime decision budgets the DEVICE-resident transient
         # (the stacked [F, N, D_stacked] matrices inside the fused
         # program), not the much smaller raw transfer.
-        if num_real * n_common * (x_w + y_w) * 4 <= batch_bytes:
+        if num_f_est * n_common * (x_w + y_w) * 4 <= batch_bytes:
             # The file axis pads to pad_files_to INSIDE the program
             # (all-zero frames with n_valid 0 yield exact zero
             # statistics), so a cohort whose subjects differ in trial
@@ -316,7 +328,7 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
     max_n = max(max(x.shape[0] for x in per_file_x),
                 pad_frames_to or 0)
     width = per_file_x[0].shape[1] + per_file_y[0].shape[1]
-    est = num_real * max_n * width * 4
+    est = num_f_est * max_n * width * 4
 
     # A context spec only reaches here in the bounded-memory regime
     # (its batched branch returned above): the raw arrays' smaller
@@ -419,9 +431,13 @@ def _lam_chunk_units(num_files: int, dim_sq_elems: int,
     explicit = os.environ.get('TDT_SWEEP_LAM_CHUNK')
     if explicit:
         try:
-            return max(1, min(num_l, int(explicit)))
+            # int(float(...)) accepts the same '4.0'/'1e1' styles as
+            # the byte knobs.
+            return max(1, min(num_l, int(float(explicit))))
         except ValueError:
-            pass
+            logging.warning(
+                'Unparseable TDT_SWEEP_LAM_CHUNK=%r; falling back to '
+                'the byte-budget heuristic.', explicit)
     try:
         budget = int(float(os.environ.get('TDT_SWEEP_LAM_CHUNK_BYTES',
                                           7 << 30)))

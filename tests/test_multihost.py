@@ -286,6 +286,8 @@ class TestDistributedCollectiveJoin:
 
         def fake_allgather(bits):
             mine = np.asarray(bits)
+            if mine.dtype == np.int64:   # The grid-length pre-check.
+                return np.stack([mine, mine])
             other = mine.copy().view(np.float64)
             other[3, 0] *= 10.0          # Different grid on process 1.
             return np.stack([mine, other.view(np.uint32)])
@@ -294,6 +296,27 @@ class TestDistributedCollectiveJoin:
         monkeypatch.setattr(multihost_utils, 'process_allgather',
                             fake_allgather)
         with pytest.raises(ValueError, match='process 1 swept'):
+            multihost.allgather_summary(lambdas, results)
+
+    def test_allgather_rejects_mismatched_grid_lengths(self, rng,
+                                                       monkeypatch):
+        """Grids of different LENGTH would hit the main collective
+        with mismatched shapes (cryptic error or hang); the scalar
+        length pre-check must catch them loudly first."""
+        results = _fake_results(rng, subjects=('s00',))
+        lambdas = results['s00'].lambdas
+
+        def fake_allgather(bits):
+            mine = np.asarray(bits)
+            if mine.dtype == np.int64:
+                return np.stack([mine, mine + 1])   # Process 1: +1 λ.
+            raise AssertionError(
+                'main allgather ran despite mismatched grid lengths')
+
+        from jax.experimental import multihost_utils
+        monkeypatch.setattr(multihost_utils, 'process_allgather',
+                            fake_allgather)
+        with pytest.raises(ValueError, match='different lengths'):
             multihost.allgather_summary(lambdas, results)
 
     def test_initialize_noop_without_env(self, monkeypatch):

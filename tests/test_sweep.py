@@ -520,3 +520,56 @@ class TestSgdJackknife:
         for lamb, (mean, std) in results.items():
             assert np.isfinite(mean) and np.isfinite(std)
             assert mean > 0.9, (lamb, mean)   # Linear problem, no hidden.
+
+
+class TestSweepReviewFixesR4B:
+    """Second round-4 review pass over the older engine/multihost
+    code."""
+
+    def test_budget_counts_padded_files(self, rng, monkeypatch):
+        """The batched-regime budget must scale with pad_files_to: a
+        2-file subject padded to a 40-file cohort stages a 20x larger
+        stack than the real files alone (the old num_real budget
+        admitted it)."""
+        from telluride_decoding_tpu.sweep import engine
+        xs = [rng.randn(100, 4).astype(np.float32) for _ in range(2)]
+        ys = [rng.randn(100, 1).astype(np.float32) for _ in range(2)]
+        calls = {}
+        orig = engine._stacked_moments
+
+        def spy(*a, **k):
+            calls['batched'] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(engine, '_stacked_moments', spy)
+        # Real files: 2*100*5*4 = 4000 B; padded: 8*100*5*4 = 16000 B.
+        # A 10 kB budget must now route to the streaming regime.
+        res = engine.per_file_stats(xs, ys, want_syy=True,
+                                    pad_files_to=8, batch_bytes=10000)
+        assert 'batched' not in calls
+        want = engine.per_file_stats(xs, ys, want_syy=True,
+                                     pad_files_to=8, batch_bytes=0)
+        import jax
+        for a, b in zip(jax.tree.leaves(res), jax.tree.leaves(want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-4)
+
+    def test_mismatched_file_lists_raise(self, rng):
+        """10 x files vs 9 y files must fail loudly, not zero-fill the
+        surplus file's statistics under padding."""
+        from telluride_decoding_tpu.sweep.engine import per_file_stats
+        xs = [rng.randn(50, 3).astype(np.float32) for _ in range(3)]
+        ys = [rng.randn(50, 1).astype(np.float32) for _ in range(2)]
+        with pytest.raises(ValueError, match='3 x files but 2 y'):
+            per_file_stats(xs, ys, want_syy=True, pad_files_to=6)
+
+    def test_lam_chunk_env_accepts_float_styles(self, monkeypatch):
+        """'4.0'/'1e1' must parse like the byte knobs; garbage warns
+        and falls back instead of being silently ignored."""
+        from telluride_decoding_tpu.sweep.engine import _lam_chunk_units
+        monkeypatch.setenv('TDT_SWEEP_LAM_CHUNK', '4.0')
+        assert _lam_chunk_units(10, 100, 9) == 4
+        monkeypatch.setenv('TDT_SWEEP_LAM_CHUNK', '1e1')
+        assert _lam_chunk_units(10, 100, 9) == 9   # Clamped to num_l.
+        monkeypatch.setenv('TDT_SWEEP_LAM_CHUNK', 'banana')
+        assert _lam_chunk_units(10, 100, 9) >= 1   # Heuristic fallback.
