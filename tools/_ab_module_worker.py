@@ -5,8 +5,12 @@ reconciles the three CLI drivers end to end; the subsystems those
 drivers do not fully exercise — ingest/z-scoring (reference
 ingest.py), signal preprocessing (reference preprocess.py:81-755),
 the attention decision decoders (reference attention_decoder.py),
-scaled LDA (reference scaled_lda.py) and the streaming result stores
-(reference result_store.py) — are A/B'd here at module level: this
+scaled LDA (reference scaled_lda.py), the streaming result stores
+(reference result_store.py), BrainVision parsing (reference
+ingest_brainvision.py), the TF correlation-matrix utility (reference
+utils.py), trigger injection (reference add_trigger.py), d-prime /
+window averaging (reference infer_decoder.py:716-783) and CSV result
+interchange (reference csv_util.py) — are A/B'd here at module level: this
 worker runs the REFERENCE implementations on inputs staged in an .npz
 by tools.ab_reference.run_modules_ab, in a clean subprocess (legacy-
 keras TF env, no JAX hooks), and writes every output array to an .npz
@@ -46,6 +50,26 @@ def _stub_pyedflib() -> None:
 
         stub.EdfReader = _Unavailable
         sys.modules['pyedflib'] = stub
+
+
+def _stub_google3() -> None:
+    """The reference's add_trigger.py imports the Google-internal
+    `google3.pyglib.gfile` at module scope (reference add_trigger.py:44)
+    — the module cannot even be imported in the open-source release.
+    The A/B only exercises the pure-numpy event-injection math, so a
+    named stub satisfies the import without changing behavior under
+    test."""
+    if 'google3' in sys.modules:
+        return
+    google3 = types.ModuleType('google3')
+    pyglib = types.ModuleType('google3.pyglib')
+    gfile = types.ModuleType('google3.pyglib.gfile')
+    gfile.Open = open
+    google3.pyglib = pyglib
+    pyglib.gfile = gfile
+    sys.modules['google3'] = google3
+    sys.modules['google3.pyglib'] = pyglib
+    sys.modules['google3.pyglib.gfile'] = gfile
 
 
 def task_preprocess(inp, out, np):
@@ -239,6 +263,76 @@ def task_result_store(inp, out, np):
     out['rs.two2'] = np.stack(w2s)
 
 
+def task_misc(inp, out, np, config):
+    """The remaining reference support modules, live: BrainVision
+    parsing on the reference's own bundled fixture (reference
+    ingest_brainvision.py:37-137), the TF correlation-matrix utility
+    (reference utils.py:27-59), trigger injection (reference
+    add_trigger.py:103-151), d-prime + window averaging (reference
+    infer_decoder.py:716-783), and CSV result interchange in BOTH
+    directions (reference csv_util.py:34-111)."""
+    # BrainVision: both sides parse the SAME bundled .vhdr/.eeg bytes.
+    from telluride_decoding import ingest_brainvision
+    header, data = ingest_brainvision.read_bv_file(config['bv_header'])
+    out['bv.data'] = np.asarray(data, np.float64)
+    common = header['Common Infos']
+    out['bv.meta'] = np.asarray(
+        [float(common['NumberOfChannels']),
+         1e6 / float(common['SamplingInterval'])], np.float64)
+
+    # utils.pearson_correlation_graph: the TF graph implementation.
+    import tensorflow as tf
+    from telluride_decoding import utils
+    out['utils.corrmat'] = np.asarray(
+        utils.pearson_correlation_graph(
+            tf.constant(inp['util.x'], tf.float32),
+            tf.constant(inp['util.y'], tf.float32)), np.float64)
+
+    # add_trigger: deterministic event injection given staged times.
+    _stub_google3()   # Reference add_trigger.py:44 imports google3.
+    from telluride_decoding import add_trigger
+    audio = inp['trigger.audio']
+    times = inp['trigger.times']
+    out['trigger.pulse'] = add_trigger.add_events_to_audio(
+        audio, times, fs=16000).astype(np.float64)
+    out['trigger.tone'] = add_trigger.add_events_to_audio(
+        audio, times, fs=16000, pulse_freq=440.0).astype(np.float64)
+
+    # d-prime + LDA window averaging.
+    from telluride_decoding import infer_decoder
+    out['metrics.dprime'] = np.asarray(
+        infer_decoder.calculate_dprime(inp['met.d1'], inp['met.d2']),
+        np.float64)
+    out['metrics.averaged'] = np.asarray(
+        infer_decoder.average_data(inp['met.stream'], 24), np.float64)
+
+    # CSV interchange. Direction 1: the reference PARSES the CSV this
+    # framework wrote (config['csv_tdt']) — output what it read, the
+    # driver compares against the staged ground truth.
+    from telluride_decoding import csv_util
+    got = csv_util._read_results(config['csv_tdt'])
+    out['csv.ref_reads_tdt.lambdas'] = np.asarray(list(got), np.float64)
+    out['csv.ref_reads_tdt.values'] = np.asarray(
+        [got[k] for k in got], np.float64)
+    # Direction 2: the reference WRITES a CSV from the staged values;
+    # the rebuild parses it and must recover the same ground truth.
+    csv_util.write_results(config['csv_ref'],
+                           [float(l) for l in inp['csv.lambdas']],
+                           inp['csv.values'].tolist())
+    out['csv.tdt_reads_ref.lambdas'] = np.asarray(inp['csv.lambdas'],
+                                                  np.float64)
+    out['csv.tdt_reads_ref.values'] = np.asarray(inp['csv.values'],
+                                                 np.float64)
+    # Both sides parse the reference's BUNDLED stored sweep results
+    # (test_data/csv_results; per-lambda values sorted because the
+    # reference's directory listing order is platform-dependent).
+    stored = csv_util.read_all_results_from_directory(
+        config['csv_stored_dir'])
+    out['csv.stored.lambdas'] = np.asarray(list(stored), np.float64)
+    out['csv.stored.values'] = np.asarray(
+        [sorted(stored[k]) for k in stored], np.float64)
+
+
 def main(config_path: str) -> None:
     with open(config_path) as f:
         config = json.load(f)
@@ -255,6 +349,7 @@ def main(config_path: str) -> None:
     task_attention(inputs, out, np)
     task_lda(inputs, out, np)
     task_result_store(inputs, out, np)
+    task_misc(inputs, out, np, config)
     np.savez(config['out_npz'], **out)
 
 

@@ -773,14 +773,35 @@ def stage_module_inputs(path: str) -> Dict[str, np.ndarray]:
     inputs['rs.chunks'] = np.asarray([50, 1, 97, 100, 85])
     inputs['rs.s1'] = rng.randn(333)
     inputs['rs.s2'] = rng.randn(333)
+    # utils.pearson_correlation_graph: correlated column pairs.
+    inputs['util.x'] = rng.randn(500, 3)
+    inputs['util.y'] = (0.6 * inputs['util.x'][:, :2]
+                        + 0.4 * rng.randn(500, 2))
+    # add_trigger: 2 s of int16 audio + >=3 in-range event times.
+    inputs['trigger.audio'] = (rng.randn(32000) * 4000).astype(np.int16)
+    inputs['trigger.times'] = np.sort(rng.uniform(0.1, 1.7, 5))
+    # d-prime + LDA window averaging.
+    inputs['met.d1'] = rng.randn(400) * 0.5 + 1.0
+    inputs['met.d2'] = rng.randn(300) * 0.7
+    inputs['met.stream'] = rng.randn(257, 3)
+    # CSV interchange ground truth (4 lambdas x 5 held-out files).
+    inputs['csv.lambdas'] = np.asarray([1e-6, 1e-3, 1.0, 31.6])
+    inputs['csv.values'] = rng.randn(4, 5) * 0.25 + 0.5
     np.savez(path, **inputs)
     return inputs
 
 
 def rebuild_modules(inputs: Dict[str, np.ndarray],
-                    tf_dir: str) -> Dict[str, np.ndarray]:
+                    tf_dir: str,
+                    misc: Optional[Dict[str, str]] = None
+                    ) -> Dict[str, np.ndarray]:
     """This framework's side of the module A/B: the same flows as
-    tools/_ab_module_worker.py, through telluride_decoding_tpu."""
+    tools/_ab_module_worker.py, through telluride_decoding_tpu.
+
+    ``misc`` carries the file paths of the cross-read tier (the
+    reference's bundled BrainVision fixture + CSV interchange files);
+    None skips that tier (misc paths only exist inside run_modules_ab).
+    """
     from telluride_decoding_tpu.decide import attention_decoder
     from telluride_decoding_tpu.io import ingest
     from telluride_decoding_tpu.signal import audio_stores
@@ -920,6 +941,53 @@ def rebuild_modules(inputs: Dict[str, np.ndarray],
             w2s.append(np.asarray(w2).copy())
     out['rs.two1'] = np.stack(w1s)
     out['rs.two2'] = np.stack(w2s)
+
+    # -- misc (brainvision / utils / add_trigger / metrics / csv) ----------
+    if misc is not None:
+        from telluride_decoding_tpu.cli import add_trigger
+        from telluride_decoding_tpu.decode import metrics
+        from telluride_decoding_tpu.io import brainvision
+        from telluride_decoding_tpu.ops import pearson
+        from telluride_decoding_tpu.utils import csv_util
+
+        header, data = brainvision.read_bv_file(misc['bv_header'])
+        out['bv.data'] = np.asarray(data, np.float64)
+        common = header['Common Infos']
+        out['bv.meta'] = np.asarray(
+            [float(common['NumberOfChannels']),
+             1e6 / float(common['SamplingInterval'])], np.float64)
+
+        out['utils.corrmat'] = np.asarray(pearson.correlation_matrix(
+            inputs['util.x'], inputs['util.y']), np.float64)
+
+        audio, times = inputs['trigger.audio'], inputs['trigger.times']
+        out['trigger.pulse'] = add_trigger.add_events_to_audio(
+            audio, times, fs=16000).astype(np.float64)
+        out['trigger.tone'] = add_trigger.add_events_to_audio(
+            audio, times, fs=16000, pulse_freq=440.0).astype(np.float64)
+
+        out['metrics.dprime'] = np.asarray(
+            metrics.calculate_dprime(inputs['met.d1'], inputs['met.d2']),
+            np.float64)
+        out['metrics.averaged'] = np.asarray(
+            metrics.average_data(inputs['met.stream'], 24), np.float64)
+
+        # Direction 1: the reference parsed OUR file; ground truth here.
+        out['csv.ref_reads_tdt.lambdas'] = np.asarray(
+            inputs['csv.lambdas'], np.float64)
+        out['csv.ref_reads_tdt.values'] = np.asarray(
+            inputs['csv.values'], np.float64)
+        # Direction 2: parse the file the reference just wrote.
+        got = csv_util._read_results(misc['csv_ref'])
+        out['csv.tdt_reads_ref.lambdas'] = np.asarray(list(got),
+                                                      np.float64)
+        out['csv.tdt_reads_ref.values'] = np.asarray(
+            [got[k] for k in got], np.float64)
+        stored = csv_util.read_all_results_from_directory(
+            misc['csv_stored_dir'])
+        out['csv.stored.lambdas'] = np.asarray(list(stored), np.float64)
+        out['csv.stored.values'] = np.asarray(
+            [sorted(stored[k]) for k in stored], np.float64)
     return out
 
 
@@ -953,6 +1021,24 @@ _MODULE_TOLS = {
     'rs.windows': (0.0, 'exact'),
     'rs.two1': (0.0, 'exact'),
     'rs.two2': (0.0, 'exact'),
+    'bv.data': (0.0, 'reference bundled .vhdr/.eeg fixture, same bytes '
+                     'through both parsers'),
+    'bv.meta': (0.0, 'channel count + sample rate from the header'),
+    'utils.corrmat': (2e-5, 'TF f32 graph vs one fused MXU matmul'),
+    'trigger.pulse': (0.0, 'exact (int16 event pulses)'),
+    'trigger.tone': (0.0, 'exact (int16 tone blips)'),
+    'metrics.dprime': (1e-12, ''),
+    'metrics.averaged': (1e-12, ''),
+    'csv.ref_reads_tdt.lambdas': (0.0, 'reference parses OUR csv'),
+    'csv.ref_reads_tdt.values': (0.0, 'reference parses OUR csv'),
+    'csv.tdt_reads_ref.lambdas': (0.0, 'we parse the reference-written '
+                                       'csv'),
+    'csv.tdt_reads_ref.values': (0.0, 'we parse the reference-written '
+                                      'csv'),
+    'csv.stored.lambdas': (0.0, 'both parse the bundled '
+                                'test_data/csv_results'),
+    'csv.stored.values': (0.0, 'both parse the bundled '
+                               'test_data/csv_results'),
 }
 _MODULE_DEFAULT_TOL = (1e-5, '')
 
@@ -968,11 +1054,28 @@ def run_modules_ab(tmpdir: str) -> Tuple[List[Delta], Dict, Dict]:
     tdt_tf = os.path.join(workdir, 'tdt_tfrecords')
     os.makedirs(ref_tf, exist_ok=True)
     os.makedirs(tdt_tf, exist_ok=True)
+    # CSV interchange: write OUR file before the worker runs (direction
+    # 1: the reference parses it); the worker writes csv_ref for the
+    # rebuild side to parse (direction 2).
+    from telluride_decoding_tpu.utils import csv_util as tdt_csv
+    csv_tdt = os.path.join(workdir, 'tdt_results.csv')
+    tdt_csv.write_results(csv_tdt,
+                          [float(l) for l in inputs['csv.lambdas']],
+                          inputs['csv.values'].tolist())
+    misc = {
+        'bv_header': os.path.join(REFERENCE_PATH, 'test_data',
+                                  'brainvision_test.vhdr'),
+        'csv_ref': os.path.join(workdir, 'ref_results.csv'),
+        'csv_stored_dir': os.path.join(REFERENCE_PATH, 'test_data',
+                                       'csv_results'),
+    }
     config = {
         'reference_path': REFERENCE_PATH,
         'inputs_npz': inputs_npz,
         'out_npz': os.path.join(workdir, 'ref_out.npz'),
         'tf_dir': ref_tf,
+        'csv_tdt': csv_tdt,
+        **misc,
     }
     config_path = os.path.join(workdir, 'module_config.json')
     with open(config_path, 'w') as f:
@@ -986,7 +1089,7 @@ def run_modules_ab(tmpdir: str) -> Tuple[List[Delta], Dict, Dict]:
             % (proc.returncode, proc.stdout[-4000:],
                proc.stderr[-4000:]))
     ref = dict(np.load(config['out_npz']))
-    tdt = rebuild_modules(inputs, tdt_tf)
+    tdt = rebuild_modules(inputs, tdt_tf, misc=misc)
 
     rows: List[Delta] = []
     for key in sorted(set(ref) | set(tdt)):
