@@ -49,6 +49,25 @@ from telluride_decoding_tpu.ops.lagstack import lag_stack_np
 FLAGS = flags.FLAGS
 
 
+def _load_serving_decoder(model_dir: str, reduction: str):
+    """Loads either a model directory (live Decoder) or an AOT
+    StableHLO artifact (decode.aot.ExportedDecoder) — tdt-serve points
+    at either interchangeably. AOT artifacts bake the reduction in at
+    export time, so a conflicting --serve_reduction is refused rather
+    than silently ignored."""
+    from telluride_decoding_tpu.decode import aot
+    if aot.is_aot_artifact(model_dir):
+        decoder = aot.load_exported_decoder(model_dir)
+        if reduction and reduction != decoder.reduction:
+            raise ValueError(
+                'AOT artifact %s was exported with reduction %r; '
+                'requested %r. Re-export the artifact to change the '
+                'reduction.' % (model_dir, decoder.reduction, reduction))
+        return decoder
+    from telluride_decoding_tpu.cli.infer import load_model
+    return load_model(model_dir, reduction)
+
+
 def define_flags():
     if 'serve_input' in FLAGS:
         return
@@ -292,8 +311,7 @@ def serve_stream(model_dir: str, eeg: np.ndarray, audio1: np.ndarray,
     attachments with genuinely async dispatch and heavier per-chunk
     compute. Decisions are value-identical either way.
     """
-    from telluride_decoding_tpu.cli.infer import load_model
-    decoder = load_model(model_dir, reduction)
+    decoder = _load_serving_decoder(model_dir, reduction)
     def orient(a):
         # Each array independently: an npz with audio1 stored [N, 1]
         # but audio2 stored flat [N] used to leave audio2 as [1, N]
@@ -352,8 +370,7 @@ def serve_lines(model_dir: str, in_stream, *,
     still per-call (a fresh StreamingAttentionServer per session).
     """
     if decoder is None:
-        from telluride_decoding_tpu.cli.infer import load_model
-        decoder = load_model(model_dir, reduction)
+        decoder = _load_serving_decoder(model_dir, reduction)
     server = None
     decisions: List[Dict] = []
 
@@ -493,9 +510,8 @@ def serve_socket(model_dir: str, address: str, *,
     decision counts (for tests/monitoring).
     """
     import socket
-    from telluride_decoding_tpu.cli.infer import load_model
     host, port = _parse_tcp(address)
-    decoder = load_model(model_dir, reduction)
+    decoder = _load_serving_decoder(model_dir, reduction)
     if ':' in host:
         # IPv6 literal: create_server only speaks AF_INET by default.
         srv = socket.create_server((host, port),

@@ -380,10 +380,32 @@ class Decoder:
         return self._infer_pair_fn(input_1, input_2a, input_2b,
                                    output_a, output_b, readback=False)
 
-    def _build_infer_pair_fn(self):
+    def _build_infer_pair_core(self):
+        """The PURE fused two-stream program ``(x1, in2a, in2b, ya, yb)
+        -> (scores_a, scores_b)``, with the model weights, correlation
+        statistics and LDA parameters closed over as compile-time
+        constants; None when the decoding model is not a jax pytree
+        model. This is the hermetic program decode.aot serializes as
+        the ahead-of-time serving artifact."""
         model = self._decoding_model
         if not (hasattr(model, 'apply') and getattr(model, 'params',
                                                     None) is not None):
+            return None
+        decode = self._decode_arrays
+        correlate_reduce = self._build_correlate_reduce()
+
+        @jax.jit
+        def infer2(x1, in2a, in2b, ya, yb):
+            # x1 is passed ONCE; the duplicate decode of it is
+            # eliminated by XLA common-subexpression elimination.
+            ra = decode({'input_1': x1, 'input_2': in2a}, ya)
+            rb = decode({'input_1': x1, 'input_2': in2b}, yb)
+            return correlate_reduce(*ra), correlate_reduce(*rb)
+        return infer2
+
+    def _build_infer_pair_fn(self):
+        infer2 = self._build_infer_pair_core()
+        if infer2 is None:
             # Arbitrary python callables can't fuse: fall back to two
             # sequential single-stream dispatches (always blocking;
             # readback is accepted for interface parity).
@@ -396,16 +418,6 @@ class Decoder:
                     {'input_1': input_1, 'input_2': input_2b}, output_b)
                 return sa, sb
             return run
-        decode = self._decode_arrays
-        correlate_reduce = self._build_correlate_reduce()
-
-        @jax.jit
-        def infer2(x1, in2a, in2b, ya, yb):
-            # x1 is passed ONCE; the duplicate decode of it is
-            # eliminated by XLA common-subexpression elimination.
-            ra = decode({'input_1': x1, 'input_2': in2a}, ya)
-            rb = decode({'input_1': x1, 'input_2': in2b}, yb)
-            return correlate_reduce(*ra), correlate_reduce(*rb)
 
         def run(input_1, input_2a, input_2b, output_a, output_b,
                 readback=True):
