@@ -39,6 +39,11 @@ def export(model_dir: str, artifact_dir: str, *,
              manifest['input_2_width']))
 
 
+_USAGE = ('usage: export_aot MODEL_DIR ARTIFACT_DIR '
+          '[--reduction lda] [--platforms tpu,cpu] '
+          '[--input_widths W1,W2] [--output_width W]')
+
+
 def app_main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     opts = {'reduction': 'lda', 'platforms': 'tpu,cpu',
@@ -53,19 +58,35 @@ def app_main(argv=None):
                 opts[name] = arg.split('=', 1)[1]
                 i += 1
             else:
+                if i + 1 >= len(argv):
+                    raise SystemExit('--%s needs a value\n%s'
+                                     % (name, _USAGE))
                 opts[name] = argv[i + 1]
                 i += 2
         else:
             positional.append(arg)
             i += 1
     if len(positional) != 2:
-        raise SystemExit('usage: export_aot MODEL_DIR ARTIFACT_DIR '
-                         '[--reduction lda] [--platforms tpu,cpu] '
-                         '[--input_widths W1,W2] [--output_width W]')
-    input_widths = (tuple(int(w) for w in opts['input_widths'].split(','))
-                    if opts['input_widths'] else None)
-    output_width = (int(opts['output_width'])
-                    if opts['output_width'] else None)
+        raise SystemExit(_USAGE)
+    input_widths = None
+    if opts['input_widths']:
+        try:
+            input_widths = tuple(
+                int(w) for w in opts['input_widths'].split(','))
+        except ValueError:
+            raise SystemExit('--input_widths must be two integers '
+                             'W1,W2 (got %r)\n%s'
+                             % (opts['input_widths'], _USAGE))
+        if len(input_widths) != 2:
+            raise SystemExit('--input_widths must be exactly two '
+                             'integers W1,W2 (got %r)\n%s'
+                             % (opts['input_widths'], _USAGE))
+    try:
+        output_width = (int(opts['output_width'])
+                        if opts['output_width'] else None)
+    except ValueError:
+        raise SystemExit('--output_width must be an integer (got %r)\n%s'
+                         % (opts['output_width'], _USAGE))
     export(positional[0], positional[1], reduction=opts['reduction'],
            platforms=tuple(opts['platforms'].split(',')),
            input_widths=input_widths, output_width=output_width)

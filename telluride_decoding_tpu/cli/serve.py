@@ -49,23 +49,28 @@ from telluride_decoding_tpu.ops.lagstack import lag_stack_np
 FLAGS = flags.FLAGS
 
 
-def _load_serving_decoder(model_dir: str, reduction: str):
+def _load_serving_decoder(model_dir: str, reduction: Optional[str]):
     """Loads either a model directory (live Decoder) or an AOT
     StableHLO artifact (decode.aot.ExportedDecoder) — tdt-serve points
-    at either interchangeably. AOT artifacts bake the reduction in at
-    export time, so a conflicting --serve_reduction is refused rather
-    than silently ignored."""
+    at either interchangeably. ``reduction=None`` means "no explicit
+    request": AOT artifacts use the reduction baked in at export time
+    (whatever it is), live model dirs use 'lda'. An EXPLICIT reduction
+    conflicting with an AOT artifact's baked-in one is refused rather
+    than silently ignored — the flag default must not trip this, so
+    main() only forwards --serve_reduction when the user set it."""
     from telluride_decoding_tpu.decode import aot
     if aot.is_aot_artifact(model_dir):
         decoder = aot.load_exported_decoder(model_dir)
-        if reduction and reduction != decoder.reduction:
+        if reduction is not None and reduction != decoder.reduction:
             raise ValueError(
                 'AOT artifact %s was exported with reduction %r; '
-                'requested %r. Re-export the artifact to change the '
-                'reduction.' % (model_dir, decoder.reduction, reduction))
+                'requested %r. Pass --serve_reduction %s (or drop the '
+                'flag), or re-export the artifact.'
+                % (model_dir, decoder.reduction, reduction,
+                   decoder.reduction))
         return decoder
     from telluride_decoding_tpu.cli.infer import load_model
-    return load_model(model_dir, reduction)
+    return load_model(model_dir, 'lda' if reduction is None else reduction)
 
 
 def define_flags():
@@ -296,7 +301,7 @@ class StreamingAttentionServer:
 
 def serve_stream(model_dir: str, eeg: np.ndarray, audio1: np.ndarray,
                  audio2: np.ndarray, *, chunk_size: int = 32,
-                 reduction: str = 'lda', decision: str = 'wta',
+                 reduction: Optional[str] = None, decision: str = 'wta',
                  window_width: int = 100, window_step: int = 50,
                  frame_rate: float = 100.0,
                  out_stream=None, pipeline: bool = False) -> List[Dict]:
@@ -347,7 +352,7 @@ def serve_stream(model_dir: str, eeg: np.ndarray, audio1: np.ndarray,
 
 
 def serve_lines(model_dir: str, in_stream, *,
-                reduction: str = 'lda', decision: str = 'wta',
+                reduction: Optional[str] = None, decision: str = 'wta',
                 window_width: int = 100, window_step: int = 50,
                 frame_rate: float = 100.0,
                 out_stream=None, decoder=None) -> List[Dict]:
@@ -485,7 +490,7 @@ def _parse_tcp(address: str) -> tuple:
 
 
 def serve_socket(model_dir: str, address: str, *,
-                 reduction: str = 'lda', decision: str = 'wta',
+                 reduction: Optional[str] = None, decision: str = 'wta',
                  window_width: int = 100, window_step: int = 50,
                  frame_rate: float = 100.0,
                  max_sessions: Optional[int] = None,
@@ -642,11 +647,16 @@ def main(argv):
     if not FLAGS.serve_model_dir or not FLAGS.serve_input:
         raise app.UsageError('Need --serve_model_dir and --serve_input '
                              '(or --selftest).')
+    # Only an EXPLICIT --serve_reduction is a request; the flag default
+    # must not conflict with an AOT artifact's baked-in reduction (None
+    # lets the artifact decide; live model dirs fall back to 'lda').
+    reduction = (FLAGS.serve_reduction
+                 if FLAGS['serve_reduction'].present else None)
     if tcp_mode:
         # Networked line protocol: acquisition boxes connect and push
         # JSON chunks; decisions return on the socket.
         serve_socket(FLAGS.serve_model_dir, FLAGS.serve_input,
-                     reduction=FLAGS.serve_reduction,
+                     reduction=reduction,
                      decision=FLAGS.serve_decoder,
                      window_width=FLAGS.serve_window_width,
                      window_step=FLAGS.serve_window_step,
@@ -656,7 +666,7 @@ def main(argv):
         # Live line protocol: an external acquisition loop pipes JSON
         # chunks in; decisions stream out per chunk.
         serve_lines(FLAGS.serve_model_dir, sys.stdin,
-                    reduction=FLAGS.serve_reduction,
+                    reduction=reduction,
                     decision=FLAGS.serve_decoder,
                     window_width=FLAGS.serve_window_width,
                     window_step=FLAGS.serve_window_step,
@@ -665,7 +675,7 @@ def main(argv):
     data = np.load(FLAGS.serve_input)
     serve_stream(FLAGS.serve_model_dir, data['eeg'], data['audio1'],
                  data['audio2'], chunk_size=FLAGS.chunk_size,
-                 reduction=FLAGS.serve_reduction,
+                 reduction=reduction,
                  decision=FLAGS.serve_decoder,
                  window_width=FLAGS.serve_window_width,
                  window_step=FLAGS.serve_window_step,

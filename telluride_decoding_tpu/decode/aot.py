@@ -92,6 +92,9 @@ def export_decoder(decoder, artifact_dir: str, *,
                 'Decoder has no embedded output metadata; pass '
                 'output_width explicitly.')
         output_width = int(decoder.model_output[-1])
+    if isinstance(platforms, str):
+        # tuple('cpu') would iterate characters into ('c','p','u').
+        platforms = (platforms,)
     platforms = tuple(platforms or ('tpu', 'cpu'))
     w1, w2 = int(input_widths[0]), int(input_widths[1])
 

@@ -129,6 +129,26 @@ class TestServeIntegration:
         with pytest.raises(ValueError, match='exported with reduction'):
             serve._load_serving_decoder(toy['artifact'], 'lda')
 
+    def test_no_explicit_reduction_uses_baked_in(self, toy):
+        # The --serve_reduction DEFAULT must not conflict with the
+        # artifact: None (= flag not set) serves any artifact as-is.
+        dec = serve._load_serving_decoder(toy['artifact'], None)
+        assert dec.reduction == 'first'
+        # Live model dirs fall back to 'lda' under None.
+        live = serve._load_serving_decoder(toy['model_dir'], None)
+        assert isinstance(live, infer_decoder.Decoder)
+
+    def test_serve_stream_artifact_without_reduction_flag(self, toy):
+        # The documented zero-config workflow: serve an artifact whose
+        # baked-in reduction is NOT the flag default, no flag given.
+        rng = np.random.RandomState(12)
+        eeg, a1 = toy['eeg'], toy['a1']
+        a2 = np.abs(rng.randn(eeg.shape[0], 1)).astype(np.float32)
+        decisions = serve.serve_stream(
+            toy['artifact'], eeg, a1, a2, chunk_size=37,
+            decision='wta', window_width=100, window_step=100)
+        assert len(decisions) > 0
+
     def test_loader_passthrough_for_model_dirs(self, toy):
         dec = serve._load_serving_decoder(toy['model_dir'], 'first')
         assert isinstance(dec, infer_decoder.Decoder)
@@ -153,3 +173,29 @@ class TestCli:
         from telluride_decoding_tpu.cli import export_aot
         with pytest.raises(SystemExit, match='usage'):
             export_aot.app_main(['only_one_arg'])
+
+    def test_cli_trailing_flag_without_value(self):
+        from telluride_decoding_tpu.cli import export_aot
+        with pytest.raises(SystemExit, match='--reduction needs a value'):
+            export_aot.app_main(['model', 'artifact', '--reduction'])
+
+    def test_cli_malformed_input_widths(self):
+        from telluride_decoding_tpu.cli import export_aot
+        with pytest.raises(SystemExit, match='exactly two'):
+            export_aot.app_main(['model', 'artifact',
+                                 '--input_widths', '6'])
+        with pytest.raises(SystemExit, match='two integers'):
+            export_aot.app_main(['model', 'artifact',
+                                 '--input_widths', 'x,y'])
+        with pytest.raises(SystemExit, match='integer'):
+            export_aot.app_main(['model', 'artifact',
+                                 '--output_width', 'wide'])
+
+    def test_platforms_bare_string_is_one_platform(self, toy, tmp_path):
+        # Sequence[str] admits a bare str; it must mean ONE platform,
+        # not tuple('cpu') == ('c', 'p', 'u').
+        out = str(tmp_path / 'str_platform')
+        manifest = aot.export_decoder(
+            toy['decoder'], out, platforms='cpu',
+            input_widths=(6, 1), output_width=1)
+        assert manifest['platforms'] == ['cpu']
