@@ -332,15 +332,18 @@ def general_cohort_results(my_flags, subjects: Dict[str, str],
     lambdas64 = np.asarray(regularization_list, np.float64)
     # fullyconnected/classifier never read the lambda: with seeded
     # training every lambda row is the same numbers, so train one row
-    # and tile (opt out with TDT_GENERAL_LAMBDA_DEDUP=0). Batch
-    # transforms (mismatch/mixup) disable the dedup: they draw from
-    # the dataset's stateful RandomState, so each lambda iteration
-    # realizes a DIFFERENT training stream and the rows are not
-    # identical by construction.
+    # and tile (opt out with TDT_GENERAL_LAMBDA_DEDUP=0).
+    # --mismatch_batch disables the dedup: it draws from the dataset's
+    # stateful RandomState, so each lambda iteration realizes a
+    # DIFFERENT training stream and the rows are not identical by
+    # construction. --random_mixup_batch does NOT gate it: the flag is
+    # vestigial in training in both implementations (the reference
+    # parses it into DecodingOptions, decoding.py:77,118, and never
+    # consults it; train_lda_model hardcodes its own mixup pair), so
+    # lambda rows stay identical.
     dedup = (my_flags.dnn_regressor in ('fullyconnected', 'classifier')
              and len(lambdas64) > 1
              and not getattr(my_flags, 'mismatch_batch', False)
-             and not getattr(my_flags, 'random_mixup_batch', False)
              and os.environ.get('TDT_GENERAL_LAMBDA_DEDUP',
                                 '1').lower() not in ('0', 'off',
                                                      'false'))

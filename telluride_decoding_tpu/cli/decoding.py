@@ -178,7 +178,13 @@ def define_flags():
                        defaults.regularization_lambda,
                        'Regularization for linear regression/CCA.')
     flags.DEFINE_bool('random_mixup_batch', defaults.random_mixup_batch,
-                      'Mixup the data so labels are random, for testing.')
+                      'Mixup the data so labels are random, for testing. '
+                      'Vestigial in the reference too: parsed into '
+                      'DecodingOptions (reference decoding.py:77,118) '
+                      'but never consulted by training — train_lda_model '
+                      'hardcodes its own attended/mixup dataset pair '
+                      '(reference decoding.py:472-474); preserved for '
+                      'flag parity.')
     flags.DEFINE_bool('streaming_fit', defaults.streaming_fit,
                       'Fit deterministic models (linear/cca) from '
                       'per-file streamed covariance statistics: bounded '

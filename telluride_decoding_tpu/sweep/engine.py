@@ -306,7 +306,8 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
             # (all-zero frames with n_valid 0 yield exact zero
             # statistics), so a cohort whose subjects differ in trial
             # count still compiles this moments program exactly once.
-            num_f = max(num_real, pad_files_to or 0)
+            # Same padded count the budget above was estimated with.
+            num_f = num_f_est
 
             def pad_raw(arrs, target):
                 out = np.zeros((num_f, target, arrs[0].shape[1]),
@@ -434,14 +435,15 @@ def _lam_chunk_units(num_files: int, dim_sq_elems: int,
             # int(float(...)) accepts the same '4.0'/'1e1' styles as
             # the byte knobs.
             return max(1, min(num_l, int(float(explicit))))
-        except ValueError:
+        except (ValueError, OverflowError):
+            # OverflowError: int(float('inf')).
             logging.warning(
                 'Unparseable TDT_SWEEP_LAM_CHUNK=%r; falling back to '
                 'the byte-budget heuristic.', explicit)
     try:
         budget = int(float(os.environ.get('TDT_SWEEP_LAM_CHUNK_BYTES',
                                           7 << 30)))
-    except ValueError:
+    except (ValueError, OverflowError):
         budget = 7 << 30
     unit = 2 * num_files * dim_sq_elems * 4
     return max(1, min(num_l, budget // max(unit, 1)))

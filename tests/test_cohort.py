@@ -656,6 +656,38 @@ class TestGeneralCohort:
             [1e-4, 1e-2])
         assert len(calls) == 2   # One training run per lambda.
 
+    def test_lambda_dedup_unaffected_by_random_mixup_batch(
+            self, tmp_path, rng, monkeypatch):
+        """--random_mixup_batch is vestigial in training in BOTH
+        implementations (the reference parses it into DecodingOptions
+        and never consults it), so lambda rows stay identical and the
+        dedup must stay ON — a 9-lambda jens grid must not silently
+        retrain 9x for byte-identical rows."""
+        from telluride_decoding_tpu.cli import cohort, decoding
+        from telluride_decoding_tpu.cli import regression
+        root = _write_cohort(tmp_path, rng, num_subjects=1, trials=2,
+                             n=220)
+        my_flags = decoding.DecodingOptions().set_from_dict(dict(
+            input_field='eeg', output_field='intensity',
+            pre_context=0, post_context=4,
+            dnn_regressor='fullyconnected', hidden_units='4',
+            epoch_count=2, batch_size=100, learning_rate=0.05,
+            random_mixup_batch=True,
+            train_file_pattern='allbut', shuffle_buffer_size=0))
+        calls = []
+        orig = regression.jackknife_one_model
+
+        def counting(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(regression, 'jackknife_one_model',
+                            counting)
+        cohort.general_cohort_results(
+            my_flags, cohort.discover_subjects(root, []),
+            [1e-4, 1e-2, 1.0])
+        assert len(calls) == 1   # Trained once, tiled 3 lambda rows.
+
     def test_old_format_checkpoint_fails_with_format_message(
             self, tmp_path, rng):
         """A checkpoint from the pre-release format (absolute trial

@@ -547,8 +547,13 @@ class TestSweepReviewFixesR4B:
         res = engine.per_file_stats(xs, ys, want_syy=True,
                                     pad_files_to=8, batch_bytes=10000)
         assert 'batched' not in calls
+        # Cross-regime parity: the reference values come from the
+        # BATCHED regime (a budget the padded stack fits), so the
+        # comparison pins streaming-vs-batched value identity rather
+        # than comparing the streaming path against itself.
         want = engine.per_file_stats(xs, ys, want_syy=True,
-                                     pad_files_to=8, batch_bytes=0)
+                                     pad_files_to=8, batch_bytes=1 << 30)
+        assert calls.get('batched')
         import jax
         for a, b in zip(jax.tree.leaves(res), jax.tree.leaves(want)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -573,3 +578,12 @@ class TestSweepReviewFixesR4B:
         assert _lam_chunk_units(10, 100, 9) == 9   # Clamped to num_l.
         monkeypatch.setenv('TDT_SWEEP_LAM_CHUNK', 'banana')
         assert _lam_chunk_units(10, 100, 9) >= 1   # Heuristic fallback.
+        # float('inf') parses but int(inf) raises OverflowError — must
+        # fall back like any other garbage, not crash the sweep.
+        monkeypatch.setenv('TDT_SWEEP_LAM_CHUNK', 'inf')
+        assert _lam_chunk_units(10, 100, 9) >= 1
+        monkeypatch.setenv('TDT_SWEEP_LAM_CHUNK', '4')
+        monkeypatch.setenv('TDT_SWEEP_LAM_CHUNK_BYTES', 'inf')
+        assert _lam_chunk_units(10, 100, 9) == 4
+        monkeypatch.delenv('TDT_SWEEP_LAM_CHUNK')
+        assert _lam_chunk_units(10, 100, 9) >= 1   # Byte knob fallback.
