@@ -271,6 +271,44 @@ def main():
         results.append(check('DCCA train+test on device', False,
                              repr(error)[:60]))
 
+    # 12. AOT serving artifact on device: the serialized StableHLO
+    # program (decode/aot.py) must deserialize and EXECUTE on this
+    # backend with scores equal to the live decoder's — the pytest
+    # suite only proves this on the CPU mesh.
+    try:
+        import tempfile
+        from telluride_decoding_tpu.decode import (
+            LinearRegressionDecoder, aot)
+        from telluride_decoding_tpu.models.brain_model import (
+            BrainModelLinearRegression)
+        from telluride_decoding_tpu.data.brain_data import TestBrainData
+        n = 1200
+        eega = rng.randn(n, 6).astype(np.float32)
+        outa = (eega[:, :1] * 0.5 + 0.3 +
+                0.05 * rng.randn(n, 1)).astype(np.float32)
+        mdl = BrainModelLinearRegression(input_width=6, output_width=1,
+                                         regularization_lambda=1e-4)
+        tbd = TestBrainData('input_1', 'output', 100.0,
+                            final_batch_size=400)
+        tbd.preserve_test_data(eega, outa)
+        mdl.fit(tbd.create_dataset('train'))
+        live = LinearRegressionDecoder(mdl, reduction='mean')
+        live.add_data_correlator(outa, outa)
+        with tempfile.TemporaryDirectory() as adir:
+            aot.export_decoder(live, adir, input_widths=(6, 1),
+                               output_width=1)
+            exported = aot.load_exported_decoder(adir)
+            in2 = outa[:400]
+            ya, yb = outa[:400], np.flip(outa[:400], axis=0).copy()
+            ea, eb = exported.infer_pair(eega[:400], in2, in2, ya, yb)
+            la, lb = live.infer_pair(eega[:400], in2, in2, ya, yb)
+        aerr = max(np.abs(ea - la).max(), np.abs(eb - lb).max())
+        results.append(check('AOT StableHLO artifact on device',
+                             aerr < 1e-4, 'err %.2g' % aerr))
+    except Exception as error:
+        results.append(check('AOT StableHLO artifact on device',
+                             False, repr(error)[:60]))
+
     print()
     if all(results):
         print('ALL %d GATES PASS on %s' % (len(results), platform))
