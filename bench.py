@@ -125,18 +125,33 @@ def _make_data(key):
 
 
 @jax.jit
-def _decode_reps(params, x1, x2):
-    # The repetition loop runs ON DEVICE (one dispatch measures REPS
+def _decode_reps(params, x1, x2, n_reps):
+    # The repetition loop runs ON DEVICE (one dispatch measures n_reps
     # full decodes) so tunnel dispatch latency does not pollute the
-    # throughput number. A data dependence between iterations stops
-    # XLA from eliding the loop body.
+    # throughput number. The trip count is a traced scalar so the
+    # short and long arms of the differential timing below share ONE
+    # compiled program.
+    #
+    # CRITICAL: the carried score must feed the ROTATION, not just a
+    # final scalar add. With only `lda_intercept=bias` varying, every
+    # expensive op in the body is loop-invariant and XLA's
+    # while-loop-invariant code motion hoists the whole decode out of
+    # the loop — the "n_reps decodes" dispatch then measures ONE
+    # decode plus loop overhead (this silently inflated the r03/r04
+    # headline; caught by the short-vs-long arm differential, which
+    # came back flat). rot1 + tiny*bias makes the wide einsum depend
+    # on the carry: nothing hoists, every iteration re-reads x1 from
+    # HBM and re-runs the MXU work, and the 1e-12 perturbation is far
+    # below the measurement's meaning.
     def body(_, carry):
         acc, bias = carry
-        scores = _decode_windows(
-            dict(params, lda_intercept=bias), x1, x2)
+        p = dict(params,
+                 rot1=params['rot1'] + 1e-12 * bias,
+                 lda_intercept=bias)
+        scores = _decode_windows(p, x1, x2)
         return acc + scores, scores[0]
     acc, _ = jax.lax.fori_loop(
-        0, REPS, body,
+        0, n_reps, body,
         (jnp.zeros((NUM_WINDOWS,), jnp.float32), jnp.float32(0)))
     return acc
 
@@ -158,20 +173,68 @@ def _start_heartbeat():
     return stop
 
 
+HEADLINE_DISPATCHES = int(os.environ.get('TDT_BENCH_HEADLINE_K', '5'))
+
+
 def measure_headline(params):
-    """Throughput of the flagship decode; needs only 2 jitted programs."""
+    """Throughput of the flagship decode; needs only 2 jitted programs.
+
+    Differential timing over best-of-K dispatches: every timed
+    dispatch through the tunnel is device_time + one readback RTT, and
+    at ~26 ms of device work a ~30 ms congested RTT costs 15-50% of a
+    single-dispatch number (BENCH_r04 recorded 754,904 windows/s on a
+    chip that self-measured 1,009,905 the same day). So the headline
+    times a SHORT (REPS) and a LONG (3x REPS) on-device rep loop —
+    same compiled program, traced trip count — takes the best of K
+    dispatches of each (best = least tunnel pollution), and divides
+    the extra windows by the extra time: the constant RTT term
+    cancels, leaving pure device throughput. The workload is
+    deterministic and HBM-roofline-bound (docs/performance.md), so
+    this is the number the chip actually sustains; per-dispatch rates
+    and the RTT they carry go to stderr.
+    """
     _diag('devices=%s platform=%s' %
           (len(jax.devices()), jax.devices()[0].platform))
     x1, x2 = _make_data(jax.random.PRNGKey(0))
     sync(x1[0, 0, 0])
     _diag('data on device')
-    sync(_decode_reps(params, x1, x2))     # Warm-up compile.
+    reps_long = 3 * REPS
+    sync(_decode_reps(params, x1, x2, REPS))     # Warm-up compile.
     _diag('decode program compiled + warm')
-    t0 = time.perf_counter()
-    acc = _decode_reps(params, x1, x2)
-    sync(acc)
-    elapsed = time.perf_counter() - t0
-    return NUM_WINDOWS * REPS / elapsed, x1, x2
+
+    def best_dispatch_s(n_reps):
+        times = []
+        for _ in range(max(1, HEADLINE_DISPATCHES)):
+            t0 = time.perf_counter()
+            acc = _decode_reps(params, x1, x2, n_reps)
+            sync(acc)
+            times.append(time.perf_counter() - t0)
+        return min(times), times
+
+    t_short, short_times = best_dispatch_s(REPS)
+    t_long, long_times = best_dispatch_s(reps_long)
+    single_rate = NUM_WINDOWS * REPS / t_short
+    if t_long > t_short * 1.05:
+        rate = NUM_WINDOWS * (reps_long - REPS) / (t_long - t_short)
+        rtt_est_ms = max(0.0, (3 * t_short - t_long) / 2) * 1000
+        _diag('headline differential: best short(%d reps)=%.1fms '
+              'best long(%d reps)=%.1fms over K=%d each -> '
+              '%.0f windows/s device; per-dispatch RTT est %.1fms; '
+              'single-dispatch best (r03/r04-comparable) = %.0f w/s; '
+              'all short=%s long=%s (ms)'
+              % (REPS, t_short * 1000, reps_long, t_long * 1000,
+                 HEADLINE_DISPATCHES, rate, rtt_est_ms, single_rate,
+                 ['%.1f' % (t * 1000) for t in short_times],
+                 ['%.1f' % (t * 1000) for t in long_times]))
+    else:
+        # Tunnel weirdness made the long arm no slower than the short
+        # arm; the differential is meaningless — fall back to the
+        # single-dispatch best and say so.
+        rate = single_rate
+        _diag('headline differential DEGENERATE (short %.1fms, long '
+              '%.1fms): falling back to single-dispatch best %.0f w/s'
+              % (t_short * 1000, t_long * 1000, rate))
+    return rate, x1, x2
 
 
 def run_diagnostics(params, x1, x2):
@@ -185,6 +248,18 @@ def run_diagnostics(params, x1, x2):
                   'and later stages' % (spent, DIAG_BUDGET_S, stage))
             return True
         return False
+
+    def best_of(fn, k=3):
+        """Best-of-k wall time of fn() (fn must block on its result).
+        One congested-tunnel RTT inside any single timing window
+        inflates it 2-3x at these durations; the best run is the
+        device time."""
+        times = []
+        for _ in range(max(1, k)):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times), times
 
     # Stage 1: ridge solve latency.
     from telluride_decoding_tpu.ops.covariance import moments_from_arrays
@@ -220,10 +295,12 @@ def run_diagnostics(params, x1, x2):
 
     # On-device streaming latency: N sequential single-window decodes
     # as one device-resident loop with a data-dependent carry (window
-    # i's score biases window i+1), one readback at the end. This is
-    # the serving per-window latency with the tunnel RTT amortized
-    # away; the loop is deterministic so the mean IS the p50.
-    # Target: <10 ms (BASELINE.md, reference path
+    # i's score perturbs window i+1's ROTATION — feeding only the
+    # final intercept lets XLA hoist the whole decode out of the loop
+    # and the number degenerates to loop overhead), one readback at
+    # the end. This is the serving per-window latency with the tunnel
+    # RTT amortized away; the loop is deterministic so the mean IS the
+    # p50. Target: <10 ms (BASELINE.md, reference path
     # infer_decoder.py:416-455).
     stream_n = 1000
 
@@ -231,7 +308,10 @@ def run_diagnostics(params, x1, x2):
     def stream_loop(params, xa, xb):
         def body(_, carry):
             acc, bias = carry
-            s = _decode_windows(dict(params, lda_intercept=bias), xa, xb)
+            p = dict(params,
+                     rot1=params['rot1'] + 1e-12 * bias,
+                     lda_intercept=bias)
+            s = _decode_windows(p, xa, xb)
             return acc + s[0], s[0]
         acc, _ = jax.lax.fori_loop(
             0, stream_n, body, (jnp.float32(0), jnp.float32(0)))
@@ -279,11 +359,11 @@ def run_diagnostics(params, x1, x2):
         return _ridge_sweep_program(stacked, total, lambdas9)
 
     sync(full_sweep())  # Warm-up compile.
-    t0 = time.perf_counter()
-    sync(full_sweep())
-    sweep_s = time.perf_counter() - t0
+    sweep_s, sweep_times = best_of(lambda: sync(full_sweep()))
     _diag('codelab_sweep_s=%.2f (40 files x 9 lambdas, width 2553: '
-          '360 ridge fits, target <60s)' % sweep_s)
+          '360 ridge fits, target <60s; best of %d, all: %s)'
+          % (sweep_s, len(sweep_times),
+             ['%.2f' % t for t in sweep_times]))
     if over_budget('CCA sweep'):
         return
 
@@ -296,11 +376,11 @@ def run_diagnostics(params, x1, x2):
         return _cca_sweep_program_chol(stacked, total, lambdas9)
 
     sync(full_cca_sweep())  # Warm-up compile.
-    t0 = time.perf_counter()
-    sync(full_cca_sweep())
-    cca_sweep_s = time.perf_counter() - t0
-    _diag('codelab_cca_sweep_s=%.2f (360 CCA fits, target <60s)'
-          % cca_sweep_s)
+    cca_sweep_s, cca_times = best_of(lambda: sync(full_cca_sweep()))
+    _diag('codelab_cca_sweep_s=%.2f (360 CCA fits, target <60s; '
+          'best of %d, all: %s)'
+          % (cca_sweep_s, len(cca_times),
+             ['%.2f' % t for t in cca_times]))
     del xs_list, ys_list
     if over_budget('device-context ingest'):
         return
@@ -371,13 +451,29 @@ def run_diagnostics(params, x1, x2):
         _diag('cohort sweep skipped (not on TPU)')
         return
     from telluride_decoding_tpu.sweep.engine import ridge_jackknife_sweep
+
+    # Tunnel RTT probe: the cohort loop blocks on one host readback per
+    # subject, so N_subjects x RTT is an irreducible tunnel floor that
+    # the breakdown below attributes explicitly (VERDICT r04: the 27 s
+    # capture vs the 14.7 s self-measured floor carried no breakdown).
+    tiny = jnp.float32(1.0)
+    sync(tiny)
+    rtt = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        sync(tiny)
+        rtt.append((time.perf_counter() - t0) * 1000)
+    rtt_p50 = float(np.percentile(rtt, 50))
+    _diag('tunnel_rtt_ms: p50=%.1f min=%.1f max=%.1f (trivial-readback '
+          'probe, 7 samples)' % (rtt_p50, min(rtt), max(rtt)))
+
     num_subjects = max(2, round(22 * DIAG_SCALE))
     cohort_s = 0.0
     corr_peak = 0.0
     done = 0
-    for s in range(num_subjects):
-        if over_budget('cohort subjects %d..%d' % (s, num_subjects - 1)):
-            break
+    subj_times = []
+
+    def make_subject(s):
         # Ragged cohort (delta scaled so toy frames stay positive).
         frames_s = frames - (s % 5) * max(1, round(37 * DIAG_SCALE))
         keys = jax.random.split(jax.random.PRNGKey(100 + s), num_files)
@@ -389,6 +485,12 @@ def run_diagnostics(params, x1, x2):
                 kn, (frames_s, 1), jnp.float32))
             xs_s.append(x)
             ys_s.append(y)
+        return xs_s, ys_s
+
+    for s in range(num_subjects):
+        if over_budget('cohort subjects %d..%d' % (s, num_subjects - 1)):
+            break
+        xs_s, ys_s = make_subject(s)
         # Synthetic-data generation (1.3 GB of Threefry randoms per
         # subject) is NOT part of the workload — real cohorts load
         # records from disk — so only the moments + sweep compute is
@@ -399,7 +501,8 @@ def run_diagnostics(params, x1, x2):
         res = ridge_jackknife_sweep(
             xs_s, ys_s, lambdas9, pad_files_to=num_files,
             pad_frames_to=frames)
-        cohort_s += time.perf_counter() - t0
+        subj_times.append(time.perf_counter() - t0)
+        cohort_s += subj_times[-1]
         corr_peak = max(corr_peak, float(res.correlations.max()))
         del xs_s, ys_s
         done += 1
@@ -412,6 +515,124 @@ def run_diagnostics(params, x1, x2):
     _diag('cohort_sweep_s=%.2f (%d/%d subjects x 40 trials x 9 lambdas '
           'at width 2553: %d fits, ragged, one compile)'
           % (cohort_s, done, num_subjects, done * 360))
+    if done > 0:
+        steady = subj_times[1:] or subj_times
+        _diag('cohort breakdown 1/2 (wall): first_subject_s=%.2f '
+              '(carries the one compile of the padded shape), '
+              'steady per-subject p50=%.3fs min=%.3fs max=%.3fs; '
+              '%d blocking readbacks x rtt_p50 %.1fms = %.2fs '
+              'irreducible tunnel floor in the total'
+              % (subj_times[0], float(np.percentile(steady, 50)),
+                 min(steady), max(steady), done, rtt_p50,
+                 done * rtt_p50 / 1000))
+        # Compute-only split on one subject (warm shapes): moments
+        # accumulation vs the lambda-grid solve, each best-of-2 with
+        # its own readback barrier. Device compute floor per subject =
+        # moments + grid; the remainder of the steady per-subject time
+        # is dispatch/tunnel.
+        xs_s, ys_s = make_subject(done - 1)
+        jax.block_until_ready(xs_s[-1])
+
+        def moments_arm():
+            st = per_file_stats(xs_s, ys_s, want_syy=True,
+                                pad_files_to=num_files,
+                                pad_frames_to=frames)
+            sync(st.sxx[0, 0, 0])
+            return st
+
+        def grid_arm(st, tot):
+            sync(_ridge_sweep_program(st, tot, lambdas9))
+
+        moments_s, _ = best_of(lambda: moments_arm(), k=2)
+        st = moments_arm()
+        tot = jax.tree.map(lambda a: jnp.sum(a, axis=0), st)
+        sync(tot.sxx[0, 0])
+        grid_s, _ = best_of(lambda: grid_arm(st, tot), k=2)
+        _diag('cohort breakdown 2/2 (compute, one warm subject): '
+              'moments_s=%.3f grid_solve_s=%.3f -> device floor '
+              '%.2fs for %d subjects; steady-wall minus floor is '
+              'dispatch/tunnel overhead'
+              % (moments_s, grid_s, done * (moments_s + grid_s), done))
+        del xs_s, ys_s, st, tot
+    if over_budget('AOT serving artifact lane'):
+        return
+
+    # Stage 7: the DEPLOYMENT artifact (decode/aot.py serialized
+    # StableHLO program) measured on device: per-chunk p50 through the
+    # tunnel, device-side frames/s, and the sync vs pipelined
+    # (infer_pair_async) replay A/B that docs/performance.md cites —
+    # re-measured every round instead of quoted.
+    import tempfile
+    from telluride_decoding_tpu.data.brain_data import TestBrainData
+    from telluride_decoding_tpu.decode import (LinearRegressionDecoder,
+                                               aot)
+    from telluride_decoding_tpu.models.brain_model import (
+        BrainModelLinearRegression)
+    rng_a = np.random.RandomState(11)
+    n_fit = max(400, round(1200 * DIAG_SCALE))
+    in_w = max(2, round(64 * DIAG_SCALE))
+    eega = rng_a.randn(n_fit, in_w).astype(np.float32)
+    outa = (eega[:, :1] * 0.5 + 0.3 +
+            0.05 * rng_a.randn(n_fit, 1)).astype(np.float32)
+    mdl = BrainModelLinearRegression(input_width=in_w, output_width=1,
+                                     regularization_lambda=1e-4)
+    tbd = TestBrainData('input_1', 'output', 100.0,
+                        final_batch_size=400)
+    tbd.preserve_test_data(eega, outa)
+    mdl.fit(tbd.create_dataset('train'))
+    live = LinearRegressionDecoder(mdl, reduction='mean')
+    live.add_data_correlator(outa, outa)
+    with tempfile.TemporaryDirectory() as adir:
+        aot.export_decoder(live, adir, input_widths=(in_w, 1),
+                           output_width=1)
+        exported = aot.load_exported_decoder(adir)
+        chunk = 32
+        ca = eega[:chunk]
+        c2, ya = outa[:chunk], outa[:chunk]
+        yb = np.flip(outa[:chunk], axis=0).copy()
+        exported.infer_pair(ca, c2, c2, ya, yb)   # Warm-up compile.
+        lat = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            exported.infer_pair(ca, c2, c2, ya, yb)
+            lat.append((time.perf_counter() - t0) * 1000)
+        aot_p50 = float(np.percentile(lat, 50))
+        big = max(640, round(6400 * DIAG_SCALE))
+        bx = np.tile(eega, (max(1, big // n_fit + 1), 1))[:big]
+        by = np.tile(outa, (max(1, big // n_fit + 1), 1))[:big]
+        byf = np.flip(by, axis=0).copy()
+        exported.infer_pair(bx, by, by, by, byf)  # Warm-up compile.
+        aot_big_s, _ = best_of(
+            lambda: exported.infer_pair(bx, by, by, by, byf))
+        _diag('aot_artifact: p50_ms=%.2f per %d-frame chunk (incl '
+              'dispatch RTT), %.0f frames/s on a %d-frame chunk '
+              '(serialized StableHLO program, not the live decoder)'
+              % (aot_p50, chunk, big / aot_big_s, big))
+        if over_budget('pipelined replay A/B'):
+            return
+        # Sync vs pipelined replay over the same chunks: the pipelined
+        # arm dispatches chunk k+1 before harvesting chunk k (depth-2
+        # double buffering, exactly what cli/serve.py --serve_pipeline
+        # does), overlapping the device round trip with the next
+        # dispatch.
+        n_chunks = max(10, round(50 * DIAG_SCALE))
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            exported.infer_pair(ca, c2, c2, ya, yb)
+        sync_ms = (time.perf_counter() - t0) * 1000 / n_chunks
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(n_chunks):
+            nxt = exported.infer_pair_async(ca, c2, c2, ya, yb)
+            if pending is not None:
+                np.asarray(pending[0])
+            pending = nxt
+        np.asarray(pending[0])
+        pipe_ms = (time.perf_counter() - t0) * 1000 / n_chunks
+        _diag('replay_ab: sync=%.2f ms/chunk pipelined=%.2f ms/chunk '
+              '(%d chunks of %d frames; <1.0 ratio means pipelining '
+              'pays on this link today)' % (sync_ms, pipe_ms,
+                                            n_chunks, chunk))
 
 
 def main():
