@@ -305,9 +305,15 @@ def create_brain_model(model_flags: DecodingOptions, input_dataset):
 
 
 def train_and_test(my_flags: DecodingOptions, test_brain_data,
-                   test_brain_model, epochs: int = 1
+                   test_brain_model, epochs: int = 1,
+                   fit_seed: int = 0
                    ) -> Tuple[Dict[str, float], Dict[str, float]]:
-    """Fits on the train split and evaluates on the test split."""
+    """Fits on the train split and evaluates on the test split.
+
+    fit_seed seeds the SGD families' parameter init and batch
+    permutations (ignored by the deterministic solver families) —
+    used by seeded replication studies such as the learning-regime
+    reference A/B (tools/ab_reference.py run_learning_ab)."""
     if not isinstance(test_brain_data, brain_data.BrainData):
         raise TypeError('test_brain_data must be a BrainData object, not a '
                         '%s' % test_brain_data)
@@ -359,6 +365,16 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
                     auto_bytes / 2**30)
                 want_streaming = True
     fit_kwargs = {}
+    if sgd_model:
+        # The SGD families re-batch the assembled split themselves;
+        # without this they silently trained at their own default
+        # (512) instead of --batch_size, taking e.g. 4x fewer
+        # optimizer steps per epoch at --batch_size 128 than the
+        # reference's Keras fit on the same flags (caught by the
+        # learning-regime A/B, tools/ab_reference.py run_learning_ab).
+        fit_kwargs['batch_size'] = my_flags.batch_size
+    if sgd_model and fit_seed:
+        fit_kwargs['seed'] = fit_seed
     if getattr(my_flags, 'dp_fit', False) and sgd_model:
         # SGD families only; the deterministic solvers already shard
         # their covariance pass over the mesh.

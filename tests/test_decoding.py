@@ -193,7 +193,48 @@ class TestDnnExperiment:
         my_flags.epoch_count = 20
         my_flags.saved_model_dir = None
         _, test_results, _ = decoding.run_decoding_experiment(my_flags)
-        assert test_results['pearson_correlation_first'] > 0.7
+        # The reference's own CI bar for a DNN on simulated TRF data
+        # (test/decoding_test.py:265). Reaching it here required
+        # train_and_test to honor --batch_size for the SGD families
+        # (the fit silently re-batched at its 512 default before,
+        # taking half the optimizer steps at this corpus's 256).
+        assert test_results['pearson_correlation_first'] > 0.97
+
+    def test_sgd_fit_receives_batch_size(self, tmp_path,
+                                         trf_records_dir, monkeypatch):
+        # Pin the fix: --batch_size must reach the SGD fit (it was
+        # silently dropped, so SGD models always re-batched at 512 and
+        # took e.g. 4x fewer optimizer steps at --batch_size 128 than
+        # the reference on the same flags).
+        my_flags = _base_flags(tmp_path, trf_records_dir)
+        my_flags.dnn_regressor = 'fullyconnected'
+        my_flags.hidden_units = '4'
+        my_flags.epoch_count = 1
+        my_flags.batch_size = 128
+        my_flags.saved_model_dir = None
+        data = decoding.brain_data.create_brain_dataset(
+            my_flags.data, my_flags.input_field, my_flags.output_field,
+            frame_rate=my_flags.frame_rate,
+            pre_context=my_flags.pre_context,
+            post_context=my_flags.post_context,
+            final_batch_size=my_flags.batch_size,
+            shuffle_buffer_size=0,
+            data_dir=my_flags.tfexample_dir,
+            train_file_pattern='trial01',
+            validate_file_pattern='trial02',
+            test_file_pattern='trial02')
+        model = decoding.create_brain_model(
+            my_flags, data.create_dataset('train'))
+        seen = {}
+        orig_fit = model.fit
+
+        def spy(dataset, **kwargs):
+            seen.update(kwargs)
+            return orig_fit(dataset, **kwargs)
+
+        monkeypatch.setattr(model, 'fit', spy)
+        decoding.train_and_test(my_flags, data, model, epochs=1)
+        assert seen.get('batch_size') == 128
 
 
 class TestMismatchClassifier:

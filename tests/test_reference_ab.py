@@ -188,6 +188,33 @@ def test_regression_jackknife_parity(workdir):
         assert d.delta < 1e-5, (d.field, d.ref, d.tdt)
 
 
+class TestLearningParity:
+    """LEARNING-regime SGD A/B: both frameworks actually TRAIN on
+    identical bytes + flags and each must clear the REFERENCE'S OWN CI
+    thresholds — DNN pearson > 0.97 on the TRF simulation (reference
+    test/decoding_test.py:245-265), classifier accuracy > 0.90
+    (reference test/brain_model_test.py:813-849) — with overlapping
+    seed-mean bounds (different optimizers make per-seed numeric
+    parity meaningless). Two seeds in CI; the full harness run uses
+    three."""
+
+    @pytest.fixture(scope='class')
+    def learning(self, workdir):
+        return ab.run_learning_ab(workdir, seeds=(0, 1))
+
+    def test_all_learning_rows_reconcile(self, learning):
+        rows, _, _ = learning
+        assert len(rows) == 6
+        _assert_rows(rows, 'learning')
+
+    def test_both_sides_clear_reference_gates(self, learning):
+        rows, _, _ = learning
+        gates = [d for d in rows if d.kind == 'gate']
+        assert len(gates) == 4
+        for d in gates:
+            assert d.tdt >= d.ref, (d.field, d.tdt, d.ref)
+
+
 class TestModuleParity:
     """MODULE-level A/B: the support subsystems the driver flows do
     not fully exercise — reference ingest.py (MemoryBrainDataFile ->

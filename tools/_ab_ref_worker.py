@@ -50,6 +50,22 @@ def main(config_path: str) -> None:
 
     my_flags = decoding.DecodingOptions().set_from_dict(config['flags'])
 
+    if (my_flags.dnn_regressor == 'classifier' and
+            isinstance(my_flags.hidden_units, str)):
+        # FINDING (documented in docs/ab_report.md): the reference's
+        # create_brain_model passes the raw hidden_units STRING to
+        # BrainModelClassifier (reference decoding.py:291-295), whose
+        # ctor requires a list (brain_model.py:578-580 raises
+        # TypeError) — the reference driver cannot build its own
+        # classifier. Minimal fix, mirroring the conversion the
+        # 'fullyconnected' branch does a few lines up
+        # (decoding.py:283-287): hand the options object the parsed
+        # list (attrs does not re-validate assignment), so the
+        # reference's own code runs otherwise untouched.
+        my_flags.hidden_units = (
+            [int(x) for x in my_flags.hidden_units.split('-')]
+            if my_flags.hidden_units else [])
+
     # --- mirror of run_decoding_experiment (decoding.py:485-577) ---
     if (my_flags.pre_context + 1 + my_flags.post_context <
             my_flags.min_context):
@@ -86,14 +102,20 @@ def main(config_path: str) -> None:
 
     dprimes = []
     first_decoder = None
-    for lda_seed in ([config.get('seed', 0)] +
-                     list(config.get('dprime_seeds', []))):
-        tf.random.set_seed(lda_seed)
-        dprime, decoder = decoding.train_lda_model(
-            test_brain_data, test_model, my_flags)
-        dprimes.append(float(dprime))
-        if first_decoder is None:
-            first_decoder = decoder
+    if config.get('skip_lda'):
+        # The LDA stage is skipped for families the reference's
+        # create_decoder cannot build (classifier) and for the
+        # learning-regime A/B where d' is not the comparison target.
+        dprimes = [0.0]
+    else:
+        for lda_seed in ([config.get('seed', 0)] +
+                         list(config.get('dprime_seeds', []))):
+            tf.random.set_seed(lda_seed)
+            dprime, decoder = decoding.train_lda_model(
+                test_brain_data, test_model, my_flags)
+            dprimes.append(float(dprime))
+            if first_decoder is None:
+                first_decoder = decoder
 
     if my_flags.summary_dir:
         decoding.write_experiment_summary(
@@ -101,8 +123,9 @@ def main(config_path: str) -> None:
 
     if my_flags.saved_model_dir:
         test_model.save(my_flags.saved_model_dir)
-        first_decoder.save_parameters(
-            my_flags.saved_model_dir + '/decoder_model.json')
+        if first_decoder is not None:
+            first_decoder.save_parameters(
+                my_flags.saved_model_dir + '/decoder_model.json')
 
     if config.get('dump_npz'):
         # First ordered drop-remainder test batch ('program_test' never

@@ -74,9 +74,16 @@ def run_reference(flags: Dict, workdir: str, *,
                   dprime_seeds: Sequence[int] = (),
                   dump_npz: bool = True,
                   save_model: bool = False,
+                  skip_lda: bool = False,
                   timeout: int = 900) -> Dict:
     """Runs the reference experiment in a TF subprocess; returns its
-    result summary (worker JSON + parsed results.txt + npz path)."""
+    result summary (worker JSON + parsed results.txt + npz path).
+
+    skip_lda skips the train_lda_model stage (dprime reported as 0):
+    required for model families the reference's create_decoder cannot
+    build (classifier, reference infer_decoder.py:654-664 raises) and
+    an economy for the learning-regime A/B where d' is not the
+    comparison target."""
     os.makedirs(workdir, exist_ok=True)
     flags = dict(flags)
     flags.setdefault('summary_dir', os.path.join(workdir, 'summary'))
@@ -87,6 +94,7 @@ def run_reference(flags: Dict, workdir: str, *,
         'flags': flags,
         'seed': seed,
         'dprime_seeds': list(dprime_seeds),
+        'skip_lda': skip_lda,
         'out_json': os.path.join(workdir, 'worker_out.json'),
         'dump_npz': (os.path.join(workdir, 'probe.npz')
                      if dump_npz else None),
@@ -115,7 +123,8 @@ def run_rebuild(flags: Dict, workdir: str, *,
                 seed: int = 0,
                 dprime_seeds: Sequence[int] = (),
                 dump_npz: bool = True,
-                save_model: bool = False) -> Dict:
+                save_model: bool = False,
+                skip_lda: bool = False) -> Dict:
     """Runs this framework's experiment in process, under the
     reference data protocol, mirroring the worker's extras."""
     from telluride_decoding_tpu.cli import decoding
@@ -160,19 +169,23 @@ def run_rebuild(flags: Dict, workdir: str, *,
     data = make_data(seed + 42)
     model = decoding.create_brain_model(my_flags, data.spec_dataset())
     train_results, test_results = decoding.train_and_test(
-        my_flags, data, model, epochs=my_flags.epoch_count)
+        my_flags, data, model, epochs=my_flags.epoch_count,
+        fit_seed=seed)
 
     dprimes = []
     first_decoder = None
-    for lda_seed in [seed] + list(dprime_seeds):
-        # Fresh mixup randomness per sample: the mixup permutation
-        # comes from the dataset's seeded RNG.
-        lda_data = make_data(lda_seed + 1000)
-        dprime, decoder = decoding.train_lda_model(lda_data, model,
-                                                   my_flags)
-        dprimes.append(float(dprime))
-        if first_decoder is None:
-            first_decoder = decoder
+    if skip_lda:
+        dprimes = [0.0]
+    else:
+        for lda_seed in [seed] + list(dprime_seeds):
+            # Fresh mixup randomness per sample: the mixup permutation
+            # comes from the dataset's seeded RNG.
+            lda_data = make_data(lda_seed + 1000)
+            dprime, decoder = decoding.train_lda_model(lda_data, model,
+                                                       my_flags)
+            dprimes.append(float(dprime))
+            if first_decoder is None:
+                first_decoder = decoder
 
     decoding.write_experiment_summary(my_flags, train_results,
                                       test_results, dprimes[0])
@@ -184,8 +197,10 @@ def run_rebuild(flags: Dict, workdir: str, *,
                        dataset=data.spec_dataset())
     if my_flags.saved_model_dir:
         model.save(my_flags.saved_model_dir)
-        first_decoder.save_parameters(
-            os.path.join(my_flags.saved_model_dir, 'decoder_model.json'))
+        if first_decoder is not None:
+            first_decoder.save_parameters(
+                os.path.join(my_flags.saved_model_dir,
+                             'decoder_model.json'))
 
     out = {
         'train_results': {k: float(v) for k, v in
@@ -234,7 +249,7 @@ class Delta:
     ref: float
     tdt: float
     tolerance: float
-    kind: str          # 'abs' | 'rel' | 'info'
+    kind: str          # 'abs' | 'rel' | 'info' | 'gate'
     note: str = ''
     atol: float = 0.0  # absolute floor for 'rel' comparisons
 
@@ -246,6 +261,11 @@ class Delta:
     def ok(self) -> bool:
         if self.kind == 'info':
             return True
+        if self.kind == 'gate':
+            # Threshold check: the measured value (tdt) must clear the
+            # bar (ref); used for the learning-regime gates where the
+            # reference's own CI threshold is the contract.
+            return self.tdt >= self.ref
         if self.kind == 'rel':
             scale = max(abs(self.ref), abs(self.tdt), 1e-12)
             return self.delta <= self.tolerance * scale + self.atol
@@ -466,6 +486,191 @@ def write_two_speaker_corpus(directory: str, *, n_train: int = 3000,
     records.convert_data_to_tfrecords(
         build(n_test, attend_test),
         os.path.join(directory, 'heldout.tfrecords'))
+
+
+def write_trf_sinusoid_corpus(directory: str, *, n_train: int = 40000,
+                              n_test: int = 8000, n_channels: int = 32,
+                              seed: int = 99) -> None:
+    """Sinusoid-driven TRF corpus: the reference's own simulation-suite
+    construction (reference test/decoding_test.py:62-242) as TFRecords.
+
+    attended speech = sin(2*pi*5t), unattended = sin(2*pi*7t); EEG
+    channel c = attended (*) ir_a[c] + 0.1 * unattended (*) ir_u[c]
+    + 0.3 * noise, with 0.25 s impulse responses shaped by the
+    reference's 30t*exp(-30t) envelope. On this corpus the reference's
+    CI requires a DNN trained through the driver to reach
+    pearson > 0.97 (reference test/decoding_test.py:245-265) — the
+    learning-regime gate both frameworks must clear."""
+    from telluride_decoding_tpu.data import records
+    rng = np.random.RandomState(seed)
+    os.makedirs(directory, exist_ok=True)
+    fs = 100.0
+    ir_frames = 25
+    t_ir = np.arange(ir_frames) / fs
+    envelope = 30 * t_ir * np.exp(-30 * t_ir)
+    ir_att = rng.randn(n_channels, ir_frames) * envelope[None, :]
+    ir_una = rng.randn(n_channels, ir_frames) * envelope[None, :] * 0.1
+
+    def build(n, fname):
+        t = np.arange(n) / fs
+        att = np.sin(2 * np.pi * 5 * t).astype(np.float32)
+        una = np.sin(2 * np.pi * 7 * t).astype(np.float32)
+        eeg = np.stack(
+            [np.convolve(att, ir_att[c], mode='full')[:n] +
+             np.convolve(una, ir_una[c], mode='full')[:n] +
+             0.3 * rng.randn(n)
+             for c in range(n_channels)], axis=1).astype(np.float32)
+        records.convert_data_to_tfrecords(
+            {'eeg': eeg, 'intensity': att[:, None]},
+            os.path.join(directory, fname))
+
+    build(n_train, 'trainset.tfrecords')
+    build(n_test, 'heldout.tfrecords')
+
+
+def write_classifier_corpus(directory: str, *, n_train: int = 6000,
+                            n_test: int = 3000, seed: int = 55) -> None:
+    """Two-input classification corpus: the reference's classifier-gate
+    construction (reference test/brain_model_test.py:813-849).
+    input2 = label * 2 * input1[:, :2] + (1 - label) * noise, so the
+    pair is separable and the reference's CI bar is accuracy > 0.90
+    (brain_model_test.py:849)."""
+    from telluride_decoding_tpu.data import records
+    rng = np.random.RandomState(seed)
+    os.makedirs(directory, exist_ok=True)
+
+    def build(n, fname):
+        x1 = rng.randn(n, 3).astype(np.float32)
+        label = (rng.randn(n, 1) > 0.5).astype(np.float32)
+        x2 = (label * 2 * x1[:, :2] +
+              (1 - label) * rng.randn(n, 2)).astype(np.float32)
+        records.convert_data_to_tfrecords(
+            {'x1': x1, 'x2': x2, 'label': label},
+            os.path.join(directory, fname))
+
+    build(n_train, 'trainset.tfrecords')
+    build(n_test, 'heldout.tfrecords')
+
+
+def learning_dnn_flags(corpus_dir: str, **overrides) -> Dict:
+    """Reference-default DNN settings (hidden 20-20, lr 0.05, 10
+    epochs — reference decoding.py:65,71 + test epochs)."""
+    flags = {
+        'data': 'tfrecords',
+        'tfexample_dir': corpus_dir,
+        'train_file_pattern': 'trainset',
+        'test_file_pattern': 'heldout',
+        'validate_file_pattern': 'heldout',
+        'input_field': 'eeg',
+        'output_field': 'intensity',
+        'attended_field': '',
+        'dnn_regressor': 'fullyconnected',
+        'hidden_units': '20-20',
+        'learning_rate': 0.05,
+        'epoch_count': 10,
+        'batch_size': 512,
+        'shuffle_buffer_size': 0,
+    }
+    flags.update(overrides)
+    return flags
+
+
+def learning_classifier_flags(corpus_dir: str, **overrides) -> Dict:
+    flags = {
+        'data': 'tfrecords',
+        'tfexample_dir': corpus_dir,
+        'train_file_pattern': 'trainset',
+        'test_file_pattern': 'heldout',
+        'validate_file_pattern': 'heldout',
+        'input_field': 'x1',
+        'input2_field': 'x2',
+        'output_field': 'label',
+        'attended_field': '',
+        'dnn_regressor': 'classifier',
+        'hidden_units': '20',
+        'learning_rate': 1e-3,
+        'epoch_count': 30,
+        'batch_size': 128,
+        'shuffle_buffer_size': 0,
+    }
+    flags.update(overrides)
+    return flags
+
+
+def _learning_tier(name: str, flags: Dict, metric: str, gate: float,
+                   tmpdir: str, seeds: Sequence[int],
+                   overlap_floor: float,
+                   skip_lda: bool = True) -> List[Delta]:
+    """One learning-regime tier: N seeded training runs per framework
+    on identical bytes + flags; each side's WORST seed must clear the
+    reference's own CI gate, and the seed-means must overlap.
+
+    Per-seed numeric parity is meaningless here (reference RMSprop/Adam
+    vs optax Adam, different init distributions), so the contract is
+    the reference's threshold (kind 'gate') plus a statistical overlap
+    with an absolute floor (both sides saturate near the ceiling, so
+    sigmas can collapse to ~1e-3 and a pure +/-4 sigma test would flag
+    noise)."""
+    from telluride_decoding_tpu.utils import stats_bounds
+
+    ref_vals, tdt_vals = [], []
+    for seed in seeds:
+        ref = run_reference(flags, os.path.join(
+            tmpdir, name, 'ref_s%d' % seed), seed=seed,
+            dump_npz=False, skip_lda=skip_lda)
+        tdt = run_rebuild(flags, os.path.join(
+            tmpdir, name, 'tdt_s%d' % seed), seed=seed,
+            dump_npz=False, skip_lda=skip_lda)
+        ref_vals.append(float(ref['test_results'][metric]))
+        tdt_vals.append(float(tdt['test_results'][metric]))
+
+    ref_g = stats_bounds.summarize_results(ref_vals)
+    tdt_g = stats_bounds.summarize_results(tdt_vals)
+    fmt = ', '.join('%.4f' % v for v in ref_vals)
+    fmt_t = ', '.join('%.4f' % v for v in tdt_vals)
+    rows = [
+        Delta('%s/ref_worst_%s' % (name, metric), gate, min(ref_vals),
+              0.0, 'gate',
+              "reference's own CI bar; per-seed: [%s]" % fmt),
+        Delta('%s/tdt_worst_%s' % (name, metric), gate, min(tdt_vals),
+              0.0, 'gate',
+              'same bar on the rebuild; per-seed: [%s]' % fmt_t),
+        Delta('%s/mean_%s' % (name, metric), ref_g['mean'],
+              tdt_g['mean'],
+              max(4 * max(ref_g['std'], tdt_g['std']), overlap_floor),
+              'abs',
+              'seed-mean overlap (n=%d each): ref %.4f+/-%.4f vs '
+              'rebuild %.4f+/-%.4f; +/-4 sigma with a %.3g floor '
+              '(different optimizers, near-ceiling sigmas)'
+              % (len(seeds), ref_g['mean'], ref_g['std'],
+                 tdt_g['mean'], tdt_g['std'], overlap_floor)),
+    ]
+    return rows
+
+
+def run_learning_ab(tmpdir: str, *, seeds: Sequence[int] = (0, 1, 2)
+                    ) -> Tuple[List[Delta], Dict, Dict]:
+    """Learning-regime SGD A/B: both frameworks TRAIN (not just fail
+    together) on the same bytes and both must clear the reference's own
+    CI thresholds — DNN pearson > 0.97 on the TRF simulation (reference
+    test/decoding_test.py:245-265) and classifier accuracy > 0.90
+    (reference test/brain_model_test.py:813-849) — with overlapping
+    seed-mean bounds. Closes the round-4 evidence gap: the SGD
+    families had only ever been A/B'd in a non-learning regime."""
+    trf = os.path.join(tmpdir, 'trf_sinusoid_corpus')
+    if not os.path.isdir(trf):
+        write_trf_sinusoid_corpus(trf)
+    cls = os.path.join(tmpdir, 'classifier_corpus')
+    if not os.path.isdir(cls):
+        write_classifier_corpus(cls)
+    rows = _learning_tier(
+        'learning_dnn', learning_dnn_flags(trf),
+        'pearson_correlation_first', 0.97, tmpdir, seeds,
+        overlap_floor=0.015)
+    rows += _learning_tier(
+        'learning_classifier', learning_classifier_flags(cls),
+        'accuracy', 0.90, tmpdir, seeds, overlap_floor=0.02)
+    return rows, {}, {}
 
 
 def _reference_infer_sweep(workdir: str, model_dir: str, corpus: str,
@@ -1274,6 +1479,9 @@ def main(argv: Sequence[str] = ()) -> int:
     failures += sum(1 for d in rows if not d.ok)
     rows, _, _ = run_regression_ab(workdir)
     all_rows['regression'] = rows
+    failures += sum(1 for d in rows if not d.ok)
+    rows, _, _ = run_learning_ab(workdir)
+    all_rows['learning'] = rows
     failures += sum(1 for d in rows if not d.ok)
     rows, _, _ = run_modules_ab(workdir)
     all_rows['modules'] = rows
