@@ -188,6 +188,21 @@ def test_regression_jackknife_parity(workdir):
         assert d.delta < 1e-5, (d.field, d.ref, d.tdt)
 
 
+def test_regression_jackknife_parity_ragged(workdir):
+    """GENERAL-protocol regression parity: a ragged corpus (300/420/350
+    frames vs batch 128) where drop-remainder batching + per-batch
+    metric means genuinely diverge from whole-file evaluation (the
+    whole-split sweep gives 0.6051 here vs the reference's 0.6103).
+    The rebuild's jackknife driver runs under --protocol reference,
+    routing each (lambda, file) cell through train_and_test on the
+    reproduced reference stream. Observed deltas ~2e-8."""
+    rows, ref, tdt = ab.run_regression_ab(workdir, ragged=True)
+    assert rows, 'ragged regression produced no rows'
+    _assert_rows(rows, 'regression_ragged')
+    for d in rows:
+        assert d.delta < 1e-5, (d.field, d.ref, d.tdt)
+
+
 class TestLearningParity:
     """LEARNING-regime SGD A/B: both frameworks actually TRAIN on
     identical bytes + flags and each must clear the REFERENCE'S OWN CI

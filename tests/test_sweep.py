@@ -350,6 +350,48 @@ class TestRegressionCli:
         assert any('reglambda' in p
                    for p in os.listdir(str(tmp_path / 's')))
 
+    def test_jackknife_protocol_reference_routing(self, rng, tmp_path):
+        """--protocol reference must (a) reach the data layer
+        (reference_protocol stream) and (b) bypass the one-program
+        sweep engine, whose whole-file metrics are a different
+        evaluation protocol — the per-cell train_and_test path
+        reproduces the reference's drop-remainder per-batch means
+        (live parity ~2e-8: tests/test_reference_ab.py ragged tier)."""
+        from telluride_decoding_tpu.cli import decoding as dec
+        from telluride_decoding_tpu.cli import regression as reg
+        from telluride_decoding_tpu.data import records
+        from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+        d = tmp_path / 'records'
+        d.mkdir()
+        w = rng.randn(3 * 5, 1).astype(np.float32)
+        # Ragged lengths, none a batch_size multiple.
+        for name, n in [('t01', 300), ('t02', 420), ('t03', 350)]:
+            eeg = rng.randn(n, 3).astype(np.float32)
+            intensity = (lag_stack_np(eeg, 0, 4) @ w +
+                         0.3 * rng.randn(n, 1).astype(np.float32))
+            records.convert_data_to_tfrecords(
+                {'eeg': eeg, 'intensity': intensity},
+                str(d / (name + '.tfrecords')))
+
+        def run(protocol):
+            my_flags = dec.DecodingOptions().set_from_dict(dict(
+                tfexample_dir=str(d), post_context=4,
+                dnn_regressor='linear', input_field='eeg',
+                output_field='intensity', batch_size=128,
+                shuffle_buffer_size=0, protocol=protocol,
+                test_metric='pearson_correlation_first'))
+            obj = reg.Regression(my_flags)
+            return obj.jackknife_over_regularizations(
+                my_flags, [1e-2],
+                summary_base_dir=str(tmp_path / ('s_' + protocol)))
+
+        whole = run('whole_split')[1e-2]
+        refp = run('reference')[1e-2]
+        assert whole[0] > 0.8 and refp[0] > 0.8
+        # The protocols genuinely diverge on a ragged corpus: equality
+        # would mean the flag silently fell through to the engine.
+        assert abs(float(whole[0]) - float(refp[0])) > 1e-6
+
     def test_new_corpus_presets(self, rng, tmp_path):
         """jens_impaired/kuleuven presets (beyond the reference's four)
         select correct fields and run a jackknife end to end."""

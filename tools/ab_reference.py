@@ -404,7 +404,7 @@ def meg_flags(**overrides) -> Dict:
 
 
 def write_synthetic_corpus(directory: str, *, n_files: int = 3,
-                           n_frames: int = 800, n_channels: int = 4,
+                           n_frames=800, n_channels: int = 4,
                            seed: int = 1234) -> None:
     """Seeded linear-TRF corpus as TFRecords both frameworks read.
 
@@ -412,21 +412,29 @@ def write_synthetic_corpus(directory: str, *, n_files: int = 3,
     with enough pre-context recovers it; written with the rebuild's
     TF-free codec, read back by the reference's TFRecordDataset — a
     byte-level wire-format cross-check as well.
+
+    n_frames may be a sequence (one length per file) for RAGGED
+    corpora, where the reference protocol's drop-remainder batching
+    diverges from whole-file evaluation.
     """
     from telluride_decoding_tpu.data import records
     rng = np.random.RandomState(seed)
     os.makedirs(directory, exist_ok=True)
     lags = 3
     w = rng.randn(lags, n_channels).astype(np.float32)
-    for i in range(n_files):
-        eeg = rng.randn(n_frames, n_channels).astype(np.float32)
-        env = np.zeros((n_frames, 1), np.float32)
+    if np.isscalar(n_frames):
+        n_frames = [int(n_frames)] * n_files
+    if len(n_frames) != n_files:
+        raise ValueError('n_frames list must have n_files entries')
+    for i, n in enumerate(n_frames):
+        eeg = rng.randn(n, n_channels).astype(np.float32)
+        env = np.zeros((n, 1), np.float32)
         for k in range(lags):
-            env[k:, 0] += eeg[:n_frames - k] @ w[k]
+            env[k:, 0] += eeg[:n - k] @ w[k]
         # Substantial noise keeps the ridge system well away from the
         # interpolation regime, where f32-vs-f64 solver precision (not
         # protocol) would dominate the comparison.
-        env += 0.5 * rng.randn(n_frames, 1).astype(np.float32)
+        env += 0.5 * rng.randn(n, 1).astype(np.float32)
         records.convert_data_to_tfrecords(
             {'eeg': eeg, 'envelope': env},
             os.path.join(directory, 'file%02d.tfrecords' % i))
@@ -836,22 +844,44 @@ def run_infer_reverse_ab(tmpdir: str, *, reduction: str = 'first',
 
 def run_regression_ab(tmpdir: str, *,
                       lambdas: Sequence[float] = (1e-4, 1e-2, 1.0),
-                      tol: float = 2e-3) -> Tuple[List[Delta],
-                                                  Dict, Dict]:
+                      tol: float = 2e-3,
+                      ragged: bool = False) -> Tuple[List[Delta],
+                                                     Dict, Dict]:
     """A/B of the jackknife driver: the reference's serial
     (lambda x held-out-file) grid (regression.py:327-420, one
-    train_and_test per cell) vs this framework's one-program sweep
-    engine, on the same bytes.
+    train_and_test per cell) vs this framework, on the same bytes.
 
-    The corpus is built so the two evaluation protocols COINCIDE:
-    every file is exactly batch_size frames, so the reference's
-    drop-remainder batching drops nothing (training sees every frame)
-    and its per-batch metric mean is the whole-file Pearson r — the
-    same number the moments-only sweep computes. Deltas are then pure
-    float tolerance.
+    Two corpora, two rebuild paths:
+
+      ragged=False — the corpus makes the two evaluation protocols
+      COINCIDE: every file is exactly batch_size frames, so the
+      reference's drop-remainder batching drops nothing (training
+      sees every frame) and its per-batch metric mean is the
+      whole-file Pearson r — the same number the moments-only
+      ONE-PROGRAM SWEEP ENGINE computes. Deltas are pure float
+      tolerance.
+
+      ragged=True — file lengths differ and none is a batch_size
+      multiple, so the protocols genuinely DIVERGE (the reference
+      trains on floor(N/B)*B interleaved frames and averages metrics
+      over drop-remainder batches of the held-out file). The rebuild
+      runs its jackknife driver under --protocol reference, which
+      routes each (lambda, file) cell through train_and_test on the
+      reproduced reference stream (cli/regression.py
+      jackknife_over_regularizations). Deltas are again pure float
+      tolerance — the general-protocol parity the coinciding corpus
+      cannot show.
     """
-    corpus = os.path.join(tmpdir, 'regression_corpus')
-    frames = 256
+    corpus = os.path.join(tmpdir, 'regression_corpus' +
+                          ('_ragged' if ragged else ''))
+    if ragged:
+        # Lengths chosen so every file has a drop-remainder tail
+        # (vs batch 128: drops 44 / 36 / 94 frames respectively).
+        frames = [300, 420, 350]
+        batch = 128
+    else:
+        frames = 256
+        batch = 256
     if not os.path.isdir(corpus):
         write_synthetic_corpus(corpus, n_files=3, n_frames=frames,
                                seed=4321)
@@ -863,14 +893,15 @@ def run_regression_ab(tmpdir: str, *,
         'attended_field': '',
         'dnn_regressor': 'linear',
         'shuffle_buffer_size': 0,
-        'batch_size': frames,
+        'batch_size': batch,
         'epoch_count': 3,
         'train_file_pattern': '',   # jackknife sets allbut per cell.
         'test_file_pattern': '',
         'validate_file_pattern': '',
     }
 
-    workdir = os.path.join(tmpdir, 'regression_ref')
+    workdir = os.path.join(tmpdir, 'regression_ref' +
+                           ('_ragged' if ragged else ''))
     os.makedirs(workdir, exist_ok=True)
     config = {
         'reference_path': REFERENCE_PATH,
@@ -896,22 +927,30 @@ def run_regression_ab(tmpdir: str, *,
 
     from telluride_decoding_tpu.cli import decoding as our_decoding
     from telluride_decoding_tpu.cli import regression as our_regression
+    if ragged:
+        # The general-protocol path: each (lambda, file) cell through
+        # train_and_test on the reproduced reference stream.
+        flags = dict(flags, protocol='reference')
     my_flags = our_decoding.DecodingOptions().set_from_dict(flags)
     reg = our_regression.Regression(my_flags)
     ours = reg.jackknife_over_regularizations(
         my_flags, list(lambdas),
-        summary_base_dir=os.path.join(tmpdir, 'regression_tdt'))
+        summary_base_dir=os.path.join(
+            tmpdir, 'regression_tdt' + ('_ragged' if ragged else '')))
     tdt = {'jackknife': {str(k): [float(v[0]), float(v[1])]
                          for k, v in ours.items()}}
 
+    prefix = 'regression_ragged' if ragged else 'regression'
+    note = ('jackknife mean r over held-out files' +
+            ('; ragged corpus (300/420/350 frames vs batch 128), '
+             'rebuild under --protocol reference' if ragged else ''))
     rows = []
     for lamb in ref['jackknife']:
         r_mean, r_std = ref['jackknife'][lamb]
         t_mean, t_std = tdt['jackknife'].get(lamb, (float('nan'),) * 2)
-        rows.append(Delta('regression/mean_l%s' % lamb, r_mean, t_mean,
-                          tol, 'abs', 'jackknife mean r over held-out '
-                          'files'))
-        rows.append(Delta('regression/std_l%s' % lamb, r_std, t_std,
+        rows.append(Delta('%s/mean_l%s' % (prefix, lamb), r_mean,
+                          t_mean, tol, 'abs', note))
+        rows.append(Delta('%s/std_l%s' % (prefix, lamb), r_std, t_std,
                           tol, 'abs'))
     return rows, ref, tdt
 
@@ -1479,6 +1518,9 @@ def main(argv: Sequence[str] = ()) -> int:
     failures += sum(1 for d in rows if not d.ok)
     rows, _, _ = run_regression_ab(workdir)
     all_rows['regression'] = rows
+    failures += sum(1 for d in rows if not d.ok)
+    rows, _, _ = run_regression_ab(workdir, ragged=True)
+    all_rows['regression_ragged'] = rows
     failures += sum(1 for d in rows if not d.ok)
     rows, _, _ = run_learning_ab(workdir)
     all_rows['learning'] = rows
