@@ -87,8 +87,16 @@ def app_main(argv=None):
     except ValueError:
         raise SystemExit('--output_width must be an integer (got %r)\n%s'
                          % (opts['output_width'], _USAGE))
+    platforms = tuple(p.strip() for p in opts['platforms'].split(',')
+                      if p.strip())
+    known = ('tpu', 'cpu', 'cuda', 'rocm')
+    bad = [p for p in platforms if p not in known]
+    if not platforms or bad:
+        raise SystemExit('--platforms must be a comma list drawn from '
+                         '%s (got %r)\n%s'
+                         % (','.join(known), opts['platforms'], _USAGE))
     export(positional[0], positional[1], reduction=opts['reduction'],
-           platforms=tuple(opts['platforms'].split(',')),
+           platforms=platforms,
            input_widths=input_widths, output_width=output_width)
 
 

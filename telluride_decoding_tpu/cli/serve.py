@@ -650,8 +650,11 @@ def main(argv):
     # Only an EXPLICIT --serve_reduction is a request; the flag default
     # must not conflict with an AOT artifact's baked-in reduction (None
     # lets the artifact decide; live model dirs fall back to 'lda').
+    # using_default_value (not .present) so programmatic assignment by
+    # embedding callers of main() counts as explicit too.
     reduction = (FLAGS.serve_reduction
-                 if FLAGS['serve_reduction'].present else None)
+                 if not FLAGS['serve_reduction'].using_default_value
+                 else None)
     if tcp_mode:
         # Networked line protocol: acquisition boxes connect and push
         # JSON chunks; decisions return on the socket.

@@ -191,6 +191,16 @@ class TestCli:
             export_aot.app_main(['model', 'artifact',
                                  '--output_width', 'wide'])
 
+    def test_cli_malformed_platforms(self):
+        # All-empty values and unknown names must fail with usage-style
+        # SystemExit, not an opaque jax.export error later. (Trailing
+        # commas like 'tpu,' are tolerated: empty segments filter out.)
+        from telluride_decoding_tpu.cli import export_aot
+        for bad in ('', ',', ' ', 'tpu,gpu3'):
+            with pytest.raises(SystemExit, match='--platforms'):
+                export_aot.app_main(['model', 'artifact',
+                                     '--platforms', bad])
+
     def test_platforms_bare_string_is_one_platform(self, toy, tmp_path):
         # Sequence[str] admits a bare str; it must mean ONE platform,
         # not tuple('cpu') == ('c', 'p', 'u').

@@ -617,3 +617,29 @@ class TestServeSocket:
             serve.main(['prog'])
         assert 'socket' in called
         assert out.read_text() == '{"precious": 1}\n'
+
+    def test_programmatic_serve_reduction_counts_as_explicit(
+            self, tmp_path, monkeypatch):
+        """Explicitness is detected via using_default_value, so an
+        embedding caller assigning FLAGS.serve_reduction (no command
+        line parse) is honored, not silently treated as unset."""
+        from absl.testing import flagsaver
+        called = {}
+        monkeypatch.setattr(
+            serve, 'serve_socket',
+            lambda *a, **k: called.setdefault('kwargs', k))
+        serve.FLAGS(['prog'])
+        with flagsaver.flagsaver(
+                serve_model_dir=str(tmp_path),
+                serve_input='tcp://127.0.0.1:0',
+                serve_reduction='first'):
+            serve.main(['prog'])
+        assert called['kwargs']['reduction'] == 'first'
+        # And the flag default (untouched) still means "artifact
+        # decides": reduction=None.
+        called.clear()
+        with flagsaver.flagsaver(
+                serve_model_dir=str(tmp_path),
+                serve_input='tcp://127.0.0.1:0'):
+            serve.main(['prog'])
+        assert called['kwargs']['reduction'] is None
