@@ -31,7 +31,20 @@ from telluride_decoding_tpu.io import edf as edf_io
 from telluride_decoding_tpu.io import ingest
 from telluride_decoding_tpu.signal import preprocess
 
-regression_data_print = sys.stdout
+class _StdoutProxy:
+    """Late-binding stdout: resolving sys.stdout per write (instead of
+    once at import) keeps repeated embedded calls working when the
+    surrounding harness swaps/closes the stream between calls (pytest
+    capsys, notebook kernels)."""
+
+    def write(self, s):
+        return sys.stdout.write(s)
+
+    def flush(self):
+        sys.stdout.flush()
+
+
+regression_data_print = _StdoutProxy()
 
 FLAGS = flags.FLAGS
 _tmp_dir = os.environ.get('TMPDIR') or '/tmp'
