@@ -382,64 +382,10 @@ def run_diagnostics(params, x1, x2):
           % (cca_sweep_s, len(cca_times),
              ['%.2f' % t for t in cca_times]))
     del xs_list, ys_list
-    if over_budget('device-context ingest'):
-        return
-
-    # Stage 5: the driver ingest A/B — host lag-stacking + stacked
-    # upload (the pre-r4 workflow) vs raw upload + on-device fused
-    # lag expansion (engine.ContextSpec, the default). One codelab
-    # subject: 40 trials x 3300 frames, 69 raw channels x 37 lags =
-    # width 2553. The data starts as HOST numpy, like the real cohort
-    # driver's records — this is the path the cohort bench above
-    # deliberately excludes (its synthetic data is device-resident).
-    if jax.devices()[0].platform != 'tpu' and not DIAG_FORCE:
-        # Skip only THIS stage (the measurement is the host->device
-        # transfer); later stages still print their own markers.
-        _diag('device-context ingest A/B skipped (not on TPU: the '
-              'measurement is the host->device transfer)')
-    else:
-        from telluride_decoding_tpu.ops.lagstack import lag_stack_np
-        from telluride_decoding_tpu.sweep.engine import ContextSpec
-        lags = 37
-        chans = max(2, round(69 * DIAG_SCALE))
-        ctx37 = ContextSpec(0, lags - 1, 0, 0)
-        rng_b = np.random.RandomState(7)
-        raw_xs = [rng_b.randn(frames + lags - 1,
-                              chans).astype(np.float32)
-                  for _ in range(num_files)]
-        raw_ys = [rng_b.randn(frames, 1).astype(np.float32)
-                  for _ in range(num_files)]
-
-        def ingest_host():
-            xs = [lag_stack_np(x, 0, lags - 1)[:frames]
-                  for x in raw_xs]
-            return per_file_stats(xs, raw_ys, want_syy=True)
-
-        def ingest_device():
-            return per_file_stats(raw_xs, raw_ys, want_syy=True,
-                                  context=ctx37)
-
-        sync(ingest_device().sxx)   # Warm-up compile.
-        t0 = time.perf_counter()
-        sync(ingest_device().sxx)
-        dev_ctx_s = time.perf_counter() - t0
-        if over_budget('host-stacked ingest A/B arm'):
-            _diag('ingest_device_context_s=%.2f (host arm skipped: '
-                  'budget)' % dev_ctx_s)
-            return
-        sync(ingest_host().sxx)     # Warm-up compile.
-        t0 = time.perf_counter()
-        sync(ingest_host().sxx)
-        host_ctx_s = time.perf_counter() - t0
-        _diag('ingest_moments_s: device_context=%.2f '
-              'host_stacked=%.2f (one %d-trial subject at width %d '
-              'from host numpy; raw upload is 37x smaller)'
-              % (dev_ctx_s, host_ctx_s, num_files, chans * lags))
-        del raw_xs, raw_ys
     if over_budget('cohort sweep'):
         return
 
-    # Stage 6: full-cohort sweep at codelab scale: 22 subjects x 40
+    # Stage 5: full-cohort sweep at codelab scale: 22 subjects x 40
     # trials x 9 lambdas (7920 model fits at width 2553 — the
     # codelab's ENTIRE experiment, which the reference runs as days of
     # shell jobs). Subjects are ragged (trial lengths differ) but pad
@@ -557,7 +503,7 @@ def run_diagnostics(params, x1, x2):
     if over_budget('AOT serving artifact lane'):
         return
 
-    # Stage 7: the DEPLOYMENT artifact (decode/aot.py serialized
+    # Stage 6: the DEPLOYMENT artifact (decode/aot.py serialized
     # StableHLO program) measured on device: per-chunk p50 through the
     # tunnel, device-side frames/s, and the sync vs pipelined
     # (infer_pair_async) replay A/B that docs/performance.md cites —
@@ -633,6 +579,65 @@ def run_diagnostics(params, x1, x2):
               '(%d chunks of %d frames; <1.0 ratio means pipelining '
               'pays on this link today)' % (sync_ms, pipe_ms,
                                             n_chunks, chunk))
+
+    if over_budget('device-context ingest'):
+        return
+
+    # Stage 7 (run LAST — its host-stacked arm pushes a 37x-wider
+    # copy of a subject through the tunnel and can absorb minutes
+    # under congestion; it must not starve the cohort/AOT stages of
+    # budget, which is exactly what happened in the r05 first
+    # capture): the driver ingest A/B — host lag-stacking + stacked
+    # upload (the pre-r4 workflow) vs raw upload + on-device fused
+    # lag expansion (engine.ContextSpec, the default). One codelab
+    # subject: 40 trials x 3300 frames, 69 raw channels x 37 lags =
+    # width 2553. The data starts as HOST numpy, like the real cohort
+    # driver's records — this is the path the cohort bench above
+    # deliberately excludes (its synthetic data is device-resident).
+    if jax.devices()[0].platform != 'tpu' and not DIAG_FORCE:
+        # Skip only THIS stage (the measurement is the host->device
+        # transfer); later stages still print their own markers.
+        _diag('device-context ingest A/B skipped (not on TPU: the '
+              'measurement is the host->device transfer)')
+    else:
+        from telluride_decoding_tpu.ops.lagstack import lag_stack_np
+        from telluride_decoding_tpu.sweep.engine import ContextSpec
+        lags = 37
+        chans = max(2, round(69 * DIAG_SCALE))
+        ctx37 = ContextSpec(0, lags - 1, 0, 0)
+        rng_b = np.random.RandomState(7)
+        raw_xs = [rng_b.randn(frames + lags - 1,
+                              chans).astype(np.float32)
+                  for _ in range(num_files)]
+        raw_ys = [rng_b.randn(frames, 1).astype(np.float32)
+                  for _ in range(num_files)]
+
+        def ingest_host():
+            xs = [lag_stack_np(x, 0, lags - 1)[:frames]
+                  for x in raw_xs]
+            return per_file_stats(xs, raw_ys, want_syy=True)
+
+        def ingest_device():
+            return per_file_stats(raw_xs, raw_ys, want_syy=True,
+                                  context=ctx37)
+
+        sync(ingest_device().sxx)   # Warm-up compile.
+        t0 = time.perf_counter()
+        sync(ingest_device().sxx)
+        dev_ctx_s = time.perf_counter() - t0
+        if over_budget('host-stacked ingest A/B arm'):
+            _diag('ingest_device_context_s=%.2f (host arm skipped: '
+                  'budget)' % dev_ctx_s)
+            return
+        sync(ingest_host().sxx)     # Warm-up compile.
+        t0 = time.perf_counter()
+        sync(ingest_host().sxx)
+        host_ctx_s = time.perf_counter() - t0
+        _diag('ingest_moments_s: device_context=%.2f '
+              'host_stacked=%.2f (one %d-trial subject at width %d '
+              'from host numpy; raw upload is 37x smaller)'
+              % (dev_ctx_s, host_ctx_s, num_files, chans * lags))
+        del raw_xs, raw_ys
 
 
 def main():
