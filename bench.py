@@ -202,38 +202,62 @@ def measure_headline(params):
     sync(_decode_reps(params, x1, x2, REPS))     # Warm-up compile.
     _diag('decode program compiled + warm')
 
-    def best_dispatch_s(n_reps):
-        times = []
-        for _ in range(max(1, HEADLINE_DISPATCHES)):
-            t0 = time.perf_counter()
-            acc = _decode_reps(params, x1, x2, n_reps)
-            sync(acc)
-            times.append(time.perf_counter() - t0)
-        return min(times), times
+    def timed_dispatch_s(n_reps):
+        t0 = time.perf_counter()
+        acc = _decode_reps(params, x1, x2, n_reps)
+        sync(acc)
+        return time.perf_counter() - t0
 
-    t_short, short_times = best_dispatch_s(REPS)
-    t_long, long_times = best_dispatch_s(reps_long)
+    # INTERLEAVE the arms (S,L,S,L,...): a multi-second congestion
+    # window then pollutes both arms' sample sets instead of landing
+    # entirely on one arm, which would shrink (t_long - t_short) and
+    # inflate the differential while each arm's own spread looked
+    # clean.
+    short_times, long_times = [], []
+    for _ in range(max(1, HEADLINE_DISPATCHES)):
+        short_times.append(timed_dispatch_s(REPS))
+        long_times.append(timed_dispatch_s(reps_long))
+    t_short, t_long = min(short_times), min(long_times)
     single_rate = NUM_WINDOWS * REPS / t_short
-    if t_long > t_short * 1.05:
+    # The differential is trustworthy only when the long arm's extra
+    # device work is visible OVER the constant term: with 3x the trip
+    # count, t_long/t_short = (3d + r)/(d + r) >= 1.5 iff the RTT r is
+    # at most 3x the short arm's device time d. Below that, the
+    # subtraction is noise-dominated (and vulnerable to residual
+    # inter-arm asymmetry), so fall back to the single-dispatch rate
+    # rather than publish an inflated number.
+    if t_long >= t_short * 1.5:
         rate = NUM_WINDOWS * (reps_long - REPS) / (t_long - t_short)
         rtt_est_ms = max(0.0, (3 * t_short - t_long) / 2) * 1000
-        _diag('headline differential: best short(%d reps)=%.1fms '
-              'best long(%d reps)=%.1fms over K=%d each -> '
-              '%.0f windows/s device; per-dispatch RTT est %.1fms; '
-              'single-dispatch best (r03/r04-comparable) = %.0f w/s; '
-              'all short=%s long=%s (ms)'
-              % (REPS, t_short * 1000, reps_long, t_long * 1000,
-                 HEADLINE_DISPATCHES, rate, rtt_est_ms, single_rate,
-                 ['%.1f' % (t * 1000) for t in short_times],
-                 ['%.1f' % (t * 1000) for t in long_times]))
+        # Backstop sanity cap: under the 1.5 guard the true rate is at
+        # most 2x the long arm's raw rate (r <= 3d); a differential
+        # above that means asymmetric pollution slipped through.
+        raw_long_rate = NUM_WINDOWS * reps_long / t_long
+        if rate > 2.0 * raw_long_rate:
+            _diag('headline differential IMPLAUSIBLE (%.0f w/s > 2x '
+                  'long-arm raw %.0f w/s): asymmetric congestion; '
+                  'falling back to single-dispatch best %.0f w/s'
+                  % (rate, raw_long_rate, single_rate))
+            rate = single_rate
+        else:
+            _diag('headline differential: best short(%d reps)=%.1fms '
+                  'best long(%d reps)=%.1fms interleaved K=%d each -> '
+                  '%.0f windows/s device; per-dispatch RTT est %.1fms; '
+                  'single-dispatch best (r03/r04-comparable) = %.0f '
+                  'w/s; all short=%s long=%s (ms)'
+                  % (REPS, t_short * 1000, reps_long, t_long * 1000,
+                     HEADLINE_DISPATCHES, rate, rtt_est_ms, single_rate,
+                     ['%.1f' % (t * 1000) for t in short_times],
+                     ['%.1f' % (t * 1000) for t in long_times]))
     else:
-        # Tunnel weirdness made the long arm no slower than the short
-        # arm; the differential is meaningless — fall back to the
-        # single-dispatch best and say so.
+        # The constant term dominates 3x the device work (or tunnel
+        # weirdness made the long arm no slower); the differential is
+        # meaningless — fall back to the single-dispatch best, which
+        # only ever UNDERSTATES the chip.
         rate = single_rate
         _diag('headline differential DEGENERATE (short %.1fms, long '
-              '%.1fms): falling back to single-dispatch best %.0f w/s'
-              % (t_short * 1000, t_long * 1000, rate))
+              '%.1fms < 1.5x): falling back to single-dispatch best '
+              '%.0f w/s' % (t_short * 1000, t_long * 1000, rate))
     return rate, x1, x2
 
 
@@ -393,113 +417,132 @@ def run_diagnostics(params, x1, x2):
     # generated and dropped per subject to bound HBM. TPU only
     # (minutes of matmuls on CPU). Emits a progress line every few
     # subjects and honors the budget between subjects.
-    if jax.devices()[0].platform != 'tpu' and not DIAG_FORCE:
-        _diag('cohort sweep skipped (not on TPU)')
-        return
-    from telluride_decoding_tpu.sweep.engine import ridge_jackknife_sweep
+    def cohort_stage():
+        from telluride_decoding_tpu.sweep.engine import (
+            ridge_jackknife_sweep)
 
-    # Tunnel RTT probe: the cohort loop blocks on one host readback per
-    # subject, so N_subjects x RTT is an irreducible tunnel floor that
-    # the breakdown below attributes explicitly (VERDICT r04: the 27 s
-    # capture vs the 14.7 s self-measured floor carried no breakdown).
-    tiny = jnp.float32(1.0)
-    sync(tiny)
-    rtt = []
-    for _ in range(7):
-        t0 = time.perf_counter()
+        # Tunnel RTT probe: the cohort loop blocks on one host
+        # readback per subject, so N_subjects x RTT is an irreducible
+        # tunnel floor that the breakdown below attributes explicitly
+        # (VERDICT r04: the 27 s capture vs the 14.7 s self-measured
+        # floor carried no breakdown).
+        tiny = jnp.float32(1.0)
         sync(tiny)
-        rtt.append((time.perf_counter() - t0) * 1000)
-    rtt_p50 = float(np.percentile(rtt, 50))
-    _diag('tunnel_rtt_ms: p50=%.1f min=%.1f max=%.1f (trivial-readback '
-          'probe, 7 samples)' % (rtt_p50, min(rtt), max(rtt)))
+        rtt = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            sync(tiny)
+            rtt.append((time.perf_counter() - t0) * 1000)
+        rtt_p50 = float(np.percentile(rtt, 50))
+        _diag('tunnel_rtt_ms: p50=%.1f min=%.1f max=%.1f '
+              '(trivial-readback probe, 7 samples)'
+              % (rtt_p50, min(rtt), max(rtt)))
 
-    num_subjects = max(2, round(22 * DIAG_SCALE))
-    cohort_s = 0.0
-    corr_peak = 0.0
-    done = 0
-    subj_times = []
+        num_subjects = max(2, round(22 * DIAG_SCALE))
+        cohort_s = 0.0
+        corr_peak = 0.0
+        done = 0
+        subj_times = []
 
-    def make_subject(s):
-        # Ragged cohort (delta scaled so toy frames stay positive).
-        frames_s = frames - (s % 5) * max(1, round(37 * DIAG_SCALE))
-        keys = jax.random.split(jax.random.PRNGKey(100 + s), num_files)
-        xs_s, ys_s = [], []
-        for k in keys:
-            kx, kn = jax.random.split(k)
-            x = jax.random.normal(kx, (frames_s, width), jnp.float32)
-            y = (x[:, :1] * 0.5 + 0.1 * jax.random.normal(
-                kn, (frames_s, 1), jnp.float32))
-            xs_s.append(x)
-            ys_s.append(y)
-        return xs_s, ys_s
+        def make_subject(s):
+            # Ragged cohort (delta scaled so toy frames stay positive).
+            frames_s = frames - (s % 5) * max(1, round(37 * DIAG_SCALE))
+            keys = jax.random.split(jax.random.PRNGKey(100 + s),
+                                    num_files)
+            xs_s, ys_s = [], []
+            for k in keys:
+                kx, kn = jax.random.split(k)
+                x = jax.random.normal(kx, (frames_s, width),
+                                      jnp.float32)
+                y = (x[:, :1] * 0.5 + 0.1 * jax.random.normal(
+                    kn, (frames_s, 1), jnp.float32))
+                xs_s.append(x)
+                ys_s.append(y)
+            return xs_s, ys_s
 
-    for s in range(num_subjects):
-        if over_budget('cohort subjects %d..%d' % (s, num_subjects - 1)):
-            break
-        xs_s, ys_s = make_subject(s)
-        # Synthetic-data generation (1.3 GB of Threefry randoms per
-        # subject) is NOT part of the workload — real cohorts load
-        # records from disk — so only the moments + sweep compute is
-        # timed.
-        jax.block_until_ready(xs_s[-1])
-        sync(xs_s[0][0, 0])
-        t0 = time.perf_counter()
-        res = ridge_jackknife_sweep(
-            xs_s, ys_s, lambdas9, pad_files_to=num_files,
-            pad_frames_to=frames)
-        subj_times.append(time.perf_counter() - t0)
-        cohort_s += subj_times[-1]
-        corr_peak = max(corr_peak, float(res.correlations.max()))
-        del xs_s, ys_s
-        done += 1
-        if done % 4 == 0:
-            _diag('cohort progress: %d/%d subjects, %.2fs compute so far'
-                  % (done, num_subjects, cohort_s))
-    # done == 0 is a budget skip before the first subject, not a
-    # correctness failure — only assert when something actually ran.
-    assert done == 0 or corr_peak > 0.9, corr_peak
-    _diag('cohort_sweep_s=%.2f (%d/%d subjects x 40 trials x 9 lambdas '
-          'at width 2553: %d fits, ragged, one compile)'
-          % (cohort_s, done, num_subjects, done * 360))
-    if done > 0:
-        steady = subj_times[1:] or subj_times
-        _diag('cohort breakdown 1/2 (wall): first_subject_s=%.2f '
-              '(carries the one compile of the padded shape), '
-              'steady per-subject p50=%.3fs min=%.3fs max=%.3fs; '
-              '%d blocking readbacks x rtt_p50 %.1fms = %.2fs '
-              'irreducible tunnel floor in the total'
-              % (subj_times[0], float(np.percentile(steady, 50)),
-                 min(steady), max(steady), done, rtt_p50,
-                 done * rtt_p50 / 1000))
-        # Compute-only split on one subject (warm shapes): moments
-        # accumulation vs the lambda-grid solve, each best-of-2 with
-        # its own readback barrier. Device compute floor per subject =
-        # moments + grid; the remainder of the steady per-subject time
-        # is dispatch/tunnel.
-        xs_s, ys_s = make_subject(done - 1)
-        jax.block_until_ready(xs_s[-1])
+        for s in range(num_subjects):
+            if over_budget('cohort subjects %d..%d'
+                           % (s, num_subjects - 1)):
+                break
+            xs_s, ys_s = make_subject(s)
+            # Synthetic-data generation (1.3 GB of Threefry randoms
+            # per subject) is NOT part of the workload — real cohorts
+            # load records from disk — so only the moments + sweep
+            # compute is timed.
+            jax.block_until_ready(xs_s[-1])
+            sync(xs_s[0][0, 0])
+            t0 = time.perf_counter()
+            res = ridge_jackknife_sweep(
+                xs_s, ys_s, lambdas9, pad_files_to=num_files,
+                pad_frames_to=frames)
+            subj_times.append(time.perf_counter() - t0)
+            cohort_s += subj_times[-1]
+            corr_peak = max(corr_peak, float(res.correlations.max()))
+            del xs_s, ys_s
+            done += 1
+            if done % 4 == 0:
+                _diag('cohort progress: %d/%d subjects, %.2fs compute '
+                      'so far' % (done, num_subjects, cohort_s))
+        # done == 0 is a budget skip before the first subject, not a
+        # correctness failure — only assert when something actually
+        # ran.
+        assert done == 0 or corr_peak > 0.9, corr_peak
+        _diag('cohort_sweep_s=%.2f (%d/%d subjects x 40 trials x 9 '
+              'lambdas at width 2553: %d fits, ragged, one compile)'
+              % (cohort_s, done, num_subjects, done * 360))
+        if done > 0:
+            steady = subj_times[1:] or subj_times
+            _diag('cohort breakdown 1/2 (wall): first_subject_s=%.2f '
+                  '(carries the one compile of the padded shape), '
+                  'steady per-subject p50=%.3fs min=%.3fs max=%.3fs; '
+                  '%d blocking readbacks x rtt_p50 %.1fms = %.2fs '
+                  'irreducible tunnel floor in the total'
+                  % (subj_times[0], float(np.percentile(steady, 50)),
+                     min(steady), max(steady), done, rtt_p50,
+                     done * rtt_p50 / 1000))
+            # Compute-only split on one subject (warm shapes): moments
+            # accumulation vs the lambda-grid solve, each best-of-2
+            # with its own readback barrier. Device compute floor per
+            # subject = moments + grid; the remainder of the steady
+            # per-subject time is dispatch/tunnel.
+            xs_s, ys_s = make_subject(done - 1)
+            jax.block_until_ready(xs_s[-1])
 
-        def moments_arm():
-            st = per_file_stats(xs_s, ys_s, want_syy=True,
-                                pad_files_to=num_files,
-                                pad_frames_to=frames)
-            sync(st.sxx[0, 0, 0])
-            return st
+            def moments_arm():
+                st = per_file_stats(xs_s, ys_s, want_syy=True,
+                                    pad_files_to=num_files,
+                                    pad_frames_to=frames)
+                sync(st.sxx[0, 0, 0])
+                return st
 
-        def grid_arm(st, tot):
-            sync(_ridge_sweep_program(st, tot, lambdas9))
+            def grid_arm(st, tot):
+                sync(_ridge_sweep_program(st, tot, lambdas9))
 
-        moments_s, _ = best_of(lambda: moments_arm(), k=2)
-        st = moments_arm()
-        tot = jax.tree.map(lambda a: jnp.sum(a, axis=0), st)
-        sync(tot.sxx[0, 0])
-        grid_s, _ = best_of(lambda: grid_arm(st, tot), k=2)
-        _diag('cohort breakdown 2/2 (compute, one warm subject): '
-              'moments_s=%.3f grid_solve_s=%.3f -> device floor '
-              '%.2fs for %d subjects; steady-wall minus floor is '
-              'dispatch/tunnel overhead'
-              % (moments_s, grid_s, done * (moments_s + grid_s), done))
-        del xs_s, ys_s, st, tot
+            # Best-of-2 timed by hand so the second pass's RESULT is
+            # kept for the grid arm (best_of would discard it, costing
+            # a third full moments pass over the ~1.3 GB subject).
+            t0 = time.perf_counter()
+            st = moments_arm()
+            m_first = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            st = moments_arm()
+            moments_s = min(m_first, time.perf_counter() - t0)
+            tot = jax.tree.map(lambda a: jnp.sum(a, axis=0), st)
+            sync(tot.sxx[0, 0])
+            grid_s, _ = best_of(lambda: grid_arm(st, tot), k=2)
+            _diag('cohort breakdown 2/2 (compute, one warm subject): '
+                  'moments_s=%.3f grid_solve_s=%.3f -> device floor '
+                  '%.2fs for %d subjects; steady-wall minus floor is '
+                  'dispatch/tunnel overhead'
+                  % (moments_s, grid_s, done * (moments_s + grid_s),
+                     done))
+
+    if jax.devices()[0].platform != 'tpu' and not DIAG_FORCE:
+        # Skip only THIS stage (minutes of matmuls on CPU); the AOT
+        # and ingest stages below still run / print their own markers.
+        _diag('cohort sweep skipped (not on TPU)')
+    else:
+        cohort_stage()
     if over_budget('AOT serving artifact lane'):
         return
 

@@ -373,7 +373,11 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
         # reference's Keras fit on the same flags (caught by the
         # learning-regime A/B, tools/ab_reference.py run_learning_ab).
         fit_kwargs['batch_size'] = my_flags.batch_size
-    if sgd_model and fit_seed:
+    if sgd_model:
+        # Unconditional (not `if fit_seed:`): seed 0 must be forwarded
+        # explicitly rather than ride the fits' default, so the
+        # seeded-run contract cannot silently break if a fit's default
+        # seed ever changes.
         fit_kwargs['seed'] = fit_seed
     if getattr(my_flags, 'dp_fit', False) and sgd_model:
         # SGD families only; the deterministic solvers already shard
