@@ -218,47 +218,61 @@ def measure_headline(params):
         short_times.append(timed_dispatch_s(REPS))
         long_times.append(timed_dispatch_s(reps_long))
     t_short, t_long = min(short_times), min(long_times)
+    rate, verdict = headline_rate(t_short, t_long, REPS, reps_long,
+                                  NUM_WINDOWS)
     single_rate = NUM_WINDOWS * REPS / t_short
-    # The differential is trustworthy only when the long arm's extra
-    # device work is visible OVER the constant term: with 3x the trip
-    # count, t_long/t_short = (3d + r)/(d + r) >= 1.5 iff the RTT r is
-    # at most 3x the short arm's device time d. Below that, the
-    # subtraction is noise-dominated (and vulnerable to residual
-    # inter-arm asymmetry), so fall back to the single-dispatch rate
-    # rather than publish an inflated number.
-    if t_long >= t_short * 1.5:
-        rate = NUM_WINDOWS * (reps_long - REPS) / (t_long - t_short)
+    if verdict == 'differential':
         rtt_est_ms = max(0.0, (3 * t_short - t_long) / 2) * 1000
-        # Backstop sanity cap: under the 1.5 guard the true rate is at
-        # most 2x the long arm's raw rate (r <= 3d); a differential
-        # above that means asymmetric pollution slipped through.
-        raw_long_rate = NUM_WINDOWS * reps_long / t_long
-        if rate > 2.0 * raw_long_rate:
-            _diag('headline differential IMPLAUSIBLE (%.0f w/s > 2x '
-                  'long-arm raw %.0f w/s): asymmetric congestion; '
-                  'falling back to single-dispatch best %.0f w/s'
-                  % (rate, raw_long_rate, single_rate))
-            rate = single_rate
-        else:
-            _diag('headline differential: best short(%d reps)=%.1fms '
-                  'best long(%d reps)=%.1fms interleaved K=%d each -> '
-                  '%.0f windows/s device; per-dispatch RTT est %.1fms; '
-                  'single-dispatch best (r03/r04-comparable) = %.0f '
-                  'w/s; all short=%s long=%s (ms)'
-                  % (REPS, t_short * 1000, reps_long, t_long * 1000,
-                     HEADLINE_DISPATCHES, rate, rtt_est_ms, single_rate,
-                     ['%.1f' % (t * 1000) for t in short_times],
-                     ['%.1f' % (t * 1000) for t in long_times]))
+        _diag('headline differential: best short(%d reps)=%.1fms '
+              'best long(%d reps)=%.1fms interleaved K=%d each -> '
+              '%.0f windows/s device; per-dispatch RTT est %.1fms; '
+              'single-dispatch best (r03/r04-comparable) = %.0f '
+              'w/s; all short=%s long=%s (ms)'
+              % (REPS, t_short * 1000, reps_long, t_long * 1000,
+                 HEADLINE_DISPATCHES, rate, rtt_est_ms, single_rate,
+                 ['%.1f' % (t * 1000) for t in short_times],
+                 ['%.1f' % (t * 1000) for t in long_times]))
+    elif verdict == 'implausible':
+        _diag('headline differential IMPLAUSIBLE (> 2x long-arm raw '
+              'rate): asymmetric congestion; falling back to '
+              'single-dispatch best %.0f w/s (short %.1fms, long '
+              '%.1fms)' % (rate, t_short * 1000, t_long * 1000))
     else:
-        # The constant term dominates 3x the device work (or tunnel
-        # weirdness made the long arm no slower); the differential is
-        # meaningless — fall back to the single-dispatch best, which
-        # only ever UNDERSTATES the chip.
-        rate = single_rate
         _diag('headline differential DEGENERATE (short %.1fms, long '
               '%.1fms < 1.5x): falling back to single-dispatch best '
               '%.0f w/s' % (t_short * 1000, t_long * 1000, rate))
     return rate, x1, x2
+
+
+def headline_rate(t_short, t_long, reps_short, reps_long, num_windows):
+    """Pure decision arithmetic for the differential headline
+    (unit-tested in tests/test_bench_smoke.py). Returns
+    (windows_per_sec, verdict) with verdict one of 'differential',
+    'degenerate', 'implausible'.
+
+    The differential is trustworthy only when the long arm's extra
+    device work is visible OVER the constant per-dispatch term: with
+    3x the trip count, t_long/t_short = (3d + r)/(d + r) >= 1.5 iff
+    the RTT r is at most 3x the short arm's device time d. Below
+    that, the subtraction is noise-dominated (and vulnerable to
+    residual inter-arm asymmetry). The 2x-raw-long-rate cap is a
+    belt-and-braces backstop: at the production 3x rep ratio it is
+    EXACTLY complementary to the guard (diff > 2*raw <=> t_long <
+    1.5*t_short, so it can never fire — pinned by a grid test), but
+    it becomes load-bearing the moment the rep ratio changes. The
+    primary defense against asymmetric congestion is the caller's
+    interleaving of the two arms. Every fallback is the
+    single-dispatch rate, which carries a whole RTT and therefore
+    only UNDERSTATES the chip.
+    """
+    single_rate = num_windows * reps_short / t_short
+    if t_long < t_short * 1.5:
+        return single_rate, 'degenerate'
+    rate = num_windows * (reps_long - reps_short) / (t_long - t_short)
+    raw_long_rate = num_windows * reps_long / t_long
+    if rate > 2.0 * raw_long_rate:
+        return single_rate, 'implausible'
+    return rate, 'differential'
 
 
 def run_diagnostics(params, x1, x2):
