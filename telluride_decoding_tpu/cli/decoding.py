@@ -372,12 +372,16 @@ def train_and_test(my_flags: DecodingOptions, test_brain_data,
         # optimizer steps per epoch at --batch_size 128 than the
         # reference's Keras fit on the same flags (caught by the
         # learning-regime A/B, tools/ab_reference.py run_learning_ab).
+        # This deliberately overrides BrainModelDCCA.fit's own API
+        # default (1024): the reference trains every family, DCCA
+        # included, on a dataset batched at --batch_size (reference
+        # decoding.py:53,95 — flag default 512), so the driver always
+        # forwards the flag for reference parity.
         fit_kwargs['batch_size'] = my_flags.batch_size
-    if sgd_model:
-        # Unconditional (not `if fit_seed:`): seed 0 must be forwarded
-        # explicitly rather than ride the fits' default, so the
-        # seeded-run contract cannot silently break if a fit's default
-        # seed ever changes.
+        # Seed is unconditional (not `if fit_seed:`): seed 0 must be
+        # forwarded explicitly rather than ride the fits' default, so
+        # the seeded-run contract cannot silently break if a fit's
+        # default seed ever changes.
         fit_kwargs['seed'] = fit_seed
     if getattr(my_flags, 'dp_fit', False) and sgd_model:
         # SGD families only; the deterministic solvers already shard

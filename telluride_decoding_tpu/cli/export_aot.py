@@ -91,9 +91,10 @@ def app_main(argv=None):
                       if p.strip())
     known = ('tpu', 'cpu', 'cuda', 'rocm')
     bad = [p for p in platforms if p not in known]
-    if not platforms or bad:
-        raise SystemExit('--platforms must be a comma list drawn from '
-                         '%s (got %r)\n%s'
+    if (not platforms or bad
+            or len(set(platforms)) != len(platforms)):
+        raise SystemExit('--platforms must be a comma list of DISTINCT '
+                         'names drawn from %s (got %r)\n%s'
                          % (','.join(known), opts['platforms'], _USAGE))
     export(positional[0], positional[1], reduction=opts['reduction'],
            platforms=platforms,

@@ -31,20 +31,9 @@ from telluride_decoding_tpu.io import edf as edf_io
 from telluride_decoding_tpu.io import ingest
 from telluride_decoding_tpu.signal import preprocess
 
-class _StdoutProxy:
-    """Late-binding stdout: resolving sys.stdout per write (instead of
-    once at import) keeps repeated embedded calls working when the
-    surrounding harness swaps/closes the stream between calls (pytest
-    capsys, notebook kernels)."""
+from telluride_decoding_tpu.utils.stdio import LateBoundStdout
 
-    def write(self, s):
-        return sys.stdout.write(s)
-
-    def flush(self):
-        sys.stdout.flush()
-
-
-regression_data_print = _StdoutProxy()
+regression_data_print = LateBoundStdout()
 
 FLAGS = flags.FLAGS
 _tmp_dir = os.environ.get('TMPDIR') or '/tmp'

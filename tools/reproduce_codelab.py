@@ -191,6 +191,37 @@ def format_table(rows: List[Dict]) -> str:
     return '\n'.join(lines)
 
 
+def parse_overrides(items: Sequence[str]) -> dict:
+    """Parse --override KEY=VALUE items, validating KEY.
+
+    ``DecodingOptions.set_from_dict`` setattr's unknown keys without
+    complaint, so a mistyped --override would silently run the
+    published config while the user believes they changed it —
+    validate against the dataclass fields here, BEFORE the (possibly
+    3.1 GB) corpus download.
+    """
+    import ast
+    import dataclasses
+    from telluride_decoding_tpu.cli.decoding import DecodingOptions
+    known = {f.name for f in dataclasses.fields(DecodingOptions)}
+    out = {}
+    for item in items:
+        if '=' not in item:
+            raise SystemExit('--override wants KEY=VALUE, got %r' % item)
+        key, value = item.split('=', 1)
+        if key not in known:
+            raise SystemExit(
+                '--override: unknown DecodingOptions field %r '
+                '(closest: %s)'
+                % (key, ', '.join(sorted(
+                    k for k in known if key[:3] in k)) or '<none>'))
+        try:
+            out[key] = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            out[key] = value
+    return out
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         description=__doc__,
@@ -223,6 +254,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                              '(repeatable); values parse as Python '
                              'literals when possible')
     args = parser.parse_args(argv)
+    overrides = parse_overrides(args.override)
 
     tf_dir = ensure_corpus(args.data_dir, args.internet, args.force)
     subject_dir = os.path.join(tf_dir, args.subject)
@@ -237,15 +269,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     flags = codelab_flags(
         subject_dir, summary_dir, test_trial=args.test_trial,
         regularization_lambda=args.regularization_lambda)
-    import ast
-    for item in args.override:
-        if '=' not in item:
-            raise SystemExit('--override wants KEY=VALUE, got %r' % item)
-        key, value = item.split('=', 1)
-        try:
-            flags[key] = ast.literal_eval(value)
-        except (ValueError, SyntaxError):
-            flags[key] = value
+    flags.update(overrides)
 
     print('reproduce_codelab: running %s lambda=%g test=%s '
           'under --protocol %s'
