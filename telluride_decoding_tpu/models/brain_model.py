@@ -532,12 +532,17 @@ class _SgdModel(BrainModel):
             warn_bytes = 1 << 30
         if warn_bytes > 0 and total_bytes > warn_bytes:
             import warnings
+            # Adaptive unit: tests lower TDT_STREAMING_AUTO_BYTES far
+            # below 1 GB, and a '0.0 GB' warning reads as a bug.
+            if total_bytes >= 1 << 30:
+                size = '%.1f GB' % (total_bytes / 2**30)
+            else:
+                size = '%.1f MB' % (total_bytes / 2**20)
             warnings.warn(
-                'SGD fit materializes %.1f GB of (lag-stacked) '
+                'SGD fit materializes %s of (lag-stacked) '
                 'training data on device; consider fit_streaming '
                 '(--streaming_fit), which holds one file on the host '
-                'and one minibatch on device instead.'
-                % (total_bytes / 2**30))
+                'and one minibatch on device instead.' % size)
         batch_size = min(batch_size, n)
         mesh, batch_sharding, replicated, batch_size = \
             _mesh_batch_setup(mesh, batch_size, n)
