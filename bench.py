@@ -544,12 +544,20 @@ def run_diagnostics(params, x1, x2):
             tot = jax.tree.map(lambda a: jnp.sum(a, axis=0), st)
             sync(tot.sxx[0, 0])
             grid_s, _ = best_of(lambda: grid_arm(st, tot), k=2)
+            # Two bounds, because the cohort loop runs a depth-2
+            # dispatch pipeline (subject k+1's moments overlap subject
+            # k's grid solve): serial floor = moments+grid per
+            # subject; perfect-overlap floor = max(moments, grid).
+            # Steady wall p50 lands between them; anything above the
+            # serial floor is dispatch/tunnel overhead.
             _diag('cohort breakdown 2/2 (compute, one warm subject): '
                   'moments_s=%.3f grid_solve_s=%.3f -> device floor '
-                  '%.2fs for %d subjects; steady-wall minus floor is '
-                  'dispatch/tunnel overhead'
-                  % (moments_s, grid_s, done * (moments_s + grid_s),
-                     done))
+                  'for %d subjects: %.2fs serial, %.2fs at perfect '
+                  'depth-2 overlap (steady wall p50 falls between '
+                  'them; above-serial excess is dispatch/tunnel)'
+                  % (moments_s, grid_s, done,
+                     done * (moments_s + grid_s),
+                     done * max(moments_s, grid_s)))
 
     if jax.devices()[0].platform != 'tpu' and not DIAG_FORCE:
         # Skip only THIS stage (minutes of matmuls on CPU); the AOT

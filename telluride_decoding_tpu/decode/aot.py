@@ -78,6 +78,18 @@ def export_decoder(decoder, artifact_dir: str, *,
             'export_decoder needs a jax pytree decoding model '
             '(BrainModel.apply + params); a plain python callable '
             'cannot be serialized.')
+    if getattr(decoder, '_count', 0) == 0:
+        # The artifact bakes the correlation statistics in as
+        # compile-time constants; unlike a live Decoder it cannot be
+        # trained after the fact, so exporting the reset-state scalars
+        # (mean 0, power 1) would freeze meaningless normalization
+        # into every non-LDA reduction forever. (The LDA reduction
+        # already fails in _build_correlate_reduce.)
+        raise ValueError(
+            'export_decoder: the decoder has no correlation '
+            'statistics (count == 0); train the decoder or '
+            'restore_parameters first - the exported artifact bakes '
+            'these statistics in permanently.')
     if input_widths is None:
         inputs = decoder.model_inputs
         if not inputs or 'input_1' not in inputs or 'input_2' not in inputs:

@@ -102,6 +102,10 @@ class Decoder:
         self._reduction = reduction
         self._lda: Optional[scaled_lda.ScaledLinearDiscriminantAnalysis] = \
             None
+        # Identity of the model params the cached jitted pipelines
+        # were traced against (fits REPLACE the params pytree, so
+        # object identity is the refit telltale).
+        self._built_params_ref: Any = None
         self.reset_correlation_statistics()
 
     # -- properties -----------------------------------------------------------
@@ -343,9 +347,25 @@ class Decoder:
                     jnp.asarray(r2, jnp.float32)))
         return run
 
+    def _invalidate_stale_pipelines(self):
+        """Drops the cached jitted pipelines when the underlying model
+        was refit.
+
+        The pipelines close over ``model.params`` at trace time; without
+        this check a refit would leave already-compiled window shapes
+        serving the OLD weights while any new shape retraces onto the
+        new ones — two chunk sizes in one session scoring with
+        different models, silently."""
+        params = getattr(self._decoding_model, 'params', None)
+        if params is not self._built_params_ref:
+            self._infer_fn = None
+            self._infer_pair_fn = None
+            self._built_params_ref = params
+
     def infer_one(self, input_dict, output) -> np.ndarray:
         """Full inference for one minibatch/window: a single device
         dispatch after first compile."""
+        self._invalidate_stale_pipelines()
         if self._infer_fn is None:
             self._infer_fn = self._build_infer_fn()
         return self._infer_fn(input_dict, output)
@@ -362,6 +382,7 @@ class Decoder:
         link — and lets XLA CSE compute the shared input_1 transform
         (the wide matmul) once. Value-identical to two infer_one calls.
         """
+        self._invalidate_stale_pipelines()
         if self._infer_pair_fn is None:
             self._infer_pair_fn = self._build_infer_pair_fn()
         return self._infer_pair_fn(input_1, input_2a, input_2b,
@@ -375,6 +396,7 @@ class Decoder:
         chunk's acquisition; np.asarray(result) harvests. Falls back
         to the blocking pair when the model isn't a fused jax program
         (np arrays harvest identically)."""
+        self._invalidate_stale_pipelines()
         if self._infer_pair_fn is None:
             self._infer_pair_fn = self._build_infer_pair_fn()
         return self._infer_pair_fn(input_1, input_2a, input_2b,
@@ -506,9 +528,16 @@ class Decoder:
     def test_by_window(self, dataset, window_size: int
                        ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yields (inference, label) windows of window_size frames,
-        advancing by window_size//2 (reference infer_decoder.py:484-504)."""
+        advancing by window_size//2 (reference infer_decoder.py:484-504).
+
+        The step clamps to >= 1: at window_size=1 the reference's
+        ``window_size//2 == 0`` step makes its TwoResultStore yield the
+        same window forever (an infinite loop in the reference);
+        window_means applies the same clamp, so the two evaluators
+        agree at every window size."""
         storage = result_store.TwoResultStore(
-            window_width=window_size, window_step=window_size // 2)
+            window_width=window_size,
+            window_step=max(window_size // 2, 1))
         for input_dict, output in dataset:
             infer_results = self.infer_one(input_dict, output)
             storage.add_data(infer_results,

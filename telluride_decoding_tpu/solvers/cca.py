@@ -50,14 +50,19 @@ def _inv_sqrt_psd(cov: jax.Array, eps_eig: float) -> jax.Array:
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def solve_cca_from_moments(stats: MomentStats, dim: int,
-                           regularization: float = 0.1,
-                           eps_eig: float = 1e-12) -> CcaSolution:
-    """CCA rotations from sufficient statistics (jit/vmap friendly).
+def cca_covariances_from_stats(stats: MomentStats):
+    """The reference's CCA covariance normalization, in ONE place.
 
-    Normalization follows the reference (cca.py:337-343): covariances are
-    divided by (N - 1) after removing the means, then regularized by
-    ``regularization * I``.
+    The quirk (reference cca.py:337-343): covariance sums divide by
+    (N - 1) while the subtracted mean outer products use the /N means
+    — NOT the textbook unbiased estimator. This helper is the single
+    source of that parity-critical arithmetic; solve_cca_from_moments
+    and both of the sweep engine's CCA grid programs call it, so a
+    parity fix here cannot silently diverge from the sweep
+    (un-symmetrized: callers symmetrize where their factorization
+    needs it, after adding their own lamb*I).
+
+    Returns (mean_x, mean_y, cov_xx, cov_yy, cov_xy).
     """
     n = stats.count
     mean_x = stats.sum_x / n
@@ -66,6 +71,20 @@ def solve_cca_from_moments(stats: MomentStats, dim: int,
     cov_xx = stats.sxx / denom - jnp.outer(mean_x, mean_x)
     cov_yy = stats.syy / denom - jnp.outer(mean_y, mean_y)
     cov_xy = stats.sxy / denom - jnp.outer(mean_x, mean_y)
+    return mean_x, mean_y, cov_xx, cov_yy, cov_xy
+
+
+def solve_cca_from_moments(stats: MomentStats, dim: int,
+                           regularization: float = 0.1,
+                           eps_eig: float = 1e-12) -> CcaSolution:
+    """CCA rotations from sufficient statistics (jit/vmap friendly).
+
+    Normalization follows the reference (cca.py:337-343) via
+    cca_covariances_from_stats, then regularizes by
+    ``regularization * I``.
+    """
+    (mean_x, mean_y, cov_xx, cov_yy,
+     cov_xy) = cca_covariances_from_stats(stats)
     cov_xx = cov_xx + regularization * jnp.eye(cov_xx.shape[0],
                                                dtype=cov_xx.dtype)
     cov_yy = cov_yy + regularization * jnp.eye(cov_yy.shape[0],

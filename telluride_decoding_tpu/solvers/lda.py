@@ -258,8 +258,12 @@ class ScaledLinearDiscriminantAnalysis(LinearDiscriminantAnalysis):
         """Fits from two arrays, class0 mapping to 0 and class1 to 1."""
         class0 = np.asarray(class0)
         class1 = np.asarray(class1)
-        if class0.ndim * class1.ndim != 1 and (
-                class0.shape[1] != class1.shape[1]):
+        # Dim check before any shape[1] access: mixed 1-D/2-D inputs
+        # must get the contract's ValueError, not an IndexError (the
+        # reference's `ndim*ndim != 1 and shape[1] != shape[1]` check
+        # trips exactly that on the 1-D operand).
+        if class0.ndim != class1.ndim or (
+                class0.ndim > 1 and class0.shape[1] != class1.shape[1]):
             raise ValueError(
                 "Class 0 and Class1 must have the same number of "
                 "dimensions (%s vs %s)." % (class0.shape, class1.shape))

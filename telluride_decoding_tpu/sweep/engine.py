@@ -39,6 +39,7 @@ from telluride_decoding_tpu.ops.covariance import (MomentStats,
                                                    blocked_moments,
                                                    moments_from_arrays)
 from telluride_decoding_tpu.ops.lagstack import lag_stack, lag_stack_np
+from telluride_decoding_tpu.solvers.cca import cca_covariances_from_stats
 from telluride_decoding_tpu.solvers.ridge import solve_ridge_from_moments
 
 
@@ -277,6 +278,17 @@ def per_file_stats(per_file_x: Sequence[np.ndarray],
         # wrong (zero) statistics instead of failing.
         raise ValueError('per_file_stats got %d x files but %d y '
                          'files.' % (len(per_file_x), len(per_file_y)))
+    if context is None or not any(context):
+        # The context path validates its own (offset) layout below;
+        # the plain paths derive the validity mask from x alone, so a
+        # shorter y would be zero-padded INTO the counted rows and
+        # silently corrupt sxy/syy.
+        for i, (x, y) in enumerate(zip(per_file_x, per_file_y)):
+            if x.shape[0] != y.shape[0]:
+                raise ValueError(
+                    'per_file_stats: file %d has %d x frames but %d '
+                    'y frames; per-file x and y must align.'
+                    % (i, x.shape[0], y.shape[0]))
     num_real = len(per_file_x)
     # The staged stack (and the program transient) scales with the
     # PADDED file count — budgeting on num_real alone would admit a
@@ -684,13 +696,7 @@ def _cca_sweep_program_chol(stacked_stats: MomentStats,
     # ridge program; the per-lambda cost is the Cholesky floor).
     def file_cov(file_idx):
         stats = _total_minus(stacked_stats, total, file_idx)
-        n = stats.count
-        mean_x = stats.sum_x / n
-        mean_y = stats.sum_y / n
-        denom = n - 1.0
-        cov_xx = stats.sxx / denom - jnp.outer(mean_x, mean_x)
-        cov_yy = stats.syy / denom - jnp.outer(mean_y, mean_y)
-        cov_xy = stats.sxy / denom - jnp.outer(mean_x, mean_y)
+        _, _, cov_xx, cov_yy, cov_xy = cca_covariances_from_stats(stats)
         # Means are NOT returned: _cca_r_from_stats is shift-invariant,
         # so carrying [F, D] mean batches through the vmapped tuple
         # would only retain dead device memory.
@@ -735,13 +741,7 @@ def _cca_sweep_program(stacked_stats: MomentStats, total: MomentStats,
 
     def file_eig(file_idx):
         stats = _total_minus(stacked_stats, total, file_idx)
-        n = stats.count
-        mean_x = stats.sum_x / n
-        mean_y = stats.sum_y / n
-        denom = n - 1.0
-        cov_xx = stats.sxx / denom - jnp.outer(mean_x, mean_x)
-        cov_yy = stats.syy / denom - jnp.outer(mean_y, mean_y)
-        cov_xy = stats.sxy / denom - jnp.outer(mean_x, mean_y)
+        _, _, cov_xx, cov_yy, cov_xy = cca_covariances_from_stats(stats)
         ex, vx = jnp.linalg.eigh(0.5 * (cov_xx + cov_xx.T))
         ey, vy = jnp.linalg.eigh(0.5 * (cov_yy + cov_yy.T))
         return ex, vx, ey, vy, cov_xy
@@ -868,6 +868,19 @@ def _dispatch_sweep(model: str,
     num_real = len(per_file_x)
     per_file_y = [_ensure_2d(y) for y in per_file_y]
     pad_files_to = _mesh_file_padding(num_real, pad_files_to, mesh)
+    if (model != 'cca' and not use_ridge
+            and any(float(l) < 0 for l in np.asarray(lambdas).ravel())):
+        # The moments programs carry no sum(x^2.T @ x^2), so the
+        # Ledoit-Wolf auto sentinel (-1) cannot be honored here;
+        # solve_ridge_from_moments would silently clip it to
+        # shrinkage=0 and the sweep row labeled -1 would really be 0.
+        raise ValueError(
+            'shrinkage sweep (use_ridge=False) cannot honor the -1 '
+            'auto-shrinkage sentinel: the moments-only programs lack '
+            'the Ledoit-Wolf sum(x2.T x2) statistic. Use the dense '
+            'path (solvers.ridge.calculate_linear_regressor_'
+            'parameters) for lamb=-1, or pass explicit shrinkage '
+            'values in [0, 1].')
     lambdas_arr = jnp.asarray(np.asarray(lambdas, np.float32))
     stacked = per_file_stats(per_file_x, per_file_y, want_syy=True,
                              pad_files_to=pad_files_to,
