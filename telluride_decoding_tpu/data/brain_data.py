@@ -311,7 +311,20 @@ class BrainData:
                 axis=1)
         else:
             in2 = in1[:, :1]  # Dummy, same as reference brain_data.py:818.
-        if self.attended_field and self.attended_field in data:
+        if self.attended_field:
+            if self.attended_field not in data:
+                # The reference indexes parsed_features[attended_field]
+                # unconditionally (brain_data.py:829-831) so a typo'd
+                # or absent field fails loudly there too; silently
+                # substituting zeros would score AAD accuracy against
+                # fabricated all-speaker-0 labels. Pass
+                # --attended_field "" for data without an attention
+                # feature.
+                raise ValueError('Could not find %s in features %s '
+                                 '(pass an empty attended_field for '
+                                 'data without one)' %
+                                 (self.attended_field,
+                                  list(data.keys())))
             attended = data[self.attended_field].astype(np.float32)
         else:
             attended = np.zeros((in1.shape[0], 1), np.float32)
@@ -358,17 +371,23 @@ class BrainData:
             parts.append(streams)
         return parts
 
+    # The reference's offset-only quirk is specific to its TFRecord
+    # path (read_data_into_dataset, brain_data.py:761-763 windows only
+    # on nonzero pre/post context, silently IGNORING a lone
+    # input_offset); its TestBrainData gates on `... or input_offset`
+    # (brain_data.py:581-584) and honors it. TFExampleData flips this
+    # to True so the bug-faithful skip applies exactly where the
+    # reference has the bug.
+    _reference_offset_quirk = False
+
     def _needs_context(self) -> bool:
         has_context = bool(self.in1_pre_context or self.in1_post_context
                            or self.in2_pre_context
                            or self.in2_post_context)
-        if self.reference_protocol:
-            # The reference's TFRecord path only windows when a
-            # pre/post context is nonzero (read_data_into_dataset,
-            # reference brain_data.py:761-763) — input_offset alone is
-            # silently IGNORED there. Bug-faithful under the
-            # reference protocol; the default protocol honors the
-            # offset-only case.
+        if self.reference_protocol and self._reference_offset_quirk:
+            # Bug-faithful under the reference protocol, TFRecord
+            # sources only (see _reference_offset_quirk above); the
+            # default protocol honors the offset-only case everywhere.
             return has_context
         return has_context or bool(self.input_offset)
 
@@ -767,6 +786,10 @@ class TestBrainData(BrainData):
 class TFExampleData(BrainData):
     """TFRecord-file dataset (reference TFExampleData,
     brain_data.py:645-927), decoded with the TF-free records module."""
+
+    # The reference's TFRecord path ignores a lone input_offset (see
+    # BrainData._reference_offset_quirk) — reproduce that only here.
+    _reference_offset_quirk = True
 
     # {filename: (mtime, arrays, nbytes)} LRU, most-recent last —
     # invalidated when the file changes, evicted by BYTE budget (a

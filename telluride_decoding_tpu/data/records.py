@@ -247,7 +247,6 @@ def _parse_feature(buf: memoryview) -> np.ndarray:
     # occurrence instead of returning the first.
     pos, end = 0, len(buf)
     parts: List[np.ndarray] = []
-    kind = None
     while pos < end:
         tag, pos = _read_varint(buf, pos)
         field = tag >> 3
@@ -257,14 +256,12 @@ def _parse_feature(buf: memoryview) -> np.ndarray:
         length, pos = _read_varint(buf, pos)
         inner = buf[pos:pos + length]
         pos += length
-        kind = field
         if field == 2:                               # FloatList
             parts.append(_parse_packed_floats(inner))
         elif field == 3:                             # Int64List
             parts.append(_parse_packed_varints(inner))
         elif field == 1:                             # BytesList
             parts.append(_parse_bytes_list(inner))
-    del kind
     if not parts:
         return np.zeros((0,), np.float32)
     if len(parts) == 1:

@@ -679,11 +679,10 @@ def read_tfrecords(tfrecord_file_name: str, start_frame: int = 0,
 def transform_tfrecords(input_file: str, new_tf_dir: str, trial_name: str,
                         transforms: List[Callable]) -> str:
     """Re-writes a TFRecord file with extra computed fields."""
-    record_count, errors = count_tfrecords(input_file)
-    if errors:
-        raise ValueError('Found errors after reading %d records from %s.' %
-                         (record_count, input_file))
-    data_dict = read_tfrecords(input_file, frame_count=record_count)
+    # read_tfrecords already raises on corrupt/inconsistent records, so
+    # a separate count_tfrecords validation pass would only read and
+    # parse the whole file a second time.
+    data_dict = read_tfrecords(input_file)
     for transform_fn in transforms:
         new_name, new_data = transform_fn(data_dict)
         data_dict[new_name] = new_data

@@ -65,15 +65,12 @@ _DT_STRING = 7
 # -- protobuf wire-format primitives ------------------------------------------
 
 def _varint(value: int) -> bytes:
+    # One varint codec for the whole package (records.py owns it;
+    # tf_checkpoint._varint_bytes wraps the same call).
+    from telluride_decoding_tpu.data.records import _write_varint
     out = bytearray()
-    while True:
-        bits = value & 0x7F
-        value >>= 7
-        if value:
-            out.append(bits | 0x80)
-        else:
-            out.append(bits)
-            return bytes(out)
+    _write_varint(out, value)
+    return bytes(out)
 
 
 def _tag(field: int, wire: int) -> bytes:

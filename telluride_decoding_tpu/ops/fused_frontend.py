@@ -49,13 +49,28 @@ def fused_envelope_lagstack_reference(audio, fs_in: float, fs_out: float,
     # index math drifts at long horizons (round(fs_in*t) for t in the
     # millions of samples).
     m = np.arange(num_out, dtype=np.float64)
-    t1i = jnp.asarray(np.maximum(
-        0, np.round(fs_in * (m / fs_out - half))).astype(np.int32))
-    t2i = jnp.asarray(np.minimum(
-        num_in, np.round(fs_in * (m / fs_out + half))).astype(np.int32))
-    csum = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(audio ** 2)])
+    t1_np = np.maximum(
+        0, np.round(fs_in * (m / fs_out - half))).astype(np.int32)
+    t2_np = np.minimum(num_in, np.round(
+        fs_in * (m / fs_out + half))).astype(np.int32)
+    t1i = jnp.asarray(t1_np)
+    t2i = jnp.asarray(t2_np)
+    # Per-window sums via a masked gather, NOT a prefix sum: a float32
+    # cumsum grows to ~1e7 on a 10-minute 16 kHz recording while
+    # window sums stay ~1e2, so csum[t2]-csum[t1] would cancel most of
+    # the mantissa at the tail (the Pallas kernel accumulates per tile
+    # and never has this problem — the spec must not be the LESS
+    # accurate side of the parity tests). The gather is [M, w_max]
+    # transient; this function is the semantic spec / test anchor, not
+    # the production kernel.
+    w_max = max(1, int(np.max(t2_np - t1_np)) if num_out else 1)
+    idx = t1i[:, None] + jnp.arange(w_max, dtype=jnp.int32)[None, :]
+    valid = idx < t2i[:, None]
+    audio_sq = audio ** 2
+    seg = jnp.where(valid, audio_sq[jnp.clip(idx, 0, max(num_in - 1,
+                                                         0))], 0.0)
     counts = jnp.maximum(t2i - t1i, 1).astype(jnp.float32)
-    env = ((csum[t2i] - csum[t1i]) / counts) ** 0.5
+    env = (jnp.sum(seg, axis=1) / counts) ** 0.5
     env = env ** exponent
     padded = jnp.concatenate([jnp.zeros((pre,)), env, jnp.zeros((post,))])
     cols = [jax.lax.dynamic_slice_in_dim(padded, k, num_out, axis=0)

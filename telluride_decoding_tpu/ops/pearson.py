@@ -111,7 +111,12 @@ def correlation_matrix(x: jax.Array, y: jax.Array) -> jax.Array:
     xy = jnp.concatenate([x, y], axis=1)
     n = xy.shape[0]
     xy_m = xy - jnp.mean(xy, axis=0, keepdims=True)
+    # precision=HIGHEST is load-bearing on TPU (same class of fix as
+    # ops/covariance.py and signal/filters.py): default bf16-truncated
+    # operands cost ~1e-3 relative error against the reference's
+    # float64 numpy matrix (reference utils.py:27-59).
     cov = jnp.dot(xy_m.T, xy_m / (n - 1.0),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     inv_std = jax.lax.rsqrt(jnp.diagonal(cov))
     return cov * inv_std[:, None] * inv_std[None, :]

@@ -423,8 +423,14 @@ class AudioFeatures:
                                     (t - half_window)) + tau).astype(int)
         t2 = np.minimum(frames_in, np.round(
             self._fs_in * (t + half_window)) + tau).astype(int)
+        # float64 accumulation is load-bearing: a float32 prefix sum
+        # grows to ~1e7 on a 10-minute 16 kHz recording while window
+        # sums stay ~1e2, so csum[t2]-csum[t1] would cancel ~18 of 24
+        # mantissa bits (measured: 6% envelope error at the tail; the
+        # reference's per-window np.mean never forms the big sum).
         csum = np.concatenate([np.zeros((1, data.shape[1])),
-                               np.cumsum(data, axis=0)])
+                               np.cumsum(data, axis=0,
+                                         dtype=np.float64)])
         counts = np.maximum(t2 - t1, 1)[:, None]
         return (csum[t2] - csum[t1]) / counts
 
