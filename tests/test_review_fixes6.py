@@ -249,12 +249,18 @@ class TestReferenceProtocolCorners:
         # ...in a different order.
         assert not np.array_equal(epoch1, epoch2)
 
-    def test_offset_only_ignored_under_reference_protocol(self, rng):
-        """The reference's TFRecord path only windows (and thus only
-        applies input_offset) when a pre/post context is nonzero
-        (reference brain_data.py:760-763); offset-only configs must be
-        bug-faithful under --protocol reference and honored under the
-        default protocol."""
+    def test_offset_only_honored_on_memory_data_both_protocols(
+            self, rng):
+        """The reference's offset-only quirk is specific to its
+        TFRecord path (reference brain_data.py:760-763 gates windowing
+        on nonzero pre/post context); its in-memory TestBrainData
+        gates on `... or input_offset` (brain_data.py:581-584) and so
+        HONORS a lone input_offset. The rebuild scopes the bug-faithful
+        skip to TFExampleData (_reference_offset_quirk); memory-backed
+        data applies the offset under BOTH protocols. (This test
+        originally asserted the quirk on TestBrainData — wrong per the
+        reference source; the TFRecord-side quirk is pinned in
+        test_review_fixes9.py::TestOffsetQuirkScoping.)"""
         from telluride_decoding_tpu.data.brain_data import TestBrainData
 
         def build(reference_protocol):
@@ -271,7 +277,7 @@ class TestReferenceProtocolCorners:
             return eeg, x, out
 
         eeg, x_ref, _ = build(reference_protocol=True)
-        np.testing.assert_array_equal(x_ref, eeg)     # No shift.
+        np.testing.assert_array_equal(x_ref, eeg[5:])  # Shifted.
         eeg, x_def, _ = build(reference_protocol=False)
         np.testing.assert_array_equal(x_def, eeg[5:])  # Shifted.
 
