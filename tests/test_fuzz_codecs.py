@@ -164,6 +164,86 @@ class TestBrainVisionFuzz:
                 assert isinstance(e, Exception)
 
 
+class TestBundleFuzz:
+    """TensorBundle reader (io/tf_checkpoint.py) — the SavedModel
+    migration path parses TF-WRITTEN files (snappy blocks, SSTable,
+    BundleEntry protos), so it fuzzes like the other read codecs:
+    garbage and mutations of a valid bundle must parse or raise a
+    clean Exception, never hang (varint readers are bounded), crash,
+    or allocate unboundedly from a lying length field."""
+
+    @pytest.fixture()
+    def valid_prefix(self, tmp_path):
+        from telluride_decoding_tpu.io.tf_checkpoint import (
+            write_tensor_bundle)
+        rng = np.random.RandomState(0)
+        prefix = str(tmp_path / 'variables')
+        write_tensor_bundle(prefix, {
+            'model/layer/kernel/.ATTRIBUTES/VARIABLE_VALUE':
+                rng.randn(4, 3).astype(np.float32),
+            'model/layer/bias/.ATTRIBUTES/VARIABLE_VALUE':
+                rng.randn(3),
+            'telluride_metadata/.ATTRIBUTES/VARIABLE_VALUE':
+                np.array([b'{"dnn_regressor": "linear"}'],
+                         dtype=object),
+        })
+        return prefix
+
+    def test_garbage_index(self, tmp_path):
+        from telluride_decoding_tpu.io.tf_checkpoint import (
+            read_tensor_bundle)
+        rng = np.random.RandomState(9)
+        prefix = str(tmp_path / 'g')
+        for blob in _garbage_blobs(rng):
+            with open(prefix + '.index', 'wb') as f:
+                f.write(blob)
+            with open(prefix + '.data-00000-of-00001', 'wb') as f:
+                f.write(blob)
+            _assert_parses_or_raises_cleanly(read_tensor_bundle, prefix)
+
+    def test_mutated_valid(self, valid_prefix, tmp_path):
+        from telluride_decoding_tpu.io.tf_checkpoint import (
+            read_tensor_bundle)
+        rng = np.random.RandomState(10)
+        index = open(valid_prefix + '.index', 'rb').read()
+        data = open(valid_prefix + '.data-00000-of-00001', 'rb').read()
+        prefix = str(tmp_path / 'mut')
+        for i in range(N_MUTANTS):
+            # Mutate the index and the data shard in alternation —
+            # the index drives the control flow (offsets, shapes,
+            # dtypes), the shard the payload slicing.
+            mut_index = _mutate(rng, index) if i % 2 == 0 else index
+            mut_data = data if i % 2 == 0 else _mutate(rng, data)
+            with open(prefix + '.index', 'wb') as f:
+                f.write(mut_index)
+            with open(prefix + '.data-00000-of-00001', 'wb') as f:
+                f.write(mut_data)
+            _assert_parses_or_raises_cleanly(read_tensor_bundle, prefix)
+
+    def test_mutated_saved_model_migration(self, valid_prefix,
+                                           tmp_path):
+        # One layer up: load_reference_saved_model on a SavedModel
+        # directory whose bundle bytes are mutated must also fail
+        # cleanly (it composes the bundle reader with metadata JSON
+        # parsing and model construction).
+        from telluride_decoding_tpu.models.migrate import (
+            load_reference_saved_model)
+        rng = np.random.RandomState(11)
+        index = open(valid_prefix + '.index', 'rb').read()
+        data = open(valid_prefix + '.data-00000-of-00001', 'rb').read()
+        sm = tmp_path / 'sm'
+        vdir = sm / 'variables'
+        vdir.mkdir(parents=True)
+        for i in range(N_MUTANTS // 2):
+            with open(vdir / 'variables.index', 'wb') as f:
+                f.write(_mutate(rng, index) if i % 2 == 0 else index)
+            with open(vdir / 'variables.data-00000-of-00001',
+                      'wb') as f:
+                f.write(data if i % 2 == 0 else _mutate(rng, data))
+            _assert_parses_or_raises_cleanly(load_reference_saved_model,
+                                             str(sm))
+
+
 class TestDecoderJsonFuzz:
 
     def test_garbage_params(self, tmp_path):
