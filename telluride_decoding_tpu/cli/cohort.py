@@ -664,6 +664,12 @@ def main(argv):
         FLAGS.regularization_list)
     from telluride_decoding_tpu.parallel import multihost
     multihost.initialize()   # env-driven (TDT_COORDINATOR); no-op else.
+    # Forwarding the flag's DEFAULT (True) would shadow the documented
+    # TDT_STREAMING_COHORT env knob inside run_cohort_sweep (its env
+    # fallback only fires on streaming=None); an untouched flag defers
+    # to the env, an explicit --[no]streaming_cohort wins.
+    streaming = (None if FLAGS['streaming_cohort'].using_default_value
+                 else FLAGS.streaming_cohort)
     import jax
     num_partitions = FLAGS.num_partitions
     partition_index = FLAGS.partition_index
@@ -691,7 +697,7 @@ def main(argv):
                 cohort_plot_file=FLAGS.cohort_plot_file,
                 results_csv_file=FLAGS.results_csv_file,
                 partition_wait_s=FLAGS.partition_wait_s,
-                streaming=FLAGS.streaming_cohort,
+                streaming=streaming,
                 checkpoint_dir=FLAGS.sweep_checkpoint_dir)
         if summary is None:
             print('Partition %d/%d done: %d subjects swept.'
@@ -708,7 +714,7 @@ def main(argv):
                 cohort_csv_file=FLAGS.cohort_csv_file,
                 cohort_plot_file=FLAGS.cohort_plot_file,
                 results_csv_file=FLAGS.results_csv_file,
-                streaming=FLAGS.streaming_cohort,
+                streaming=streaming,
                 checkpoint_dir=FLAGS.sweep_checkpoint_dir)
         num_named = '%d subjects' % len(results)
     best = int(np.argmax(mean))

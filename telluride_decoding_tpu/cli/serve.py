@@ -111,6 +111,15 @@ def define_flags():
     flags.DEFINE_bool('selftest', False,
                       'Build a toy model + stream and assert the served '
                       'decisions track the planted attention switch.')
+    flags.DEFINE_float('serve_idle_timeout_s', 0.0,
+                       'TCP mode: abort a session when no data arrives '
+                       'for this many seconds (0 = wait forever). A '
+                       'client that vanishes without sending RST (power '
+                       'loss, network partition) otherwise blocks the '
+                       'serial listener indefinitely; real-time '
+                       'acquisition streams chunks continuously, so '
+                       'even a modest timeout is safe. TCP keepalive '
+                       'is enabled on every session regardless.')
 
 
 class ContextBuffer:
@@ -121,6 +130,15 @@ class ContextBuffer:
     stream start — identical to the offline per-file lag stack, just
     incremental. (The emission delay is `post` frames, the price of
     future context in real time.)
+
+    Deliberate tail semantics: at stream end the final `post` frames
+    are never emitted — a real-time server has no future frames to
+    complete them with, and fabricating zero future context would
+    score those rows against data that never existed. An OFFLINE
+    decode of the same recording zero-pads the tail and scores all N
+    rows, so a replayed stream yields `post` fewer score frames than
+    `tdt-infer` on the identical file (tests pin the interior rows
+    value-identical; test_serve.py::test_matches_offline_scores).
     """
 
     def __init__(self, channels: int, pre: int, post: int):
@@ -211,8 +229,25 @@ class StreamingAttentionServer:
 
     def push(self, eeg: np.ndarray, audio1: np.ndarray,
              audio2: np.ndarray) -> List[Dict]:
-        """Feeds one acquisition chunk; returns completed decisions."""
+        """Feeds one acquisition chunk; returns completed decisions.
+
+        The three fields of a chunk must carry the SAME frame count:
+        the streams buffer independently, so a ragged chunk (one field
+        short) would not error here or later — it would silently skew
+        every subsequent window by the deficit for the rest of the
+        session. Raising BEFORE any buffering lets serve_lines skip
+        the whole malformed chunk with all three streams still
+        aligned."""
         t0 = time.perf_counter()
+        eeg = np.atleast_2d(np.asarray(eeg, np.float32))
+        audio1 = np.atleast_2d(np.asarray(audio1, np.float32))
+        audio2 = np.atleast_2d(np.asarray(audio2, np.float32))
+        if not (eeg.shape[0] == audio1.shape[0] == audio2.shape[0]):
+            raise ValueError(
+                'push: eeg/audio1/audio2 chunks must carry the same '
+                'frame count, got %d/%d/%d (a ragged chunk would '
+                'desynchronize the streams permanently).'
+                % (eeg.shape[0], audio1.shape[0], audio2.shape[0]))
         self._pend_eeg = np.concatenate(
             [self._pend_eeg, self._ctx_eeg.push(eeg)])
         self._pend_a1 = np.concatenate(
@@ -425,6 +460,15 @@ def serve_lines(model_dir: str, in_stream, *,
             continue
         try:
             chunk = json.loads(line)
+            if (isinstance(chunk, dict) and not chunk.get('eeg')
+                    and not chunk.get('audio1')
+                    and not chunk.get('audio2')):
+                # Empty warmup/keepalive chunk. Skipping it BEFORE the
+                # server is established matters: a zero-frame first
+                # chunk orients to shape (0, 1) and would lock in
+                # eeg_channels=1, wedging every real chunk of the
+                # session against the wrong channel count.
+                continue
             eeg = orient_eeg(chunk['eeg'],
                              None if server is None
                              else server.eeg_channels)
@@ -436,6 +480,11 @@ def serve_lines(model_dir: str, in_stream, *,
             # chunks from the acquisition process: report and skip.
             print('serve: skipping bad input line (%s): %.80s' %
                   (error, line), file=sys.stderr)
+            continue
+        if server is None and eeg.shape[0] == 0:
+            # No frames yet: channel counts cannot be established from
+            # a zero-frame chunk (it oriented to (0, 1) regardless of
+            # the stream's real width) — wait for a real chunk.
             continue
         if server is None:
             # Live mode chases decision FRESHNESS: pipelining would
@@ -494,6 +543,7 @@ def serve_socket(model_dir: str, address: str, *,
                  window_width: int = 100, window_step: int = 50,
                  frame_rate: float = 100.0,
                  max_sessions: Optional[int] = None,
+                 idle_timeout_s: float = 0.0,
                  on_bound=None) -> List[int]:
     """TCP listener speaking the line protocol over each connection.
 
@@ -513,6 +563,14 @@ def serve_socket(model_dir: str, address: str, *,
     forever); ``on_bound(host, port)`` reports the actual listening
     address (port 0 binds an OS-assigned one). Returns the per-session
     decision counts (for tests/monitoring).
+
+    A client that disappears WITHOUT sending RST (power loss, network
+    partition) would block the serial listener's readline() forever —
+    no OSError arrives for a silently dead peer. Every session gets
+    TCP keepalive, and ``idle_timeout_s`` > 0 (--serve_idle_timeout_s)
+    additionally aborts a session when no data arrives for that long
+    (socket.timeout is an OSError, so it rides the existing
+    abort-and-keep-serving path).
     """
     import socket
     host, port = _parse_tcp(address)
@@ -536,6 +594,10 @@ def serve_socket(model_dir: str, address: str, *,
                   (len(counts), peer[0], peer[1]), file=sys.stderr)
             try:
                 with conn:
+                    conn.setsockopt(socket.SOL_SOCKET,
+                                    socket.SO_KEEPALIVE, 1)
+                    if idle_timeout_s > 0:
+                        conn.settimeout(idle_timeout_s)
                     reader = conn.makefile('r', encoding='utf-8',
                                            newline='\n')
                     writer = conn.makefile('w', encoding='utf-8',
@@ -663,7 +725,8 @@ def main(argv):
                      decision=FLAGS.serve_decoder,
                      window_width=FLAGS.serve_window_width,
                      window_step=FLAGS.serve_window_step,
-                     frame_rate=FLAGS.serve_frame_rate)
+                     frame_rate=FLAGS.serve_frame_rate,
+                     idle_timeout_s=FLAGS.serve_idle_timeout_s)
         return
     if FLAGS.serve_input == '-':
         # Live line protocol: an external acquisition loop pipes JSON

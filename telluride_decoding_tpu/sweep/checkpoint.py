@@ -3,10 +3,14 @@
 The reference's only fault tolerance is file-level idempotence (rerun a
 crashed ingest and it skips finished artifacts). Sweeps get the same
 treatment here, plus per-shard result checkpoints: a SweepCheckpoint
-persists each (lambda-block x file-block) tile of the result matrix as
-it completes, so a preempted multi-hour sweep resumes from the last
-finished tile instead of restarting (SURVEY.md §5 build mandate:
-"checkpoint-per-shard for sweeps").
+persists each tile of the result matrix as it completes, so a
+preempted multi-hour sweep resumes from the last finished tile
+instead of restarting (SURVEY.md §5 build mandate:
+"checkpoint-per-shard for sweeps"). The on-disk tile format carries
+BOTH lambda and file spans, but run_sweep_with_checkpoints currently
+blocks only the lambda axis (every tile spans all files) — the file
+spans exist so the format need not change if file-axis blocking is
+ever added.
 
 Format: one .npz per tile plus a manifest.json keyed by a content hash
 of the sweep configuration — resuming with different lambdas, files,
@@ -55,7 +59,11 @@ class SweepCheckpoint:
         return {'key': self._key, 'tiles': {}}
 
     def _save_manifest(self):
-        tmp = self._manifest_path + '.tmp'
+        # Pid-suffixed temp + os.replace (the repo's atomic-publish
+        # convention, cf. multihost.write_part): two processes sharing
+        # a checkpoint_dir must never interleave into one temp file
+        # and publish a torn manifest.
+        tmp = self._manifest_path + '.tmp.%d' % os.getpid()
         with open(tmp, 'w') as f:
             json.dump(self._manifest, f)
         os.replace(tmp, self._manifest_path)
@@ -70,11 +78,17 @@ class SweepCheckpoint:
 
     def save_tile(self, tile_id: str, correlations: np.ndarray,
                   lambda_slice: slice, file_slice: slice):
-        np.savez(self._tile_path(tile_id), correlations=correlations,
+        # Atomic publish: a run killed mid-savez must not leave a torn
+        # tile at the final path for a resume to half-load (ends in
+        # .npz so np.savez keeps the name).
+        path = self._tile_path(tile_id)
+        tmp = path + '.tmp-%d.npz' % os.getpid()
+        np.savez(tmp, correlations=correlations,
                  lambda_start=lambda_slice.start or 0,
                  lambda_stop=lambda_slice.stop,
                  file_start=file_slice.start or 0,
                  file_stop=file_slice.stop)
+        os.replace(tmp, path)
         self._manifest['tiles'][tile_id] = {
             'lambda': [lambda_slice.start or 0, lambda_slice.stop],
             'file': [file_slice.start or 0, file_slice.stop]}
